@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes via a noop sink (full execution, no driver
+materialization), best-of-2 so JIT/codegen warmup doesn't dominate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# Headline set: grows as operators land. Keep it to the queries that
+# represent real work (scan+agg, joins, windows, text/dedup) — not the
+# tiny metadata ops.
+HEADLINE = [
+    "pricing_summary",
+    "model_over_agg",
+    "exists_probe",
+    "computed_column",
+    "topk_limit",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from hive_2_spark.session import get_spark
+
+    spark = get_spark("hive_2_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entrymod.queries()
+    keys = [k for k in HEADLINE if k in qmap]
+
+    # Warm the session (JVM, parquet footers).
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for key in keys:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qmap[key](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Aggregate query/oracle registry — the single source the driver entry uses.
+
+Every operator module exposes ``QUERIES`` (name -> (spark, sf_dir) ->
+DataFrame) and ``ORACLES`` (name -> DuckDB SQL). This module merges them
+and asserts key discipline: an oracle without a query is an error; a query
+without an oracle is allowed (rows-only check) but must be listed in
+``ROWS_ONLY`` deliberately.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES: list[str] = [
+    "hive_2_spark.core.relational",
+]
+
+
+def _load() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    import importlib
+
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for modname in _MODULES:
+        mod = importlib.import_module(modname)
+        q = getattr(mod, "QUERIES", {})
+        o = getattr(mod, "ORACLES", {})
+        dup = set(q) & set(queries)
+        if dup:
+            raise ValueError(f"duplicate query keys {dup} from {modname}")
+        missing = set(o) - set(q)
+        if missing:
+            raise ValueError(f"oracles without queries {missing} in {modname}")
+        queries.update(q)
+        oracles.update(o)
+    return queries, oracles
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return _load()[0]
+
+
+def all_oracles() -> dict[str, str]:
+    return _load()[1]
+
+
+def rows_only_keys() -> set[str]:
+    """Keys deliberately lacking a SQL oracle (non-SQL-expressible ops)."""
+    q, o = _load()
+    return set(q) - set(o)
