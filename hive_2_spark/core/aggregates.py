@@ -1,0 +1,155 @@
+"""Aggregation operators (SURVEY.md §2B ops 34-36; extends §2A op 10/33).
+
+All built-in Spark hash aggregation: partial (map-side) + final, one
+shuffle on the group keys. Floats that depend on accumulation order
+(SUM/AVG/STDDEV over doubles) are rounded in BOTH engines to absorb
+<=1e-9 relative reordering drift; MIN/MAX/COUNT are exact and left raw.
+
+Scale notes: group-by keys here are low-cardinality (flags, priorities,
+nations) — partial aggregation collapses each map task's output to a few
+rows, so the shuffle is bytes, not gigabytes, regardless of input size.
+approx_count_distinct (HLL) replaces exact distinct where a 2% error is
+acceptable — at 100 TB exact countDistinct of a high-card key is a full
+shuffle; HLL is a mergeable sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_spark.catalog import load_table
+
+
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/avg/min/max/count with group-by (partial+final hash agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT ...) per group — expand+dedup then count in Spark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (status -> priority -> grand total)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations of the two flags."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (the general form of rollup/cube)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentile (median + p90) per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+    )
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance (rounded — accumulation-order sensitive)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct — rows-only check (sketch != oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+            "approx_median_price"
+        ),
+    )
+
+
+QUERIES = {
+    "agg_groupby": agg_groupby,
+    "agg_distinct": agg_distinct,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_percentile": agg_percentile,
+    "agg_stats": agg_stats,
+    "agg_approx": agg_approx,  # rows-only: HLL/KLL sketches are engine-specific
+}
+
+ORACLES = {
+    "agg_groupby": (
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "ROUND(SUM(o_totalprice), 2) AS sum_price, "
+        "ROUND(AVG(o_totalprice), 4) AS avg_price, "
+        "MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+    "agg_distinct": (
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, "
+        "COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "agg_rollup": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        "ROUND(SUM(o_totalprice), 2) AS sum_price "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+    ),
+    "agg_cube": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ),
+    "agg_grouping_sets": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    ),
+    "agg_percentile": (
+        "SELECT l_returnflag, "
+        "quantile_cont(l_quantity, 0.5) AS median_qty, "
+        "quantile_cont(l_quantity, 0.9) AS p90_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "agg_stats": (
+        "SELECT o_orderstatus, ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd_price, "
+        "ROUND(VAR_SAMP(o_totalprice), 2) AS var_price, COUNT(*) AS n "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+}

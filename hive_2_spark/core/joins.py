@@ -1,0 +1,195 @@
+"""Join operators (SURVEY.md §2A ops 12-15, §2B op 37).
+
+Reference parity (citations into /root/reference/):
+- to-one lookup join (BelongsTo/HasOne): classes/hive/relation/belongsto.php:13-36,
+  classes/hive/relation/hasone.php:13-36 → broadcast hash join on the key.
+- to-many inner equi-join (HasMany): classes/hive/relation/hasmany.php:15-57
+  (JOIN at :32, on-clause :34-41, parent conditions :44).
+- M:N two-hop join through a pivot: classes/hive/relation/manytomany.php:56-96.
+- pivot-side key fetch: classes/hive/relation/manytomany.php:20-54.
+The reference has only inner equi-joins; outer/semi/anti/range come from the
+driver-mandated Layer B (BASELINE.json north_star).
+
+Scale notes:
+- Dimension sides (region/nation/customer at TPC-H ratios) are broadcast —
+  no shuffle of the fact table. At 100 TB the fact side never moves for
+  these joins; only genuinely large-large joins (lineitem x orders) shuffle,
+  and AQE handles skew splitting.
+- Semi/anti joins never duplicate fact rows and short-circuit per key.
+- The range join pins the equi-key first so the residual range predicate
+  evaluates within the hash-match, not as a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_spark.catalog import load_table
+
+
+# ------------------------------------------------ op 15: to-one lookup join
+def join_lookup_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BelongsTo: each order resolves its parent customer (broadcast)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ------------------------------------------------- op 12: has-many equi-join
+def join_has_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HasMany: child SELECT + JOIN parent + parent's WHERE conditions."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+# ------------------------------------- op 13: many-to-many through a pivot
+def join_many_to_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M:N: suppliers <-> parts through the lineitem pivot (distinct pairs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    return (
+        pairs.join(F.broadcast(s), pairs.l_suppkey == s.s_suppkey, "inner")
+        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey, "inner")
+        .select("s_suppkey", "s_name", "p_partkey", "p_name")
+    )
+
+
+# --------------------------------------------- op 14: pivot-side key fetch
+def pivot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT fk AS id FROM pivot WHERE pk = ?`` — typed id list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_suppkey") == 1)
+        .select(F.col("l_partkey").alias("id"))
+        .distinct()
+    )
+
+
+# ----------------------------------------------------- op 37: outer joins
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: every customer, order columns NULL when childless."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000.0
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer on deliberately partial key sets (both sides filtered)."""
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 15)
+    c_nat = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("c_nationkey") >= 5)
+    )
+    return n.join(c_nat, n.n_nationkey == c_nat.c_nationkey, "full").select(
+        "n_nationkey", "n_name", "c_nationkey", "n_customers"
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi: suppliers that shipped at least one high-quantity line."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48.0)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti: customers with no orders at all (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + range residual: lines shipped >60 days after order date.
+
+    The equi key keeps this a hash join; the range predicate is a residual
+    filter inside the match — never a cross product. (A pure range/as-of
+    join without an equi key would be pre-bucketized at scale.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.date_add(o.o_orderdate, 60)
+    )
+    return li.join(o, cond, "inner").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate"
+    )
+
+
+QUERIES = {
+    "join_lookup_one": join_lookup_one,
+    "join_has_many": join_has_many,
+    "join_many_to_many": join_many_to_many,
+    "pivot_keys": pivot_keys,
+    "join_outer": join_outer,
+    "join_full_outer": join_full_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_range": join_range,
+}
+
+ORACLES = {
+    "join_lookup_one": (
+        "SELECT o_orderkey, o_custkey, c_name, c_mktsegment "
+        "FROM orders JOIN customer ON o_custkey = c_custkey"
+    ),
+    "join_has_many": (
+        "SELECT c_custkey, c_name, o_orderkey, o_totalprice "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING'"
+    ),
+    "join_many_to_many": (
+        "SELECT s_suppkey, s_name, p_partkey, p_name FROM "
+        "(SELECT DISTINCT l_suppkey, l_partkey FROM lineitem) pairs "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN part ON l_partkey = p_partkey"
+    ),
+    "pivot_keys": (
+        "SELECT DISTINCT l_partkey AS id FROM lineitem WHERE l_suppkey = 1"
+    ),
+    "join_outer": (
+        "SELECT c_custkey, c_name, o_orderkey, o_totalprice FROM customer "
+        "LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o "
+        "ON c_custkey = o.o_custkey"
+    ),
+    "join_full_outer": (
+        "SELECT n_nationkey, n_name, c_nationkey, n_customers FROM "
+        "(SELECT * FROM nation WHERE n_nationkey < 15) n FULL OUTER JOIN "
+        "(SELECT c_nationkey, COUNT(*) AS n_customers FROM customer "
+        " GROUP BY c_nationkey HAVING c_nationkey >= 5) c "
+        "ON n_nationkey = c_nationkey"
+    ),
+    "join_semi": (
+        "SELECT s_suppkey, s_name FROM supplier WHERE EXISTS ("
+        "SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 48.0)"
+    ),
+    "join_anti": (
+        "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS ("
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    "join_range": (
+        "SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate + INTERVAL 60 DAY"
+    ),
+}

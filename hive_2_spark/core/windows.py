@@ -1,0 +1,179 @@
+"""Window-function operators (SURVEY.md §2B op 38).
+
+Ranking, analytic (lag/lead/first/last/ntile), and frame aggregates
+(ROWS / RANGE BETWEEN). Every window ORDER BY includes a unique
+tiebreaker so row_number/lag/frames are deterministic across engines.
+
+Scale notes: a window = one shuffle on partitionBy keys + an in-partition
+sort. Partition keys here (custkey, mktsegment, suppkey) have enough
+cardinality to spread; a window with no partitionBy (global sort) is the
+anti-pattern at 100 TB and none is used. Running sums accumulate in frame
+order (deterministic left-assoc), so they are bit-exact across engines —
+no rounding needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hive_2_spark.catalog import load_table
+
+
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per market segment."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order history: previous/next order price and date gap."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (ROWS UNBOUNDED PRECEDING..CURRENT)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("o_totalprice").over(w).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value over the full partition frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+    )
+
+
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric key: peers within 1000.0 below each price.
+
+    COUNT over the frame (exact) — value-based frames are the one window
+    kind where peers are defined by the ORDER BY value, not row position.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    # DataFrame-API rangeBetween only accepts integer offsets; a fractional
+    # (double-typed) RANGE frame needs the SQL form.
+    return o.selectExpr(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC "
+        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS peers_within_1k",
+    )
+
+
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the canonical window+filter pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+QUERIES = {
+    "win_rank": win_rank,
+    "win_lag_lead": win_lag_lead,
+    "win_running_sum": win_running_sum,
+    "win_first_last": win_first_last,
+    "win_range_frame": win_range_frame,
+    "win_topk_per_group": win_topk_per_group,
+}
+
+_W_RANK = (
+    "OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)"
+)
+_W_CUST = "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC"
+
+ORACLES = {
+    "win_rank": (
+        "SELECT c_custkey, c_mktsegment, c_acctbal, "
+        f"ROW_NUMBER() {_W_RANK} AS rn, RANK() {_W_RANK} AS rnk, "
+        f"DENSE_RANK() {_W_RANK} AS drnk, NTILE(4) {_W_RANK} AS quartile "
+        "FROM customer"
+    ),
+    "win_lag_lead": (
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        f"LAG(o_totalprice, 1) OVER ({_W_CUST}) AS prev_price, "
+        f"LEAD(o_totalprice, 1) OVER ({_W_CUST}) AS next_price, "
+        f"DATEDIFF('day', LAG(o_orderdate, 1) OVER ({_W_CUST}), o_orderdate)"
+        " AS days_since_prev "
+        "FROM orders"
+    ),
+    "win_running_sum": (
+        "SELECT o_custkey, o_orderkey, "
+        f"SUM(o_totalprice) OVER ({_W_CUST} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend, "
+        f"COUNT(*) OVER ({_W_CUST} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n "
+        "FROM orders"
+    ),
+    "win_first_last": (
+        "SELECT o_custkey, o_orderkey, "
+        f"FIRST_VALUE(o_totalprice) OVER ({_W_CUST} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price, "
+        f"LAST_VALUE(o_totalprice) OVER ({_W_CUST} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price "
+        "FROM orders"
+    ),
+    "win_range_frame": (
+        "SELECT o_orderkey, o_orderstatus, o_totalprice, "
+        "COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC "
+        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS peers_within_1k "
+        "FROM orders"
+    ),
+    "win_topk_per_group": (
+        "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) t "
+        "WHERE rn <= 3"
+    ),
+}

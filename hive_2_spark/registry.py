@@ -17,6 +17,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES: list[str] = [
     "hive_2_spark.core.relational",
+    "hive_2_spark.core.joins",
+    "hive_2_spark.core.aggregates",
+    "hive_2_spark.core.windows",
+    "hive_2_spark.core.setops",
+    "hive_2_spark.core.scalarfns",
 ]
 
 
