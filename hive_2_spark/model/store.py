@@ -1,0 +1,186 @@
+"""Parquet-backed table store: the write path (SURVEY.md §2A ops 16-19).
+
+The reference ships INSERT/UPDATE/DELETE statements to an RDBMS
+(classes/hive/model.php:667-706, 775-811, 831-853; builders :1094-1255).
+Parquet has no in-place mutation, so updates/deletes/upserts are
+join-based merge-rewrites with an atomic directory swap:
+
+    write new state -> <path>.swap-<token>
+    rename <path>   -> <path>.bak-<token>
+    rename swap     -> <path>
+    remove bak
+
+Inserts append a new parquet part (no rewrite). Auto-id assignment =
+``max(existing) + row_number over new rows`` (model.php:685-700 read-back
+semantics) — single-writer per table, the same assumption the reference
+makes of its RDBMS session.
+
+Scale notes: at 100 TB this store maps onto a table format (Delta/Iceberg
+MERGE + snapshot commit); the join-based merge plan used here is exactly
+the plan those formats execute — target left-join updates on the key,
+coalesce per column, union unmatched inserts. The swap is the commit.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_spark.model.meta import ModelMeta
+
+
+class ParquetStore:
+    def __init__(self, spark: SparkSession, meta: ModelMeta, path: str) -> None:
+        self.spark = spark
+        self.meta = meta.finish()
+        self.path = path
+
+    # ---------------------------------------------------------------- read
+    def df(self) -> DataFrame:
+        """Declared-field projection with logical names (never ``*``)."""
+        raw = self.spark.read.parquet(self.path)
+        cols = [
+            F.col(phys).alias(logical)
+            for phys, logical in self.meta.select_columns()
+        ]
+        return raw.select(*cols)
+
+    # --------------------------------------------------------------- write
+    def init_table(self, rows: list[dict[str, Any]] | None = None) -> None:
+        schema = self.meta.struct_type()
+        df = self.spark.createDataFrame(rows or [], schema=schema)
+        df.write.mode("overwrite").parquet(self.path)
+
+    def insert(self, rows: list[dict[str, Any]]) -> list[int | None]:
+        """Append rows; assign Auto ids; return assigned ids
+        (model.php:667-706; Auto skip in builder :1109)."""
+        if not rows:
+            return []
+        auto = self.meta.auto_field
+        schema = self.meta.struct_type()
+        normalized = []
+        for r in rows:
+            rec = {}
+            for name, field in self.meta.fields.items():
+                if name == auto:
+                    rec[name] = None
+                elif name in r:
+                    rec[name] = field.value(r[name])
+                else:
+                    rec[name] = None if field.null else field.coerce(field.default)
+            normalized.append(rec)
+
+        ids: list[int | None] = [None] * len(normalized)
+        if auto is not None:
+            base = self.df().agg(F.max(auto)).collect()[0][0] or 0
+            for i, rec in enumerate(normalized):
+                rec[auto] = base + i + 1
+                ids[i] = rec[auto]
+        new_df = self.spark.createDataFrame(normalized, schema=schema)
+        new_df.write.mode("append").parquet(self.path)
+        return ids
+
+    def update(
+        self,
+        condition: Column,
+        changes: dict[str, Any],
+        limit: int | None = None,
+    ) -> int:
+        """UPDATE t SET changed WHERE cond [LIMIT n] as a merge-rewrite.
+
+        Only the changed columns are touched (dirty-only SET,
+        model.php:1200-1204). Returns affected row count (model.php:799-810).
+        """
+        if not changes:
+            return 0  # clean-update short-circuit (model.php:789-793)
+        current = self.df()
+        victims = current.filter(condition)
+        if limit is not None:
+            victims = victims.orderBy(self.meta.primary).limit(limit)
+        key = self.meta.primary
+        victim_keys = victims.select(key)
+        n = victim_keys.count()
+        if n == 0:
+            return 0
+        is_victim = F.col(key).isin(
+            [r[0] for r in victim_keys.collect()]
+        ) if n <= 10000 else None
+        if is_victim is None:
+            # Large victim set: semi-join flag instead of IN-list.
+            flagged = current.join(
+                victim_keys.withColumn("__hit", F.lit(True)), on=key, how="left"
+            )
+            is_victim = F.col("__hit").isNotNull()
+            current = flagged
+        updated = current
+        for col_name, value in changes.items():
+            field = self.meta.fields[col_name]
+            lit = F.lit(field.value(value)).cast(field.spark_type)
+            updated = updated.withColumn(
+                col_name, F.when(is_victim, lit).otherwise(F.col(col_name))
+            )
+        updated = updated.select(*self.meta.fields.keys())
+        self._atomic_rewrite(updated)
+        return n
+
+    def delete(self, condition: Column, limit: int | None = None) -> int:
+        """DELETE WHERE cond [LIMIT n] as an anti-join rewrite
+        (model.php:831-853; builder :1232-1255)."""
+        current = self.df()
+        victims = current.filter(condition)
+        if limit is not None:
+            victims = victims.orderBy(self.meta.primary).limit(limit)
+        key = self.meta.primary
+        n = victims.count()
+        if n == 0:
+            return 0
+        survivors = current.join(victims.select(key), on=key, how="left_anti")
+        self._atomic_rewrite(survivors)
+        return n
+
+    def upsert(self, rows: list[dict[str, Any]], key: str | None = None) -> int:
+        """MERGE: update matching keys, insert the rest (save() semantics,
+        model.php:873-885, generalized to a row batch)."""
+        if not rows:
+            return 0
+        key = key or self.meta.primary
+        schema = self.meta.struct_type()
+        normalized = []
+        for r in rows:
+            rec = {}
+            for name, field in self.meta.fields.items():
+                rec[name] = field.value(r[name]) if name in r else None
+            normalized.append(rec)
+        incoming = self.spark.createDataFrame(normalized, schema=schema)
+        current = self.df()
+        cols = list(self.meta.fields.keys())
+        # target-left-join-source; per-column coalesce favors the source.
+        joined = current.alias("t").join(
+            incoming.alias("s"), on=F.col(f"t.{key}") == F.col(f"s.{key}"), how="left"
+        )
+        merged = joined.select(
+            *[
+                F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                if c != key
+                else F.col(f"t.{key}").alias(key)
+                for c in cols
+            ]
+        )
+        inserts = incoming.join(current.select(key), on=key, how="left_anti")
+        self._atomic_rewrite(merged.unionByName(inserts))
+        return len(rows)
+
+    # ------------------------------------------------------------ internals
+    def _atomic_rewrite(self, df: DataFrame) -> None:
+        token = uuid.uuid4().hex[:8]
+        swap = f"{self.path}.swap-{token}"
+        bak = f"{self.path}.bak-{token}"
+        df.write.mode("overwrite").parquet(swap)
+        os.rename(self.path, bak)
+        os.rename(swap, self.path)
+        shutil.rmtree(bak)

@@ -22,6 +22,7 @@ _MODULES: list[str] = [
     "hive_2_spark.core.windows",
     "hive_2_spark.core.setops",
     "hive_2_spark.core.scalarfns",
+    "hive_2_spark.core.writes",
 ]
 
 

@@ -1,0 +1,160 @@
+"""ParquetStore merge-rewrite machinery: insert/update/delete/upsert with
+atomic swap, plus relation join shapes over registered models."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_2_spark.model import IntegerField, Model, ModelMeta, StringField, register_model
+from hive_2_spark.model.fields import AutoField, FloatField
+from hive_2_spark.model.meta import clear_registry
+from hive_2_spark.model.relation import BelongsTo, HasMany, ManyToMany
+from hive_2_spark.model.store import ParquetStore
+
+
+@pytest.fixture()
+def stores(spark, tmp_path):
+    clear_registry()
+    author = ModelMeta(
+        table="author",
+        db=str(tmp_path / "author.parquet"),
+        fields={"id": AutoField(), "name": StringField()},
+    )
+    post = ModelMeta(
+        table="post",
+        db=str(tmp_path / "post.parquet"),
+        fields={
+            "id": AutoField(),
+            "author_id": IntegerField(),
+            "title": StringField(),
+            "score": FloatField(),
+        },
+    )
+    tag = ModelMeta(
+        table="tag",
+        db=str(tmp_path / "tag.parquet"),
+        fields={"id": AutoField(), "name": StringField()},
+    )
+    post_tag = ModelMeta(
+        table="post_tag",
+        db=str(tmp_path / "post_tag.parquet"),
+        fields={"post_id": IntegerField(primary=True), "tag_id": IntegerField()},
+    )
+    register_model("author", author)
+    register_model("post", post)
+    register_model("tag", tag)
+    register_model("post_tag", post_tag)
+    s = {
+        name: ParquetStore(spark, m, m.db)
+        for name, m in [
+            ("author", author),
+            ("post", post),
+            ("tag", tag),
+            ("post_tag", post_tag),
+        ]
+    }
+    for st in s.values():
+        st.init_table()
+    s["author"].insert([{"name": "ada"}, {"name": "bob"}])
+    s["post"].insert(
+        [
+            {"author_id": 1, "title": "t1", "score": 1.0},
+            {"author_id": 1, "title": "t2", "score": 2.0},
+            {"author_id": 2, "title": "t3", "score": 3.0},
+        ]
+    )
+    s["tag"].insert([{"name": "spark"}, {"name": "sql"}])
+    s["post_tag"].insert(
+        [
+            {"post_id": 1, "tag_id": 1},
+            {"post_id": 1, "tag_id": 2},
+            {"post_id": 2, "tag_id": 1},
+        ]
+    )
+    return s
+
+
+def test_insert_assigns_sequential_ids(stores):
+    ids = stores["author"].insert([{"name": "cyd"}, {"name": "dee"}])
+    assert ids == [3, 4]
+    assert stores["author"].df().count() == 4
+
+
+def test_update_merge_rewrite(stores):
+    n = stores["post"].update(F.col("author_id") == 1, {"score": 9.5})
+    assert n == 2
+    rows = {r["title"]: r["score"] for r in stores["post"].df().collect()}
+    assert rows == {"t1": 9.5, "t2": 9.5, "t3": 3.0}
+
+
+def test_update_with_limit(stores):
+    n = stores["post"].update(F.col("author_id") == 1, {"title": "X"}, limit=1)
+    assert n == 1
+    titles = sorted(r["title"] for r in stores["post"].df().collect())
+    assert titles == ["X", "t2", "t3"]
+
+
+def test_delete_anti_join(stores):
+    n = stores["post"].delete(F.col("score") < 2.5)
+    assert n == 2
+    assert [r["title"] for r in stores["post"].df().collect()] == ["t3"]
+
+
+def test_upsert_updates_and_inserts(stores):
+    n = stores["author"].upsert(
+        [{"id": 1, "name": "ada-2"}, {"id": 99, "name": "zed"}]
+    )
+    assert n == 2
+    rows = {r["id"]: r["name"] for r in stores["author"].df().collect()}
+    assert rows == {1: "ada-2", 2: "bob", 99: "zed"}
+
+
+def test_atomic_swap_leaves_no_debris(stores, tmp_path):
+    stores["post"].update(F.col("author_id") == 2, {"score": 0.0})
+    debris = [
+        p
+        for p in os.listdir(tmp_path)
+        if ".swap-" in p or ".bak-" in p
+    ]
+    assert debris == []
+
+
+def test_clean_update_short_circuits(stores):
+    assert stores["post"].update(F.col("author_id") == 1, {}) == 0
+
+
+# ------------------------------------------------------------- relations
+def test_belongs_to(spark, stores):
+    post = Model("post", spark, {"id": 1})
+    post.read()
+    rel = BelongsTo("author", {"author_id": "id"})
+    author = rel.read(post)
+    assert author.name == "ada"
+
+
+def test_has_many(spark, stores):
+    author = Model("author", spark, {"id": 1})
+    author.read()
+    rel = HasMany("post", {"id": "author_id"})
+    titles = sorted(r["title"] for r in rel.read(author).collect())
+    assert titles == ["t1", "t2"]
+
+
+def test_many_to_many(spark, stores):
+    post = Model("post", spark, {"id": 1})
+    post.read()
+    rel = ManyToMany(
+        "tag",
+        pivot_model="post_tag",
+        parent_key="id",
+        pivot_parent_fk="post_id",
+        pivot_remote_fk="tag_id",
+        remote_key="id",
+    )
+    keys = sorted(r["id"] for r in rel.pivot_keys(post).collect())
+    assert keys == [1, 2]
+    names = sorted(r["name"] for r in rel.read(post).collect())
+    assert names == ["spark", "sql"]
