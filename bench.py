@@ -24,11 +24,19 @@ if REPO not in sys.path:
 # represent real work (scan+agg, joins, windows, text/dedup) — not the
 # tiny metadata ops.
 HEADLINE = [
-    "pricing_summary",
-    "model_over_agg",
-    "exists_probe",
-    "computed_column",
-    "topk_limit",
+    "pricing_summary",      # scan + filter + hash agg (TPC-H Q1 shape)
+    "model_over_agg",       # groupBy + having
+    "exists_probe",         # semi join
+    "join_lookup_one",      # broadcast lookup join
+    "join_range",           # equi + range residual join
+    "computed_column",      # codegen'd scalar projection
+    "topk_limit",           # TakeOrderedAndProject
+    "win_running_sum",      # window: shuffle + in-partition sort
+    "agg_rollup",           # grouping sets expansion
+    "stream_session",       # lag/cumsum sessionization
+    "dedup_exact",          # md5 fingerprint + hash agg
+    "text_stats",           # regex-heavy text scan
+    "sim_cosine_topk",      # vector math + window top-k
 ]
 
 

@@ -211,7 +211,7 @@ ORACLES = {
     "fn_string": (
         "SELECT p_partkey, UPPER(p_name) AS name_upper, "
         "LOWER(p_brand) AS brand_lower, SUBSTRING(p_type, 1, 5) AS type_prefix, "
-        "LENGTH(p_name) AS name_len, "
+        "CAST(LENGTH(p_name) AS INT) AS name_len, "
         "p_brand || '/' || p_type AS brand_type, "
         "REPLACE(p_name, ' ', '_') AS name_snake, "
         "regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num, "

@@ -30,10 +30,11 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        # cast to long: DuckDB/ANSI rank functions return BIGINT, Spark INT
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 
@@ -51,7 +52,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_totalprice", 1).over(w).alias("next_price"),
         F.datediff(
             F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)
-        ).alias("days_since_prev"),
+        ).cast("long").alias("days_since_prev"),
     )
 
 
@@ -112,7 +113,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -143,8 +144,8 @@ ORACLES = {
         "SELECT o_custkey, o_orderkey, o_totalprice, "
         f"LAG(o_totalprice, 1) OVER ({_W_CUST}) AS prev_price, "
         f"LEAD(o_totalprice, 1) OVER ({_W_CUST}) AS next_price, "
-        f"DATEDIFF('day', LAG(o_orderdate, 1) OVER ({_W_CUST}), o_orderdate)"
-        " AS days_since_prev "
+        f"CAST(DATEDIFF('day', LAG(o_orderdate, 1) OVER ({_W_CUST}), o_orderdate) "
+        "AS BIGINT) AS days_since_prev "
         "FROM orders"
     ),
     "win_running_sum": (

@@ -1,0 +1,199 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2B op 44).
+
+- ``dedup_exact``: hash-groupBy on a normalized-content fingerprint, keep
+  the lowest doc_id per group. One shuffle on the hash — at 100 TB the
+  canonical exact-dedup plan (the hash is 16 bytes/row on the wire, not
+  the document).
+- ``dedup_ngram_jaccard``: character-shingle Jaccard near-dup on candidate
+  pairs pre-blocked by (lang, length band) — blocking bounds the pair
+  count; the Jaccard itself is array_intersect/array_union, JVM-side.
+- ``dedup_minhash_lsh``: MinHash + banded LSH via pyspark.ml's MinHashLSH
+  (rows-only: hash seeds are engine-internal).
+- ``dedup_simhash``: 64-bit SimHash over word hashes with Hamming-radius
+  bucketing (rows-only: relies on Spark's xxhash64).
+
+The corpus's 500/5k/50k docs are all unique, so candidates are
+synthesized deterministically: every doc with ``doc_id % 10 == 0`` gets a
+near-duplicate twin (doc_id + 10_000_000) with a one-word suffix change,
+and an exact twin (doc_id + 20_000_000).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_spark.catalog import load_table
+
+_NORM = lambda c: F.trim(  # noqa: E731 — shared normalizer expression
+    F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "
+    )
+)
+
+
+def corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthesized exact and near duplicates (deterministic)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    seeds = d.filter(F.col("doc_id") % 10 == 0)
+    exact = seeds.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text", "lang"
+    )
+    near = seeds.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" suffix")).alias("text"),
+        "lang",
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: min doc_id per content fingerprint + survivor count."""
+    c = corpus_with_dups(spark, sf_dir)
+    return (
+        c.withColumn("fp", F.md5(_NORM(F.col("text"))))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-shingle Jaccard >= 0.8 within (lang, doc_id%10) blocks.
+
+    Emits (a_id, b_id, jac) candidate pairs. Blocking keys bound the
+    quadratic term; the duplicate twins land in the same block by
+    construction (real pipelines block on MinHash bands — see
+    dedup_minhash_lsh for that path).
+    """
+    c = corpus_with_dups(spark, sf_dir).withColumn(
+        "words", F.array_distinct(F.split(_NORM(F.col("text")), " "))
+    ).withColumn("blk", (F.col("doc_id") % 10_000_000) % 10)
+    a = c.select(
+        F.col("blk"), F.col("lang"),
+        F.col("doc_id").alias("a_id"), F.col("words").alias("a_words"),
+    )
+    b = c.select(
+        F.col("blk"), F.col("lang"),
+        F.col("doc_id").alias("b_id"), F.col("words").alias("b_words"),
+    )
+    pairs = a.join(b, on=["blk", "lang"], how="inner").filter(
+        F.col("a_id") < F.col("b_id")
+    )
+    jac = F.size(F.array_intersect("a_words", "b_words")) / F.size(
+        F.array_union("a_words", "b_words")
+    )
+    return (
+        pairs.withColumn("jac", F.round(jac, 4))
+        .filter(F.col("jac") >= 0.8)
+        .select("a_id", "b_id", "jac")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (rows-only check).
+
+    shingle -> HashingTF sparse vector -> MinHashLSH approxSimilarityJoin
+    at Jaccard distance <= 0.2. The standard at-scale plan: band hashes
+    shuffle instead of the quadratic pair space.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    c = corpus_with_dups(spark, sf_dir).withColumn("norm", _NORM(F.col("text")))
+    tok = Tokenizer(inputCol="norm", outputCol="words")
+    words = tok.transform(c)
+    tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 14)
+    feats = tf.transform(words).filter(F.col("norm") != "")
+    lsh = MinHashLSH(inputCol="features", outputCol="bands", numHashTables=5, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.2, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a_id"),
+            F.col("datasetB.doc_id").alias("b_id"),
+            F.round("dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc + exact-band bucket ids (rows-only check).
+
+    Each word hashes to 64 bits (xxhash64); the SimHash bit b is the sign
+    of sum(+1/-1 over words at bit b). Computed with JVM-side bit ops via
+    an aggregate over the word array — no Python row path.
+    """
+    c = corpus_with_dups(spark, sf_dir).withColumn(
+        "words", F.array_distinct(F.split(_NORM(F.col("text")), " "))
+    )
+    hashed = c.withColumn(
+        "whashes", F.transform("words", lambda w: F.xxhash64(w))
+    )
+    # Per-bit vote: sum over words of (bit set ? +1 : -1). Shift amounts
+    # must be Python literals (shiftleft takes no Column), so the 64 bit
+    # positions unroll into one wide codegen'd projection.
+    def vote(b: int):
+        mask = F.lit(1 << b).cast("long") if b < 63 else F.lit(-(1 << 63))
+        return F.aggregate(
+            "whashes",
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    simhash = None
+    for b in range(64):
+        bit = F.lit(1 << b).cast("long") if b < 63 else F.lit(-(1 << 63))
+        piece = F.when(vote(b) > 0, bit).otherwise(F.lit(0).cast("long"))
+        simhash = piece if simhash is None else simhash.bitwiseOR(piece)
+    out = hashed.withColumn("simhash", simhash)
+    # 4 bands of 16 bits each — equal band => Hamming<=? candidate bucket
+    for i in range(4):
+        out = out.withColumn(
+            f"band{i}",
+            F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)),
+        )
+    return out.select("doc_id", "simhash", "band0", "band1", "band2", "band3")
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,  # rows-only (engine hash seeds)
+    "dedup_simhash": dedup_simhash,  # rows-only (xxhash64 is Spark-side)
+}
+
+_DK_NORM = (
+    "TRIM(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\\s]', '', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+_DK_CORPUS = (
+    "SELECT doc_id, text, lang FROM documents "
+    "UNION ALL SELECT doc_id + 20000000, text, lang FROM documents "
+    "WHERE doc_id % 10 = 0 "
+    "UNION ALL SELECT doc_id + 10000000, text || ' suffix', lang FROM documents "
+    "WHERE doc_id % 10 = 0"
+)
+
+ORACLES = {
+    "dedup_exact": (
+        f"SELECT md5({_DK_NORM.format(c='text')}) AS fp, "
+        "MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
+        f"FROM ({_DK_CORPUS}) GROUP BY 1"
+    ),
+    "dedup_ngram_jaccard": (
+        "WITH c AS (SELECT doc_id, lang, (doc_id % 10000000) % 10 AS blk, "
+        f"list_distinct(string_split({_DK_NORM.format(c='text')}, ' ')) AS words "
+        f"FROM ({_DK_CORPUS})) "
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(a.words, b.words))), 4) AS jac "
+        "FROM c a JOIN c b ON a.blk = b.blk AND a.lang = b.lang "
+        "AND a.doc_id < b.doc_id "
+        "WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(a.words, b.words))) >= 0.8"
+    ),
+}

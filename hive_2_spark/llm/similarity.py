@@ -1,0 +1,176 @@
+"""Similarity search over the `embeddings` table (SURVEY.md §2B op 44).
+
+- ``sim_cosine_topk``: brute-force cosine top-k — the correctness
+  baseline. Query set (3 vectors) is broadcast against the corpus; the
+  dot product runs as a JVM-side ``aggregate`` over zipped arrays (all
+  in whole-stage codegen, no Python). Top-k per query via window.
+- ``sim_cosine_lsh``: the scale path — random-hyperplane (sign-LSH)
+  bucketing: 12 deterministic hyperplanes -> 12-bit bucket; candidates
+  share a bucket, exact cosine re-ranks inside the bucket. At 100 TB the
+  bucket join replaces the full cross product (rows-only: hyperplanes
+  are generated Spark-side).
+- ``sim_pairwise_label``: average intra- vs inter-label cosine on a
+  sampled pair set (oracle-checkable demo of vector math at set scale).
+
+All float math is promoted to double BEFORE any arithmetic, and the
+accumulation order (array order) is identical in Spark and DuckDB, so
+dot products are bit-exact across engines; only values derived from
+them with division are rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hive_2_spark.catalog import load_table
+
+TOP_K = 5
+N_QUERIES = 3  # vec_id 0..2 serve as the query set
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each of the 3 query vectors."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", _as_double(F.col("embedding"))
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"))
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    cos = _dot(F.col("vec"), F.col("q_vec")) / (
+        _norm(F.col("vec")) * _norm(F.col("q_vec"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("cos", F.round(cos, 6))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "cos", "rk")
+    )
+
+
+def sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: bucket join + exact re-rank (rows-only).
+
+    Hyperplanes are pseudo-random but deterministic: plane p component i
+    = sin(p * 1000 + i) — reproducible across runs without RNG state.
+    """
+    n_planes = 12
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", _as_double(F.col("embedding"))
+    )
+    planes = [
+        F.array(*[F.sin(F.lit(float(p * 1000 + i))) for i in range(64)])
+        for p in range(n_planes)
+    ]
+    bucket = None
+    for p, plane in enumerate(planes):
+        bit = F.when(_dot(F.col("vec"), plane) >= 0, 1 << p).otherwise(0)
+        bucket = bit if bucket is None else (bucket + bit)
+    bucketed = e.withColumn("bucket", bucket)
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = bucketed.join(
+        F.broadcast(q), F.col("bucket") == F.col("q_bucket"), "inner"
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    cos = _dot(F.col("vec"), F.col("q_vec")) / (
+        _norm(F.col("vec")) * _norm(F.col("q_vec"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cands.withColumn("cos", F.round(cos, 6))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "cos", "rk", "bucket")
+    )
+
+
+def sim_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean cosine within sampled pairs, split intra- vs inter-label."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", _as_double(F.col("embedding"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec"),
+        F.col("label").alias("a_label"),
+    ).filter(F.col("a_id") % 7 == 0)
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec"),
+        F.col("label").alias("b_label"),
+    ).filter(F.col("b_id") % 7 == 0)
+    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    cos = _dot(F.col("a_vec"), F.col("b_vec")) / (
+        _norm(F.col("a_vec")) * _norm(F.col("b_vec"))
+    )
+    return (
+        pairs.withColumn("same", F.col("a_label") == F.col("b_label"))
+        .groupBy("same")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(cos), 6).alias("mean_cos"),
+        )
+    )
+
+
+QUERIES = {
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_cosine_lsh": sim_cosine_lsh,  # rows-only (Spark-side hyperplane trig)
+    "sim_pairwise_label": sim_pairwise_label,
+}
+
+_DK_VEC = "list_transform({c}, x -> CAST(x AS DOUBLE))"
+_DK_DOT = "list_dot_product({a}, {b})"
+
+
+def _dk_cos(a: str, b: str) -> str:
+    return (
+        f"{_DK_DOT.format(a=a, b=b)} / "
+        f"(SQRT({_DK_DOT.format(a=a, b=a)}) * SQRT({_DK_DOT.format(a=b, b=b)}))"
+    )
+
+
+ORACLES = {
+    "sim_cosine_topk": (
+        "WITH e AS (SELECT vec_id, "
+        f"{_DK_VEC.format(c='embedding')} AS vec FROM embeddings), "
+        "q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 3), "
+        "pairs AS (SELECT e.vec_id, q.q_id, "
+        f"ROUND({_dk_cos('e.vec', 'q.q_vec')}, 6) AS cos "
+        "FROM e CROSS JOIN q WHERE e.vec_id != q.q_id), "
+        "ranked AS (SELECT q_id, vec_id, cos, "
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) "
+        "AS rk FROM pairs) "
+        "SELECT q_id, vec_id, cos, CAST(rk AS BIGINT) AS rk "
+        "FROM ranked WHERE rk <= 5"
+    ),
+    "sim_pairwise_label": (
+        "WITH e AS (SELECT vec_id, label, "
+        f"{_DK_VEC.format(c='embedding')} AS vec FROM embeddings "
+        "WHERE vec_id % 7 = 0) "
+        "SELECT a.label = b.label AS same, COUNT(*) AS n_pairs, "
+        f"ROUND(AVG({_dk_cos('a.vec', 'b.vec')}), 6) AS mean_cos "
+        "FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id "
+        "GROUP BY 1"
+    ),
+}

@@ -1,0 +1,214 @@
+"""Text-analysis operators over `documents` (SURVEY.md §2B op 44).
+
+Language ID (stopword-hit heuristic), quality scoring (length/punct/
+stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting — all as JVM-side column expressions: one
+codegen'd scan, no Python in the row path. At 100 TB each of these is a
+single-pass map with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_spark.catalog import load_table
+
+# stopword marker sets per language for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+    "zh": ("de0", "le0", "he0"),  # placeholder latinized markers
+}
+
+_EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# BPE-ish tokenizer: word pieces = runs of letters, digits, or single
+# non-space symbols (the GPT-2 pre-tokenizer shape, regex-only).
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _count_word(col, word: str):
+    """Occurrences of a whole word — size(split)-1, portable to DuckDB."""
+    return F.size(F.split(F.concat(F.lit(" "), col, F.lit(" ")), f" {word} ")) - 1
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(words).alias("n_words"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        .alias("n_spaces"),
+        F.length(F.regexp_replace("text", r"[^.!?]", "")).alias("n_sentences_approx"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("bpe_tokens"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality: length band + stopword ratio + alpha ratio.
+
+    The exact formula is arbitrary (as in any real pipeline); what matters
+    is that it is deterministic, columnar, and filterable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    stop_hits = None
+    for wd in _EN_STOPWORDS:
+        c = _count_word(F.col("text"), wd)
+        stop_hits = c if stop_hits is None else (stop_hits + c)
+    alpha_ratio = F.length(F.regexp_replace("text", r"[^A-Za-z]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    score = (
+        F.when(F.col("n_chars").between(100, 1000), 0.4).otherwise(0.0)
+        + F.when(stop_hits / F.greatest(n_words, F.lit(1)) > 0.05, 0.3).otherwise(0.0)
+        + F.when(alpha_ratio > 0.6, 0.3).otherwise(0.0)
+    )
+    return d.select(
+        "doc_id",
+        stop_hits.alias("stop_hits"),
+        F.round(score, 1).alias("quality"),
+        (score >= 0.7).alias("keep"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language scoring; argmax across languages.
+
+    The synthetic corpus is English-ish word salad, so scores mostly pick
+    'en' — the *operator* (portable marker counting + argmax) is what is
+    under test; real marker tables drop in unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: sum(
+            (_count_word(F.lower(F.col("text")), w) for w in words),
+            F.lit(0),
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    # argmax via chained CASE (deterministic tie-break by language order)
+    langs = list(scores)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return d.select(
+        "doc_id",
+        "lang",
+        best.alias("lang_pred"),
+        best_score.cast("int").alias("marker_hits"),
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of the normalized text (lowercase,
+    punctuation stripped, whitespace collapsed)."""
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select("doc_id", F.md5(normalized).alias("fp"))
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "token_count": token_count,
+    "quality_score": quality_score,
+    "lang_id": lang_id,
+    "fingerprint": fingerprint,
+}
+
+
+def _dk_count_word(expr: str, word: str) -> str:
+    return f"(len(string_split(' ' || {expr} || ' ', ' {word} ')) - 1)"
+
+
+_DK_STOP_HITS = " + ".join(_dk_count_word("text", w) for w in _EN_STOPWORDS)
+
+_DK_LANG_SCORES = {
+    lang: "(" + " + ".join(_dk_count_word("lower(text)", w) for w in words) + ")"
+    for lang, words in LANG_MARKERS.items()
+}
+
+
+def _dk_argmax_lang() -> str:
+    langs = list(_DK_LANG_SCORES)
+    best = f"'{langs[0]}'"
+    best_score = _DK_LANG_SCORES[langs[0]]
+    for lang in langs[1:]:
+        cond = f"{_DK_LANG_SCORES[lang]} > {best_score}"
+        best = f"CASE WHEN {cond} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN {cond} THEN {_DK_LANG_SCORES[lang]} ELSE {best_score} END"
+    return best, best_score
+
+
+_DK_BEST, _DK_BEST_SCORE = _dk_argmax_lang()
+
+ORACLES = {
+    "text_stats": (
+        "SELECT doc_id, "
+        "CAST(LENGTH(text) AS INT) AS n_chars_actual, "
+        "CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS INT) AS n_words, "
+        "CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS INT) AS n_spaces, "
+        "CAST(LENGTH(regexp_replace(text, '[^.!?]', '', 'g')) AS INT) "
+        "  AS n_sentences_approx "
+        "FROM documents"
+    ),
+    "token_count": (
+        "SELECT doc_id, "
+        "CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS INT) AS ws_tokens, "
+        "CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens "
+        "FROM documents"
+    ),
+    "quality_score": (
+        "SELECT doc_id, "
+        f"CAST({_DK_STOP_HITS} AS INT) AS stop_hits, "
+        "ROUND("
+        "  (CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 0.4 ELSE 0.0 END) + "
+        f" (CASE WHEN CAST({_DK_STOP_HITS} AS DOUBLE) / "
+        "   GREATEST(len(regexp_split_to_array(TRIM(text), '\\s+')), 1) > 0.05 "
+        "   THEN 0.3 ELSE 0.0 END) + "
+        "  (CASE WHEN CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+        "   AS DOUBLE) / GREATEST(LENGTH(text), 1) > 0.6 "
+        "   THEN 0.3 ELSE 0.0 END), 1) AS quality, "
+        "  (CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 0.4 ELSE 0.0 END) + "
+        f" (CASE WHEN CAST({_DK_STOP_HITS} AS DOUBLE) / "
+        "   GREATEST(len(regexp_split_to_array(TRIM(text), '\\s+')), 1) > 0.05 "
+        "   THEN 0.3 ELSE 0.0 END) + "
+        "  (CASE WHEN CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+        "   AS DOUBLE) / GREATEST(LENGTH(text), 1) > 0.6 "
+        "   THEN 0.3 ELSE 0.0 END) >= 0.7 AS keep "
+        "FROM documents"
+    ),
+    "lang_id": (
+        f"SELECT doc_id, lang, {_DK_BEST} AS lang_pred, "
+        f"CAST({_DK_BEST_SCORE} AS INT) AS marker_hits FROM documents"
+    ),
+    "fingerprint": (
+        "SELECT doc_id, md5(TRIM(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp FROM documents"
+    ),
+}

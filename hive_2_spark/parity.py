@@ -50,6 +50,17 @@ def _canon_frame(df: pd.DataFrame) -> list[tuple]:
     return rows
 
 
+def _canon_dtype(dt) -> str:
+    """Canonical dtype label so int32-vs-int64 (etc.) mismatches surface —
+    the driver compares schemas, so width differences are real failures."""
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "timestamp"
+    if s in ("object", "string"):
+        return "object"
+    return s
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == parity)."""
     problems: list[str] = []
@@ -69,6 +80,13 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
         return problems
     if len(spdf) != len(dkdf):
         problems.append(f"rowcount: spark={len(spdf)} duckdb={len(dkdf)}")
+
+    for c in sorted(spdf.columns):
+        a, b = _canon_dtype(spdf[c].dtype), _canon_dtype(dkdf[c].dtype)
+        # all-NULL columns degrade to object/float on either side — only
+        # flag when both sides have concrete, different dtypes
+        if a != b and "object" not in (a, b):
+            problems.append(f"dtype[{c}]: spark={a} duckdb={b}")
 
     a, b = _canon_frame(spdf), _canon_frame(dkdf)
     n_bad = 0

@@ -23,6 +23,11 @@ _MODULES: list[str] = [
     "hive_2_spark.core.setops",
     "hive_2_spark.core.scalarfns",
     "hive_2_spark.core.writes",
+    "hive_2_spark.streaming.windows",
+    "hive_2_spark.llm.text",
+    "hive_2_spark.llm.dedup",
+    "hive_2_spark.llm.similarity",
+    "hive_2_spark.llm.multimodal",
 ]
 
 

@@ -1,0 +1,79 @@
+"""Physical-plan quality gates — the at-scale contract.
+
+Correctness says the operator works at sf0.01; these assertions say the
+PLAN is the one that survives 100x data: filters reach the parquet scan,
+scans prune columns, small dimensions broadcast, aggregations are
+partial+final, and the whole row path stays inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_2_spark.catalog import load_table
+from hive_2_spark.core import joins, relational
+from hive_2_spark.flagship import pricing_summary
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushes_down_to_parquet(spark):
+    df = relational.filter_range(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_totalprice)" in plan or "GreaterThan(o_totalprice" in plan
+
+
+def test_projection_prunes_scan_columns(spark):
+    df = relational.project_columns(spark, SF_DIR)
+    plan = plan_of(df)
+    # ReadSchema must contain only the 3 selected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderkey" in read_schema
+    assert "o_orderdate" not in read_schema
+    assert "o_orderpriority" not in read_schema
+
+
+def test_dimension_join_broadcasts(spark):
+    df = joins.join_lookup_one(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # the big (orders) side must NOT shuffle for this join
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+
+
+def test_semi_join_stays_semi(spark):
+    df = joins.join_semi(spark, SF_DIR)
+    assert "LeftSemi" in plan_of(df)
+
+
+def test_agg_is_partial_then_final(spark):
+    df = pricing_summary(spark, SF_DIR)
+    plan = plan_of(df)
+    # partial (map-side) aggregation before the shuffle, final after
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "Partial" in plan
+
+
+def test_flagship_whole_stage_codegen(spark):
+    df = pricing_summary(spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan only on execution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark WholeStageCodegen stages in the compact form
+    assert "*(1)" in executed and "*(2)" in executed
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    df = relational.topk_limit(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_scan_has_no_shuffle(spark):
+    df = relational.computed_column(spark, SF_DIR)
+    assert "Exchange" not in plan_of(df)
