@@ -28,13 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    q = dict(registry.all_queries())
-    q.update(flagship.QUERIES)
-    return q
+    return dict(registry.all_queries())
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query key (omitted => rows-only)."""
-    o = dict(registry.all_oracles())
-    o.update(flagship.ORACLES)
-    return o
+    return dict(registry.all_oracles())

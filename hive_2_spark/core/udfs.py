@@ -1,0 +1,138 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2B op 43; §2A op 29 on_change).
+
+Demonstrates every Python-extension tier with its cost profile:
+
+- row-at-a-time ``udf`` — the slow path, kept ONLY as the API demo
+  (serde per row; never in a hot path).
+- ``pandas_udf`` scalar — Arrow-vectorized, the correct Python path.
+- ``pandas_udf`` grouped-agg + ``applyInPandas`` grouped-map — custom
+  aggregation/transform per group.
+- registered SQL UDF (spark.udf.register) — callable from the SQL API.
+
+Each demo computes semantics DuckDB can mirror exactly (ASCII case map,
+linear math, group z-scores), so even the UDF surface is oracle-checked
+— the check proves the Python boundary preserves values, not just that
+it runs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_2_spark.catalog import load_table
+
+
+@F.udf(T.StringType())
+def _py_title_case(s: str) -> str:  # row-at-a-time: API demo only
+    return None if s is None else s.title()
+
+
+@F.pandas_udf(T.DoubleType())
+def _charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    return price * (1.0 - disc) * (1.0 + tax)
+
+
+@F.pandas_udf(T.DoubleType())
+def _mean_udaf(v: pd.Series) -> float:
+    return float(v.mean())
+
+
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (title-case on ASCII part names)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", _py_title_case(F.col("p_name")).alias("name_title"))
+
+
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar Pandas UDF (charge formula)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (mean balance per segment)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(_mean_udaf("c_acctbal"), 4).alias("mean_bal")
+    )
+
+
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: z-score of price within each priority."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderpriority": pdf["o_orderpriority"],
+                "z": ((pdf["o_totalprice"] - mu) / sd).round(4),
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").applyInPandas(
+        zscore, schema="o_orderkey long, o_orderpriority string, z double"
+    )
+
+
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF registered into the SQL namespace and invoked from SQL."""
+    spark.udf.register(
+        "bal_band",
+        lambda b: "high" if b is not None and b >= 5000.0 else "low",
+        T.StringType(),
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_udf_customer")
+    return spark.sql(
+        "SELECT c_custkey, bal_band(c_acctbal) AS band FROM _udf_customer"
+    )
+
+
+QUERIES = {
+    "udf_scalar": udf_scalar,
+    "udf_pandas_scalar": udf_pandas_scalar,
+    "udf_grouped_agg": udf_grouped_agg,
+    "udf_grouped_map": udf_grouped_map,
+    "udf_sql_registered": udf_sql_registered,
+}
+
+ORACLES = {
+    # Python str.title() on ASCII == initcap-with-nonalpha-boundaries; the
+    # part names are space-separated lowercase ASCII words, where title()
+    # and INITCAP agree exactly.
+    "udf_scalar": (
+        "SELECT p_partkey, "
+        "list_aggregate(list_transform(string_split(p_name, ' '), "
+        "  x -> UPPER(x[1]) || LOWER(x[2:])), 'string_agg', ' ') AS name_title "
+        "FROM part"
+    ),
+    "udf_pandas_scalar": (
+        "SELECT l_orderkey, l_linenumber, "
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge "
+        "FROM lineitem"
+    ),
+    "udf_grouped_agg": (
+        "SELECT c_mktsegment, ROUND(AVG(c_acctbal), 4) AS mean_bal "
+        "FROM customer GROUP BY c_mktsegment"
+    ),
+    "udf_grouped_map": (
+        "SELECT o_orderkey, o_orderpriority, "
+        "ROUND((o_totalprice - AVG(o_totalprice) OVER w) / "
+        "      (STDDEV_SAMP(o_totalprice) OVER w), 4) AS z "
+        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority)"
+    ),
+    "udf_sql_registered": (
+        "SELECT c_custkey, "
+        "CASE WHEN c_acctbal >= 5000.0 THEN 'high' ELSE 'low' END AS band "
+        "FROM customer"
+    ),
+}

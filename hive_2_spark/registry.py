@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES: list[str] = [
+    "hive_2_spark.flagship",
     "hive_2_spark.core.relational",
     "hive_2_spark.core.joins",
     "hive_2_spark.core.aggregates",
@@ -23,6 +24,12 @@ _MODULES: list[str] = [
     "hive_2_spark.core.setops",
     "hive_2_spark.core.scalarfns",
     "hive_2_spark.core.writes",
+    "hive_2_spark.core.asof",
+    "hive_2_spark.core.reshape",
+    "hive_2_spark.core.skew",
+    "hive_2_spark.core.analytics",
+    "hive_2_spark.core.udfs",
+    "hive_2_spark.core.io",
     "hive_2_spark.streaming.windows",
     "hive_2_spark.llm.text",
     "hive_2_spark.llm.dedup",

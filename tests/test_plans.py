@@ -77,3 +77,22 @@ def test_topk_is_take_ordered_not_global_sort(spark):
 def test_scan_has_no_shuffle(spark):
     df = relational.computed_column(spark, SF_DIR)
     assert "Exchange" not in plan_of(df)
+
+
+def test_partition_pruning(spark):
+    from hive_2_spark.core.io import partitioned_write_read
+
+    df = partitioned_write_read(spark, SF_DIR)
+    plan = plan_of(df)
+    # the status filter must become a partition filter, not a data filter
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_salted_join_spreads_partitions(spark):
+    from hive_2_spark.core.skew import join_salted
+
+    df = join_salted(spark, SF_DIR)
+    plan = plan_of(df)
+    # join key must include the salt so hot keys spread across tasks
+    assert "__salt" in plan
