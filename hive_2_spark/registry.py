@@ -23,6 +23,7 @@ _MODULES: list[str] = [
     "hive_2_spark.core.windows",
     "hive_2_spark.core.setops",
     "hive_2_spark.core.scalarfns",
+    "hive_2_spark.core.scalarfns2",
     "hive_2_spark.core.writes",
     "hive_2_spark.core.asof",
     "hive_2_spark.core.reshape",
@@ -31,6 +32,7 @@ _MODULES: list[str] = [
     "hive_2_spark.core.udfs",
     "hive_2_spark.core.io",
     "hive_2_spark.streaming.windows",
+    "hive_2_spark.streaming.stateful",
     "hive_2_spark.llm.text",
     "hive_2_spark.llm.dedup",
     "hive_2_spark.llm.similarity",

@@ -40,5 +40,9 @@ def get_spark(app_name: str = "hive_2_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testdata parquet is small single-row-group files; smaller split
+        # targets raise local parallelism on multi-rowgroup inputs and are
+        # harmless at cluster scale (AQE re-coalesces)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .getOrCreate()
     )

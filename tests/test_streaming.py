@@ -43,6 +43,28 @@ def test_stream_session_native_window(spark):
     assert n == batch_sessions
 
 
+def test_apply_in_pandas_with_state(spark):
+    """Custom stateful operator: streaming state result == batch result."""
+    from hive_2_spark.streaming import stateful
+
+    n = _run_to_memory(
+        spark, stateful.running_spend_stream(spark, SF_DIR), "t_state", "update"
+    )
+    assert n > 0
+    stream_rows = {
+        r["user_id"]: (r["total_spend"], r["n_events"])
+        for r in spark.sql(
+            # update mode may emit a row per batch per key; last wins
+            "SELECT user_id, total_spend, n_events FROM t_state"
+        ).collect()
+    }
+    batch_rows = {
+        r["user_id"]: (r["total_spend"], r["n_events"])
+        for r in stateful.running_spend_batch(spark, SF_DIR).collect()
+    }
+    assert stream_rows == batch_rows
+
+
 def test_stream_dedup_stateful(spark):
     n = _run_to_memory(
         spark, sw.stream_dedup_builder(spark, SF_DIR), "t_dedup", "append"
