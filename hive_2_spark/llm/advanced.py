@@ -1,0 +1,197 @@
+"""Advanced pipeline operators: embedding near-dup, IVF ANN, dedup
+clusters, stratified sampling (SURVEY.md §2B op 44 extensions).
+
+- ``dedup_embedding``: embedding-cosine near-duplicate pairs (cosine >=
+  0.95) blocked by label — the vector-space analogue of n-gram Jaccard.
+  At 100 TB blocking comes from an ANN index (IVF/LSH below); the
+  per-pair math is identical.
+- ``sim_ivf_topk``: IVF-style ANN — deterministic centroid set (every
+  50th vector), invert the corpus by nearest centroid, probe the 2
+  nearest lists per query, exact re-rank inside. Rows-only (argmin over
+  centroids is deterministic but impractically verbose in portable SQL);
+  recall vs brute force is asserted in tests/test_ann_recall.py.
+- ``dedup_clusters``: connected components over near-dup pairs by
+  iterative min-label propagation (the standard distributed CC loop);
+  oracle = DuckDB recursive CTE computing the same components.
+- ``sample_stratified``: deterministic 1-in-k per-group systematic sample
+  via row_number — reproducible across engines, unlike RNG TABLESAMPLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hive_2_spark.catalog import load_table
+from hive_2_spark.llm.similarity import _as_double, _dot, _norm
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vector pairs: cosine >= 0.95 within label blocks."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", _as_double(F.col("embedding"))
+    )
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec")
+    )
+    b = e.select(
+        F.col("label"), F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec")
+    )
+    pairs = a.join(b, on="label", how="inner").filter(F.col("a_id") < F.col("b_id"))
+    cos = _dot(F.col("a_vec"), F.col("b_vec")) / (
+        _norm(F.col("a_vec")) * _norm(F.col("b_vec"))
+    )
+    return (
+        pairs.withColumn("cos", F.round(cos, 6))
+        .filter(F.col("cos") >= 0.95)
+        .select("label", "a_id", "b_id", "cos")
+    )
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: centroid inversion + 2-probe search (rows-only)."""
+    n_probe = 2
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", _as_double(F.col("embedding"))
+    )
+    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    )
+
+    def nearest(df: DataFrame, vec_col: str, id_col: str, keep: int) -> DataFrame:
+        """ids of the `keep` nearest centroids per row of df."""
+        j = df.crossJoin(F.broadcast(cents))
+        d = _dot(F.col(vec_col), F.col("c_vec")) / (
+            _norm(F.col(vec_col)) * _norm(F.col("c_vec"))
+        )
+        w = W.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("c_id").asc())
+        return (
+            j.withColumn("c_cos", d)
+            .withColumn("c_rk", F.row_number().over(w))
+            .filter(F.col("c_rk") <= keep)
+        )
+
+    # invert: every corpus vector files under its single nearest centroid
+    inverted = nearest(e, "vec", "vec_id", 1).select("vec_id", "vec", "c_id")
+    # probe: each query searches its n_probe nearest centroid lists
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    probes = nearest(q, "q_vec", "q_id", n_probe).select("q_id", "q_vec", "c_id")
+    cands = inverted.join(probes, on="c_id", how="inner").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = _dot(F.col("vec"), F.col("q_vec")) / (
+        _norm(F.col("vec")) * _norm(F.col("q_vec"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cands.withColumn("cos", F.round(cos, 6))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "vec_id", "cos", "rk")
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs: min-label propagation.
+
+    Iterates label = min(label of neighbors ∪ self) until fixpoint —
+    the standard shuffle-bounded CC loop (converges in O(diameter)
+    rounds; duplicate clusters have tiny diameters).
+    """
+    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    )
+    nodes = edges.select(F.col("a_id").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(6):  # diameter bound for near-dup clusters
+        neigh = (
+            edges.join(labels, edges.b_id == labels.node, "inner")
+            .groupBy("a_id")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels.node == neigh.a_id, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-10 systematic sample per language stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % 10 == 0)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+QUERIES = {
+    "dedup_embedding": dedup_embedding,
+    "sim_ivf_topk": sim_ivf_topk,  # rows-only: recall asserted vs brute force
+    "dedup_clusters": dedup_clusters,
+    "sample_stratified": sample_stratified,
+}
+
+_DK_VEC = "list_transform({c}, x -> CAST(x AS DOUBLE))"
+
+
+def _dk_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(SQRT(list_dot_product({a}, {a})) * SQRT(list_dot_product({b}, {b})))"
+    )
+
+
+_DK_PAIRS = (
+    "WITH RECURSIVE c AS (SELECT doc_id, lang, (doc_id % 10000000) % 10 AS blk, "
+    "list_distinct(string_split(TRIM(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS words "
+    "FROM (SELECT doc_id, text, lang FROM documents "
+    "      UNION ALL SELECT doc_id + 20000000, text, lang FROM documents "
+    "      WHERE doc_id % 10 = 0 "
+    "      UNION ALL SELECT doc_id + 10000000, text || ' suffix', lang "
+    "      FROM documents WHERE doc_id % 10 = 0)), "
+    "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id "
+    "FROM c a JOIN c b ON a.blk = b.blk AND a.lang = b.lang "
+    "AND a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(a.words, b.words))) >= 0.8)"
+)
+
+ORACLES = {
+    "dedup_embedding": (
+        "WITH e AS (SELECT vec_id, label, "
+        f"{_DK_VEC.format(c='embedding')} AS vec FROM embeddings) "
+        "SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id, "
+        f"ROUND({_dk_cos('a.vec', 'b.vec')}, 6) AS cos "
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
+        f"WHERE ROUND({_dk_cos('a.vec', 'b.vec')}, 6) >= 0.95"
+    ),
+    "dedup_clusters": (
+        f"{_DK_PAIRS}, "
+        "edges AS (SELECT a_id, b_id FROM p UNION SELECT b_id, a_id FROM p), "
+        "nodes AS (SELECT DISTINCT a_id AS node FROM edges), "
+        "reach AS (SELECT node, node AS r FROM nodes "
+        "          UNION SELECT e.a_id, r.r FROM edges e JOIN reach r "
+        "          ON e.b_id = r.node) "
+        "SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node"
+    ),
+    "sample_stratified": (
+        "SELECT doc_id, lang, n_chars FROM ("
+        "SELECT doc_id, lang, n_chars, "
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn "
+        "FROM documents) t WHERE (rn - 1) % 10 = 0"
+    ),
+}

@@ -31,12 +31,14 @@ _MODULES: list[str] = [
     "hive_2_spark.core.analytics",
     "hive_2_spark.core.udfs",
     "hive_2_spark.core.io",
+    "hive_2_spark.core.timeseries",
     "hive_2_spark.streaming.windows",
     "hive_2_spark.streaming.stateful",
     "hive_2_spark.llm.text",
     "hive_2_spark.llm.dedup",
     "hive_2_spark.llm.similarity",
     "hive_2_spark.llm.multimodal",
+    "hive_2_spark.llm.advanced",
 ]
 
 

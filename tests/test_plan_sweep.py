@@ -1,0 +1,49 @@
+"""Anti-pattern sweep over EVERY registered query plan: no accidental
+cartesian products, no row-at-a-time Python in non-UDF paths.
+
+Cheap static audit — each query is only planned (explain), never run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_2_spark import registry
+from tests.conftest import SF_DIR
+
+# queries whose semantics legitimately require the flagged construct
+CARTESIAN_OK = {
+    "sim_cosine_topk",      # bounded 3-query broadcast cross join
+    "sim_cosine_lsh",
+    "sim_ivf_topk",         # centroid cross join (10 centroids)
+    "sim_pairwise_label",   # sampled pair set
+    "insert_rows",          # 2-row literal cross join with max-key
+    "ts_resample",          # spine x event_type (metadata-sized)
+}
+PYTHON_OK = {
+    "udf_scalar",
+    "udf_pandas_scalar",
+    "udf_grouped_agg",
+    "udf_grouped_map",
+    "udf_sql_registered",
+    "media_features",
+    "dedup_minhash_lsh",    # pyspark.ml MinHash UDF internals
+}
+
+_QUERIES = registry.all_queries()
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize("key", sorted(_QUERIES))
+def test_no_plan_antipatterns(spark, key):
+    plan = _plan(_QUERIES[key](spark, SF_DIR))
+    if key not in CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{key}: unexpected cartesian"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{key}: nested loop join"
+    if key not in PYTHON_OK:
+        assert "BatchEvalPython" not in plan, f"{key}: row-at-a-time Python"
