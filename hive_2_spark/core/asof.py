@@ -82,6 +82,43 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+) -> DataFrame:
+    """Alternative implementation: per-key ``pd.merge_asof`` via
+    applyInPandas (preference path (b) — used when the carried state per
+    key is too wide for the window form). Cogroup keeps each key's rows
+    in one Arrow batch; the shuffle is identical to the window form's."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{c} {t}" for c, t in left.dtypes
+    ) + f", asof_{value_col} long"
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(left_ts)
+        rpdf = (
+            rpdf[[right_ts, value_col]]
+            .sort_values(right_ts)
+            .rename(columns={value_col: f"asof_{value_col}"})
+        )
+        if rpdf.empty:
+            lpdf[f"asof_{value_col}"] = pd.NA
+            return lpdf
+        return pd.merge_asof(
+            lpdf, rpdf, left_on=left_ts, right_on=right_ts, direction="backward"
+        )
+
+    return left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas(
+        lambda l, r: merge(l, r), schema=out_schema
+    )
+
+
 QUERIES = {"join_asof": join_asof}
 
 ORACLES = {

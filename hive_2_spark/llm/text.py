@@ -132,12 +132,44 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(normalized).alias("fp"))
 
 
+def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash (Rabin-Karp shape) over normalized words:
+    h = (h * 31 + xxhash64(word)) mod 1e9+7, folded left-to-right with
+    ``aggregate`` — all JVM-side. Each step stays < 2^63 (pmod keeps the
+    accumulator < 1e9+7), so it is safe under ANSI overflow checking.
+
+    Rows-only: xxhash64 seeds are Spark-internal. Determinism is pinned
+    by tests/test_text_ops.py instead.
+    """
+    M = 1_000_000_007
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+                r"\s+",
+                " ",
+            )
+        ),
+        " ",
+    )
+    rolling = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(
+            acc * 31 + F.pmod(F.xxhash64(w), F.lit(M)), F.lit(M)
+        ),
+    )
+    return d.select("doc_id", rolling.alias("rfp"))
+
+
 QUERIES = {
     "text_stats": text_stats,
     "token_count": token_count,
     "quality_score": quality_score,
     "lang_id": lang_id,
     "fingerprint": fingerprint,
+    "fingerprint_rolling": fingerprint_rolling,  # rows-only (xxhash64 seed)
 }
 
 

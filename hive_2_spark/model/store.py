@@ -56,11 +56,43 @@ class ParquetStore:
         df = self.spark.createDataFrame(rows or [], schema=schema)
         df.write.mode("overwrite").parquet(self.path)
 
-    def insert(self, rows: list[dict[str, Any]]) -> list[int | None]:
+    def check_unique(self, rows: list[dict[str, Any]]) -> None:
+        """Uniqueness probe before insert (classes/hive/meta.php:97-117:
+        count rows where col = value, error if > 0) — set-level it is a
+        semi-join of the incoming keys against the table."""
+        auto = self.meta.auto_field
+        probes = [
+            n for n in self.meta.unique_fields() if n != auto
+        ]
+        if not probes:
+            return
+        current = self.df()
+        for name in probes:
+            values = [
+                self.meta.fields[name].value(r[name])
+                for r in rows
+                if name in r and r[name] is not None
+            ]
+            if not values:
+                continue
+            hit = (
+                current.filter(F.col(name).isin(values)).select(name).limit(1).collect()
+            )
+            if hit:
+                raise ValueError(
+                    f"unique violation on {self.meta.table}.{name}: "
+                    f"{hit[0][0]!r} already exists"
+                )
+
+    def insert(
+        self, rows: list[dict[str, Any]], *, enforce_unique: bool = False
+    ) -> list[int | None]:
         """Append rows; assign Auto ids; return assigned ids
         (model.php:667-706; Auto skip in builder :1109)."""
         if not rows:
             return []
+        if enforce_unique:
+            self.check_unique(rows)
         auto = self.meta.auto_field
         schema = self.meta.struct_type()
         normalized = []

@@ -126,6 +126,27 @@ def test_clean_update_short_circuits(stores):
     assert stores["post"].update(F.col("author_id") == 1, {}) == 0
 
 
+def test_unique_probe_blocks_duplicate(spark, tmp_path):
+    from hive_2_spark.model import EmailField
+
+    m = ModelMeta(
+        table="uq",
+        db=str(tmp_path / "uq.parquet"),
+        fields={
+            "id": AutoField(),
+            "email": EmailField(unique=True, null=True),
+        },
+    )
+    register_model("uq", m)
+    st = ParquetStore(spark, m, m.db)
+    st.init_table()
+    st.insert([{"email": "a@x.io"}], enforce_unique=True)
+    with pytest.raises(ValueError, match="unique violation"):
+        st.insert([{"email": "a@x.io"}], enforce_unique=True)
+    st.insert([{"email": "b@x.io"}], enforce_unique=True)  # distinct ok
+    assert st.df().count() == 2
+
+
 # ------------------------------------------------------------- relations
 def test_belongs_to(spark, stores):
     post = Model("post", spark, {"id": 1})

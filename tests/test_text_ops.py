@@ -1,0 +1,45 @@
+"""Text-operator semantics pinned beyond the oracle: rolling-fingerprint
+determinism and collision behavior, dedup family ground truth on the
+synthesized duplicate corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_2_spark.llm.dedup import corpus_with_dups, dedup_exact, dedup_ngram_jaccard
+from hive_2_spark.llm.text import fingerprint_rolling
+from tests.conftest import SF_DIR
+
+
+def test_rolling_fingerprint_deterministic_and_discriminative(spark):
+    a = {r["doc_id"]: r["rfp"] for r in fingerprint_rolling(spark, SF_DIR).collect()}
+    b = {r["doc_id"]: r["rfp"] for r in fingerprint_rolling(spark, SF_DIR).collect()}
+    assert a == b  # stable across runs
+    assert all(0 <= v < 1_000_000_007 for v in a.values())
+    # 500 distinct docs should yield (near-)distinct fingerprints
+    assert len(set(a.values())) > 490
+
+
+def test_dedup_exact_finds_all_synthesized_twins(spark):
+    groups = dedup_exact(spark, SF_DIR).collect()
+    # seeds (doc_id % 10 == 0) have an exact twin at +20M: 50 pairs at
+    # sf0.001; near twins (+' suffix') hash differently
+    twins = [g for g in groups if g["n_copies"] == 2]
+    singles = [g for g in groups if g["n_copies"] == 1]
+    assert len(twins) == 50
+    assert all(g["keep_id"] < 1_000_000 for g in twins)  # original kept
+    assert len(singles) == 500 - 50 + 50  # uniques + near-twin variants
+
+
+def test_ngram_jaccard_catches_near_twins(spark):
+    pairs = dedup_ngram_jaccard(spark, SF_DIR).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    # every seed must pair with its exact twin (jac == 1.0)
+    for seed in range(0, 500, 10):
+        assert (seed, seed + 20_000_000) in got
+    # and with its near twin (one-word suffix -> jac just under 1);
+    # restrict to original seeds — (near, exact) twins also differ by 10M
+    near_hits = sum(
+        1 for (a, b) in got if a < 1_000_000 and b == a + 10_000_000
+    )
+    assert near_hits == 50
