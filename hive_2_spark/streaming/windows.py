@@ -114,10 +114,14 @@ def _read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(table_path(sf_dir, "events"))
-    src_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        table_path(sf_dir, "events"), os.path.join(src_dir, "events.parquet")
-    )
+    # deterministic dir per sf so checkpointed queries can resume against
+    # the same source path across restarts
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src_dir = os.path.join(tempfile.gettempdir(), f"hive2spark_events_{tag}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
     stream = (
         spark.readStream.schema(static.schema).format("parquet").load(src_dir)
     )

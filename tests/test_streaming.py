@@ -72,3 +72,30 @@ def test_stream_dedup_stateful(spark):
     # event_id is unique in the fixture -> dedup keeps everything; the
     # smoke is that the stateful operator runs with a watermark at all
     assert n == 1000
+
+
+def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """Exactly-once resume: restarting a checkpointed query over an
+    unchanged source must not re-emit already-committed batches."""
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(qname: str) -> int:
+        q = (
+            sw.stream_tumbling_builder(spark, SF_DIR)
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = q.lastProgress
+        finally:
+            q.stop()
+        return progress["numInputRows"] if progress else 0
+
+    first = run_once("t_ck1")
+    second = run_once("t_ck2")
+    assert first == 1000  # the full fixture processed once
+    assert second == 0  # resume from checkpoint: nothing new to process
