@@ -78,6 +78,48 @@ GROUP BY o_orderpriority
 """
 
 
+_Q7 = """
+SELECT supp_nation, cust_nation, yr,
+       ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(YEAR(l_shipdate) AS INT) AS yr,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+    AND cn.n_name IN ('NATION_1', 'NATION_2')
+    AND sn.n_name <> cn.n_name
+) shipping
+GROUP BY supp_nation, cust_nation, yr
+"""
+
+_Q18 = """
+SELECT c_custkey, c_name, o_orderkey,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+GROUP BY c_custkey, c_name, o_orderkey
+"""
+
+
+def sql_q7_binat_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q7)
+
+
+def sql_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q18)
+
+
 def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q3)
 
@@ -97,13 +139,17 @@ def sql_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sql_q3_shipping_priority": sql_q3_shipping_priority,
     "sql_q5_nation_volume": sql_q5_nation_volume,
+    "sql_q7_binat_volume": sql_q7_binat_volume,
     "sql_q10_returned_items": sql_q10_returned_items,
     "sql_q12_priority_lines": sql_q12_priority_lines,
+    "sql_q18_large_orders": sql_q18_large_orders,
 }
 
 ORACLES = {
     "sql_q3_shipping_priority": _Q3,
     "sql_q5_nation_volume": _Q5,
+    "sql_q7_binat_volume": _Q7,
     "sql_q10_returned_items": _Q10,
     "sql_q12_priority_lines": _Q12,
+    "sql_q18_large_orders": _Q18,
 }

@@ -290,6 +290,41 @@ class Model:
         """loaded ? update : create (model.php:873-885)."""
         return self.update() if self.loaded() else self.create()
 
+    # ----------------------------------------------------------- validation
+    def validate(self, context: str | None = None) -> dict[str, list[str]]:
+        """Evaluate meta rules against this instance's current values
+        (model.php:940-1026; context scoping meta.php:44-61).
+
+        Rules live in ``meta.rules`` as ``{field: [(check, message,
+        contexts?), ...]}`` where ``check`` is a plain Python predicate
+        over the coerced value. Returns {field: [messages]} — empty dict
+        means valid. Set-level (whole-DataFrame) validation uses
+        hive_2_spark.model.validate.Validator instead.
+        """
+        errors: dict[str, list[str]] = {}
+        for field_name, rules in self._meta.rules.items():
+            value = getattr(self, field_name)
+            for rule in rules:
+                check, message = rule[0], rule[1]
+                contexts = rule[2] if len(rule) > 2 else ()
+                if contexts and context not in contexts:
+                    continue
+                ok = False
+                try:
+                    ok = bool(check(value))
+                except Exception:
+                    ok = False
+                if not ok:
+                    errors.setdefault(field_name, []).append(message)
+        return errors
+
+    def check(self, context: str | None = None) -> "Model":
+        """validate-or-raise, the save-gate form."""
+        errors = self.validate(context)
+        if errors:
+            raise ValueError(f"validation failed for {self._name}: {errors}")
+        return self
+
     # ---------------------------------------------------------- aggregates
     def total(self) -> int:
         """COUNT(*) over the conditioned subquery (model.php:896-921)."""
