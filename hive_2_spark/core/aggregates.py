@@ -103,8 +103,20 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg) and sorted set
+    collection per group — order pinned by sort_array so the result is
+    deterministic across engines."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("names"),
+        F.size(F.array_distinct(F.collect_list("n_name"))).alias("n_distinct"),
+    )
+
+
 QUERIES = {
     "agg_groupby": agg_groupby,
+    "agg_listagg": agg_listagg,
     "agg_distinct": agg_distinct,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
@@ -115,6 +127,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_listagg": (
+        "SELECT n_regionkey, "
+        "string_agg(n_name, ',' ORDER BY n_name) AS names, "
+        "CAST(COUNT(DISTINCT n_name) AS INT) AS n_distinct "
+        "FROM nation GROUP BY n_regionkey"
+    ),
     "agg_groupby": (
         "SELECT o_orderpriority, COUNT(*) AS n, "
         "ROUND(SUM(o_totalprice), 2) AS sum_price, "
