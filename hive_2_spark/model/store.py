@@ -35,15 +35,44 @@ from hive_2_spark.model.meta import ModelMeta
 
 
 class ParquetStore:
-    def __init__(self, spark: SparkSession, meta: ModelMeta, path: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        meta: ModelMeta,
+        path: str,
+        partition_by: str | None = None,
+    ) -> None:
+        """``partition_by``: hive-style partition column. When set,
+        update/delete rewrite ONLY the partitions containing victims —
+        the 100 TB behavior (a mutation touching one day of a
+        date-partitioned fact table rewrites one directory, not the
+        table). Falls back to full rewrite when the partition column
+        itself is updated (rows may migrate between partitions)."""
         self.spark = spark
         self.meta = meta.finish()
         self.path = path
+        self.partition_by = partition_by
+        if partition_by is not None and partition_by not in self.meta.fields:
+            raise ValueError(f"partition column {partition_by!r} not a field")
 
     # ---------------------------------------------------------------- read
+    def _read_schema(self):
+        import pyspark.sql.types as T
+
+        return T.StructType(
+            [
+                T.StructField(phys, self.meta.fields[logical].spark_type, True)
+                for phys, logical in self.meta.select_columns()
+            ]
+        )
+
     def df(self) -> DataFrame:
-        """Declared-field projection with logical names (never ``*``)."""
-        raw = self.spark.read.parquet(self.path)
+        """Declared-field projection with logical names (never ``*``).
+
+        Explicit schema: robust to empty (partition-less) tables and
+        skips footer-based inference.
+        """
+        raw = self.spark.read.schema(self._read_schema()).parquet(self.path)
         cols = [
             F.col(phys).alias(logical)
             for phys, logical in self.meta.select_columns()
@@ -51,10 +80,16 @@ class ParquetStore:
         return raw.select(*cols)
 
     # --------------------------------------------------------------- write
+    def _write(self, df: DataFrame, path: str, mode: str) -> None:
+        w = df.write.mode(mode)
+        if self.partition_by:
+            w = w.partitionBy(self.partition_by)
+        w.parquet(path)
+
     def init_table(self, rows: list[dict[str, Any]] | None = None) -> None:
         schema = self.meta.struct_type()
         df = self.spark.createDataFrame(rows or [], schema=schema)
-        df.write.mode("overwrite").parquet(self.path)
+        self._write(df, self.path, "overwrite")
 
     def check_unique(self, rows: list[dict[str, Any]]) -> None:
         """Uniqueness probe before insert (classes/hive/meta.php:97-117:
@@ -114,7 +149,7 @@ class ParquetStore:
                 rec[auto] = base + i + 1
                 ids[i] = rec[auto]
         new_df = self.spark.createDataFrame(normalized, schema=schema)
-        new_df.write.mode("append").parquet(self.path)
+        self._write(new_df, self.path, "append")
         return ids
 
     def update(
@@ -157,7 +192,13 @@ class ParquetStore:
                 col_name, F.when(is_victim, lit).otherwise(F.col(col_name))
             )
         updated = updated.select(*self.meta.fields.keys())
-        self._atomic_rewrite(updated)
+        partition_values = None
+        if self.partition_by and self.partition_by not in changes:
+            partition_values = [
+                r[0]
+                for r in victims.select(self.partition_by).distinct().collect()
+            ]
+        self._atomic_rewrite(updated, partition_values)
         return n
 
     def delete(self, condition: Column, limit: int | None = None) -> int:
@@ -172,7 +213,13 @@ class ParquetStore:
         if n == 0:
             return 0
         survivors = current.join(victims.select(key), on=key, how="left_anti")
-        self._atomic_rewrite(survivors)
+        partition_values = None
+        if self.partition_by:
+            partition_values = [
+                r[0]
+                for r in victims.select(self.partition_by).distinct().collect()
+            ]
+        self._atomic_rewrite(survivors, partition_values)
         return n
 
     def upsert(self, rows: list[dict[str, Any]], key: str | None = None) -> int:
@@ -208,11 +255,35 @@ class ParquetStore:
         return len(rows)
 
     # ------------------------------------------------------------ internals
-    def _atomic_rewrite(self, df: DataFrame) -> None:
+    def _atomic_rewrite(
+        self, df: DataFrame, partition_values: list[Any] | None = None
+    ) -> None:
+        """Swap in the new table state.
+
+        With ``partition_values`` (and a partitioned store): only those
+        partitions are recomputed and swapped — every other partition's
+        files are left physically untouched. Otherwise: full-table swap.
+        """
         token = uuid.uuid4().hex[:8]
         swap = f"{self.path}.swap-{token}"
+        if self.partition_by and partition_values is not None:
+            affected = df.filter(F.col(self.partition_by).isin(partition_values))
+            self._write(affected, swap, "overwrite")
+            for v in partition_values:
+                part = f"{self.partition_by}={v}"
+                src = os.path.join(swap, part)
+                dst = os.path.join(self.path, part)
+                bak = f"{dst}.bak-{token}"
+                if os.path.exists(dst):
+                    os.rename(dst, bak)
+                if os.path.exists(src):
+                    os.rename(src, dst)
+                if os.path.exists(bak):
+                    shutil.rmtree(bak)
+            shutil.rmtree(swap, ignore_errors=True)
+            return
         bak = f"{self.path}.bak-{token}"
-        df.write.mode("overwrite").parquet(swap)
+        self._write(df, swap, "overwrite")
         os.rename(self.path, bak)
         os.rename(swap, self.path)
         shutil.rmtree(bak)
