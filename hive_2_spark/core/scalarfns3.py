@@ -1,0 +1,73 @@
+"""Scalar surface, third tranche: map-typed columns and ANSI-safe
+``try_`` variants (SURVEY.md §2B op 40).
+
+- ``fn_map``: build a map column per row, access by key, cardinality,
+  key-membership — scalar outputs only (map cells don't hash portably
+  across engines' pandas renderings).
+- ``fn_try``: Spark 4 runs under ANSI mode where x/0 and bad casts THROW;
+  ``try_divide`` / ``try_cast`` give the NULL-on-failure semantics.
+  DuckDB's native division already NULLs on /0, so the oracle is plain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_spark.catalog import load_table
+
+
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_val"),
+        F.size(m).alias("n_keys"),
+        F.array_contains(F.map_keys(m), "type").alias("has_type_key"),
+        F.element_at(F.map_values(m), 1).alias("first_val"),
+    )
+
+
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "price_per_disc"  # NULL where discount == 0
+        ),
+        F.col("l_returnflag").try_cast("long").alias("flag_as_long"),
+        F.concat(F.lit("20"), F.col("l_linenumber").cast("string"))
+        .try_cast("long")
+        .alias("derived_long"),
+    )
+
+
+QUERIES = {
+    "fn_map": fn_map,
+    "fn_try": fn_try,
+}
+
+ORACLES = {
+    "fn_map": (
+        "SELECT p_partkey, "
+        "map(['brand','type'], [p_brand, p_type])['brand'][1] AS brand_val, "
+        "CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS INT) "
+        "  AS n_keys, "
+        "list_contains(map_keys(map(['brand','type'], [p_brand, p_type])), "
+        "  'type') AS has_type_key, "
+        "map_values(map(['brand','type'], [p_brand, p_type]))[1] AS first_val "
+        "FROM part"
+    ),
+    "fn_try": (
+        "SELECT l_orderkey, l_linenumber, "
+        "l_extendedprice / NULLIF(l_discount, 0.0) AS price_per_disc, "
+        "TRY_CAST(l_returnflag AS BIGINT) AS flag_as_long, "
+        "TRY_CAST('20' || CAST(l_linenumber AS VARCHAR) AS BIGINT) "
+        "  AS derived_long "
+        "FROM lineitem"
+    ),
+}

@@ -24,6 +24,7 @@ _MODULES: list[str] = [
     "hive_2_spark.core.setops",
     "hive_2_spark.core.scalarfns",
     "hive_2_spark.core.scalarfns2",
+    "hive_2_spark.core.scalarfns3",
     "hive_2_spark.core.writes",
     "hive_2_spark.core.asof",
     "hive_2_spark.core.reshape",
