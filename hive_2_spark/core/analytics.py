@@ -112,6 +112,24 @@ GROUP BY c_custkey, c_name, o_orderkey
 """
 
 
+_FILTERED_AGG = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_large,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       BOOL_OR(o_totalprice > 400000.0)  AS any_huge,
+       BOOL_AND(o_totalprice > 1000.0)   AS all_above_1k,
+       ROUND(AVG(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4)
+         AS avg_urgent_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause conditional aggregation + BOOL_OR/BOOL_AND."""
+    return _sql(spark, sf_dir, _FILTERED_AGG)
+
+
 def sql_q7_binat_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q7)
 
@@ -137,6 +155,7 @@ def sql_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "agg_filtered": agg_filtered,
     "sql_q3_shipping_priority": sql_q3_shipping_priority,
     "sql_q5_nation_volume": sql_q5_nation_volume,
     "sql_q7_binat_volume": sql_q7_binat_volume,
@@ -146,6 +165,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_filtered": _FILTERED_AGG,
     "sql_q3_shipping_priority": _Q3,
     "sql_q5_nation_volume": _Q5,
     "sql_q7_binat_volume": _Q7,

@@ -136,7 +136,27 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out. Derived NULLable keys on
+    both sides (priority URGENT -> NULL) exercise the semantics."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("prio_key"),
+    )
+    pri = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("prio_key"))
+        .distinct()
+        .withColumn("prio_rank", F.length(F.coalesce(F.col("prio_key"), F.lit(""))))
+    )
+    return o.join(
+        F.broadcast(pri), o.prio_key.eqNullSafe(pri.prio_key), "inner"
+    ).select("o_orderkey", o.prio_key.alias("prio_key"), "prio_rank")
+
+
 QUERIES = {
+    "join_null_safe": join_null_safe,
     "join_lookup_one": join_lookup_one,
     "join_has_many": join_has_many,
     "join_many_to_many": join_many_to_many,
@@ -149,6 +169,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_null_safe": (
+        "WITH o AS (SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') "
+        "  AS prio_key FROM orders), "
+        "pri AS (SELECT prio_key, CAST(LENGTH(COALESCE(prio_key, '')) AS INT) "
+        "  AS prio_rank FROM (SELECT DISTINCT NULLIF(o_orderpriority, "
+        "  '1-URGENT') AS prio_key FROM orders)) "
+        "SELECT o.o_orderkey, o.prio_key, pri.prio_rank FROM o JOIN pri "
+        "ON o.prio_key IS NOT DISTINCT FROM pri.prio_key"
+    ),
     "join_lookup_one": (
         "SELECT o_orderkey, o_custkey, c_name, c_mktsegment "
         "FROM orders JOIN customer ON o_custkey = c_custkey"

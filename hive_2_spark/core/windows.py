@@ -119,7 +119,23 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist: relative-position analytics (exact
+    rational arithmetic -> bit-stable across engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 QUERIES = {
+    "win_pct_rank": win_pct_rank,
     "win_rank": win_rank,
     "win_lag_lead": win_lag_lead,
     "win_running_sum": win_running_sum,
@@ -133,7 +149,17 @@ _W_RANK = (
 )
 _W_CUST = "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC"
 
+_W_PCT = (
+    "OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)"
+)
+
 ORACLES = {
+    "win_pct_rank": (
+        "SELECT c_custkey, c_mktsegment, "
+        f"PERCENT_RANK() {_W_PCT} AS pct_rank, "
+        f"CUME_DIST() {_W_PCT} AS cume "
+        "FROM customer"
+    ),
     "win_rank": (
         "SELECT c_custkey, c_mktsegment, c_acctbal, "
         f"ROW_NUMBER() {_W_RANK} AS rn, RANK() {_W_RANK} AS rnk, "
