@@ -159,6 +159,44 @@ def stream_dedup_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sliding_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding-window (10 min / 5 min) count per type."""
+    return (
+        _read_stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def run_foreach_batch_to_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str, ckpt_dir: str
+) -> None:
+    """Exactly-once custom sink: tumbling aggregates land in parquet via
+    ``foreachBatch``; the (epoch_id, checkpoint) pair makes the write
+    idempotent under retries — the canonical pattern for sinks without
+    native streaming support (JDBC, object stores, ...)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    q = (
+        stream_tumbling_builder(spark, sf_dir)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,

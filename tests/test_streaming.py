@@ -74,6 +74,31 @@ def test_stream_dedup_stateful(spark):
     assert n == 1000
 
 
+def test_stream_sliding_runs_and_matches_batch(spark):
+    n = _run_to_memory(
+        spark, sw.stream_sliding_builder(spark, SF_DIR), "t_slide", "complete"
+    )
+    # batch equivalent counts windows only (not per-type) — compare the
+    # distinct window count instead
+    batch_windows = sw.stream_sliding(spark, SF_DIR).count()
+    stream_windows = spark.sql(
+        "SELECT COUNT(DISTINCT window) FROM t_slide"
+    ).collect()[0][0]
+    assert stream_windows == batch_windows > 0
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sw.run_foreach_batch_to_parquet(spark, SF_DIR, out, ckpt)
+    written = spark.read.parquet(out)
+    assert written.count() > 0
+    assert "epoch" in written.columns
+    # re-run against the same checkpoint: no new epochs, no duplication
+    before = written.count()
+    sw.run_foreach_batch_to_parquet(spark, SF_DIR, out, ckpt)
+    assert spark.read.parquet(out).count() == before
+
+
 def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     """Exactly-once resume: restarting a checkpointed query over an
     unchanged source must not re-emit already-committed batches."""
