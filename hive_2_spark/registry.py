@@ -33,6 +33,7 @@ _MODULES: list[str] = [
     "hive_2_spark.core.udfs",
     "hive_2_spark.core.io",
     "hive_2_spark.core.timeseries",
+    "hive_2_spark.core.profile",
     "hive_2_spark.streaming.windows",
     "hive_2_spark.streaming.stateful",
     "hive_2_spark.llm.text",
