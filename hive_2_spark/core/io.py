@@ -70,9 +70,19 @@ def partitioned_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier -> ORC -> re-read (columnar alternative to parquet;
+    oracle compares against the original table, proving the format
+    boundary preserves values)."""
+    out = _scratch("supplier_orc", sf_dir)
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
 QUERIES = {
     "roundtrip_csv": roundtrip_csv,
     "roundtrip_json": roundtrip_json,
+    "roundtrip_orc": roundtrip_orc,
     "partitioned_write_read": partitioned_write_read,
 }
 
@@ -81,6 +91,9 @@ ORACLES = {
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders"
     ),
     "roundtrip_json": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "roundtrip_orc": (
+        "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+    ),
     "partitioned_write_read": (
         "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
         "WHERE o_orderstatus = 'F'"

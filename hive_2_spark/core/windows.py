@@ -134,7 +134,43 @@ def win_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval RANGE frame: orders in the trailing 30 days per
+    customer (time-windowed running count — SQL form, since the
+    DataFrame API's rangeBetween is numeric-only)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_wrt_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               COUNT(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ) AS n_last_30d
+        FROM _wrt_orders
+        """
+    )
+
+
+def topk_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL ordering in a top-k: DESC NULLS LAST over a derived
+    nullable column, deterministic via unique tiebreaker."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bonus",
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")),
+        )
+        .orderBy(
+            F.col("bonus").desc_nulls_last(), F.col("o_orderkey").asc()
+        )
+        .select("o_orderkey", "bonus")
+        .limit(30)
+    )
+
+
 QUERIES = {
+    "win_range_time": win_range_time,
+    "topk_nulls_last": topk_nulls_last,
     "win_pct_rank": win_pct_rank,
     "win_rank": win_rank,
     "win_lag_lead": win_lag_lead,
@@ -154,6 +190,18 @@ _W_PCT = (
 )
 
 ORACLES = {
+    "win_range_time": (
+        "SELECT o_custkey, o_orderkey, "
+        "COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) "
+        "AS n_last_30d FROM orders"
+    ),
+    "topk_nulls_last": (
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS bonus "
+        "FROM orders "
+        "ORDER BY bonus DESC NULLS LAST, o_orderkey ASC LIMIT 30"
+    ),
     "win_pct_rank": (
         "SELECT c_custkey, c_mktsegment, "
         f"PERCENT_RANK() {_W_PCT} AS pct_rank, "
