@@ -1,0 +1,48 @@
+"""Empty-input robustness: representative operators over a zero-row
+dataset must plan and execute cleanly (empty result, no exceptions).
+At 100 TB, empty partitions/filters-matching-nothing are routine."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hive_2_spark import registry
+from hive_2_spark.catalog import TABLES, table_path
+from tests.conftest import SF_DIR
+
+# representative spread: scan/filter/join/agg/window/setop/session/text
+KEYS = [
+    "pricing_summary",
+    "filter_range",
+    "join_lookup_one",
+    "join_outer",
+    "agg_groupby",
+    "agg_rollup",
+    "win_rank",
+    "set_union",
+    "stream_session",
+    "stream_tumbling",
+    "text_stats",
+    "dedup_exact",
+    "topk_limit",
+    "validate_rules",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_empty"))
+    for t in TABLES:
+        schema = pq.read_schema(table_path(SF_DIR, t))
+        pq.write_table(schema.empty_table(), os.path.join(d, f"{t}.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_runs_empty(spark, empty_sf_dir, key):
+    df = registry.all_queries()[key](spark, empty_sf_dir)
+    assert df.count() == 0
