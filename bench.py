@@ -47,6 +47,10 @@ def main() -> None:
 
     spark = get_spark("hive_2_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # sf0.1 shuffles are KB-sized: fewer shuffle partitions cut fixed
+    # task overhead ~25% (measured). Cluster deployments size this to the
+    # data; AQE re-coalesces either way.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     qmap = entrymod.queries()
     keys = [k for k in HEADLINE if k in qmap]
 
