@@ -19,6 +19,16 @@ def test_engine_query_registry(spark):
     assert eng.query("pricing_summary").count() > 0
 
 
+def test_engine_unknown_key_raises(spark):
+    eng = Engine(spark, SF_DIR)
+    import pytest
+
+    with pytest.raises(KeyError):
+        eng.query("no_such_operator")
+    with pytest.raises(KeyError):
+        eng.table("no_such_table")
+
+
 def test_engine_model_roundtrip(spark, tmp_path):
     from hive_2_spark.model import AutoField, ModelMeta, StringField
     from hive_2_spark.model.meta import clear_registry
