@@ -81,9 +81,20 @@ class ParquetStore:
 
     # --------------------------------------------------------------- write
     def _write(self, df: DataFrame, path: str, mode: str) -> None:
-        w = df.write.mode(mode)
-        if self.partition_by:
-            w = w.partitionBy(self.partition_by)
+        """Persist with PHYSICAL column names (meta.php:150-177 aliasing:
+        logical attribute != stored column); df arrives with logical
+        names from the model layer."""
+        renames = [
+            F.col(logical).alias(phys)
+            for phys, logical in self.meta.select_columns()
+        ]
+        out = df.select(*renames)
+        part = self.partition_by
+        if part:
+            phys_part = self.meta.fields[part].column or part
+            w = out.write.mode(mode).partitionBy(phys_part)
+        else:
+            w = out.write.mode(mode)
         w.parquet(path)
 
     def init_table(self, rows: list[dict[str, Any]] | None = None) -> None:
@@ -269,8 +280,9 @@ class ParquetStore:
         if self.partition_by and partition_values is not None:
             affected = df.filter(F.col(self.partition_by).isin(partition_values))
             self._write(affected, swap, "overwrite")
+            phys = self.meta.fields[self.partition_by].column or self.partition_by
             for v in partition_values:
-                part = f"{self.partition_by}={v}"
+                part = f"{phys}={v}"
                 src = os.path.join(swap, part)
                 dst = os.path.join(self.path, part)
                 bak = f"{dst}.bak-{token}"

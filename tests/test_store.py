@@ -126,6 +126,32 @@ def test_clean_update_short_circuits(stores):
     assert stores["post"].update(F.col("author_id") == 1, {}) == 0
 
 
+def test_physical_column_aliasing_roundtrip(spark, tmp_path):
+    """Logical field name != stored column name (meta.php:150-177):
+    writes land under the physical name, reads alias back to logical."""
+    m = ModelMeta(
+        table="aliased",
+        db=str(tmp_path / "aliased.parquet"),
+        fields={
+            "id": AutoField(),
+            "email": StringField(column="user_email"),
+        },
+    )
+    register_model("aliased", m)
+    st = ParquetStore(spark, m, m.db)
+    st.init_table()
+    st.insert([{"email": "x@y.z"}])
+    # logical surface
+    assert st.df().columns == ["id", "email"]
+    assert st.df().collect()[0]["email"] == "x@y.z"
+    # physical storage
+    raw = spark.read.parquet(m.db)
+    assert "user_email" in raw.columns and "email" not in raw.columns
+    # mutation path keeps the mapping
+    st.update(F.col("email") == "x@y.z", {"email": "new@y.z"})
+    assert st.df().collect()[0]["email"] == "new@y.z"
+
+
 def test_unique_probe_blocks_duplicate(spark, tmp_path):
     from hive_2_spark.model import EmailField
 
