@@ -125,6 +125,78 @@ GROUP BY o_orderstatus
 """
 
 
+_Q2ISH = """
+SELECT p.p_partkey, s.s_name, l.l_extendedprice AS best_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size <= 5
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+_Q4ISH = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+_Q14ISH = """
+SELECT ROUND(
+  100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+"""
+
+_Q19ISH = """
+-- revenue accumulates in exact DECIMAL: double sums differ by ulps across
+-- engines and this aggregate lands exactly on a ROUND .005 boundary
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 25)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 15
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_type = 'PROMO' AND l_quantity >= 30)
+"""
+
+
+def sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: cheapest line per small part."""
+    return _sql(spark, sf_dir, _Q2ISH)
+
+
+def sql_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with an inequality on the outer column."""
+    return _sql(spark, sf_dir, _Q4ISH)
+
+
+def sql_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate ratio (single-row result)."""
+    return _sql(spark, sf_dir, _Q14ISH)
+
+
+def sql_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-predicate join filter (OR across brand/size/qty
+    bands) — the optimizer must keep the equi-key and treat the
+    disjunction as a residual."""
+    return _sql(spark, sf_dir, _Q19ISH)
+
+
 def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER-clause conditional aggregation + BOOL_OR/BOOL_AND."""
     return _sql(spark, sf_dir, _FILTERED_AGG)
@@ -156,6 +228,10 @@ def sql_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "agg_filtered": agg_filtered,
+    "sql_q2_min_cost_supplier": sql_q2_min_cost_supplier,
+    "sql_q4_order_priority": sql_q4_order_priority,
+    "sql_q14_promo_share": sql_q14_promo_share,
+    "sql_q19_disjunctive": sql_q19_disjunctive,
     "sql_q3_shipping_priority": sql_q3_shipping_priority,
     "sql_q5_nation_volume": sql_q5_nation_volume,
     "sql_q7_binat_volume": sql_q7_binat_volume,
@@ -166,6 +242,10 @@ QUERIES = {
 
 ORACLES = {
     "agg_filtered": _FILTERED_AGG,
+    "sql_q2_min_cost_supplier": _Q2ISH,
+    "sql_q4_order_priority": _Q4ISH,
+    "sql_q14_promo_share": _Q14ISH,
+    "sql_q19_disjunctive": _Q19ISH,
     "sql_q3_shipping_priority": _Q3,
     "sql_q5_nation_volume": _Q5,
     "sql_q7_binat_volume": _Q7,
