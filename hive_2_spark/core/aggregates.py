@@ -114,8 +114,30 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates over integer keys per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").cast("long").alias("and_ln"),
+        F.bit_or("l_linenumber").cast("long").alias("or_ln"),
+        F.bit_xor("l_linenumber").cast("long").alias("xor_ln"),
+    )
+
+
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance (rounded: accumulation-
+    order-sensitive doubles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qd"),
+    )
+
+
 QUERIES = {
     "agg_groupby": agg_groupby,
+    "agg_bitwise": agg_bitwise,
+    "agg_corr": agg_corr,
     "agg_listagg": agg_listagg,
     "agg_distinct": agg_distinct,
     "agg_rollup": agg_rollup,
@@ -127,6 +149,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_bitwise": (
+        "SELECT l_returnflag, "
+        "CAST(bit_and(l_linenumber) AS BIGINT) AS and_ln, "
+        "CAST(bit_or(l_linenumber) AS BIGINT) AS or_ln, "
+        "CAST(bit_xor(l_linenumber) AS BIGINT) AS xor_ln "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "agg_corr": (
+        "SELECT l_linestatus, "
+        "ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp, "
+        "ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qd "
+        "FROM lineitem GROUP BY l_linestatus"
+    ),
     "agg_listagg": (
         "SELECT n_regionkey, "
         "string_agg(n_name, ',' ORDER BY n_name) AS names, "

@@ -46,9 +46,26 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array breadth: slice / position / join / overlap / sort."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_type"), " ")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.slice(words, 1, 2), "+").alias("first_two"),
+        F.array_position(words, "BRASS").cast("long").alias("brass_pos"),
+        F.arrays_overlap(
+            words, F.array(F.lit("BRASS"), F.lit("STEEL"))
+        ).alias("metallic"),
+        F.array_join(F.array_sort(words), "|").alias("sorted_words"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_no"),
+    )
+
+
 QUERIES = {
     "fn_map": fn_map,
     "fn_try": fn_try,
+    "fn_array2": fn_array2,
 }
 
 ORACLES = {
@@ -60,6 +77,18 @@ ORACLES = {
         "list_contains(map_keys(map(['brand','type'], [p_brand, p_type])), "
         "  'type') AS has_type_key, "
         "map_values(map(['brand','type'], [p_brand, p_type]))[1] AS first_val "
+        "FROM part"
+    ),
+    "fn_array2": (
+        "SELECT p_partkey, "
+        "array_to_string(string_split(p_type, ' ')[1:2], '+') AS first_two, "
+        "CAST(COALESCE(list_position(string_split(p_type, ' '), 'BRASS'), 0) "
+        "  AS BIGINT) AS brass_pos, "
+        "len(list_intersect(string_split(p_type, ' '), "
+        "  ['BRASS', 'STEEL'])) > 0 AS metallic, "
+        "array_to_string(list_sort(string_split(p_type, ' ')), '|') "
+        "  AS sorted_words, "
+        "split_part(p_brand, '#', 2) AS brand_no "
         "FROM part"
     ),
     "fn_try": (
