@@ -57,6 +57,14 @@ class Engine:
     def query_keys(self) -> list[str]:
         return sorted(registry.all_queries())
 
+    def explain(self, key: str) -> str:
+        """Formatted physical plan of a registered operator — the
+        plan-inspection surface (`.explain("formatted")` equivalent)."""
+        df = self.query(key)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
     # ------------------------------------------------------- Layer-A model
     def register(self, name: str, meta_obj: ModelMeta) -> ModelMeta:
         return register_model(name, meta_obj)

@@ -19,6 +19,12 @@ def test_engine_query_registry(spark):
     assert eng.query("pricing_summary").count() > 0
 
 
+def test_engine_explain(spark):
+    eng = Engine(spark, SF_DIR)
+    plan = eng.explain("pricing_summary")
+    assert "HashAggregate" in plan and "PushedFilters" in plan
+
+
 def test_engine_unknown_key_raises(spark):
     eng = Engine(spark, SF_DIR)
     import pytest
