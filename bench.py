@@ -5,7 +5,7 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query executes via a noop sink (full execution, no driver
-materialization), best-of-2 so JIT/codegen warmup doesn't dominate.
+materialization), best-of-3 so JIT/codegen warmup doesn't dominate.
 """
 
 from __future__ import annotations
@@ -60,7 +60,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for key in keys:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = qmap[key](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
