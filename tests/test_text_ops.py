@@ -31,6 +31,33 @@ def test_dedup_exact_finds_all_synthesized_twins(spark):
     assert len(singles) == 500 - 50 + 50  # uniques + near-twin variants
 
 
+def test_simhash_semantics(spark):
+    """Exact twins hash identically; near twins (one extra word) stay
+    within a small Hamming radius; the 16-bit bands catch them."""
+    from hive_2_spark.llm.dedup import dedup_simhash
+
+    rows = {r["doc_id"]: r for r in dedup_simhash(spark, SF_DIR).collect()}
+    ham_near, band_hits = [], 0
+    for seed in range(0, 500, 10):
+        orig, exact, near = rows[seed], rows[seed + 20_000_000], rows[seed + 10_000_000]
+        assert orig["simhash"] == exact["simhash"]  # identical content
+        ham = bin(orig["simhash"] ^ near["simhash"]).count("1")
+        ham_near.append(ham)
+        bands_match = sum(
+            orig[f"band{i}"] == near[f"band{i}"] for i in range(4)
+        )
+        if bands_match >= 1:
+            band_hits += 1
+        # pigeonhole GUARANTEE: 4 bands of 16 bits always catch ham <= 3
+        if ham <= 3:
+            assert bands_match >= 1, (seed, ham)
+    # near twins are near: average Hamming well under half the bits
+    assert sum(ham_near) / len(ham_near) < 16, ham_near
+    # band recall is probabilistic above ham 3 (production stacks more
+    # hash tables); even so a meaningful fraction must land in a bucket
+    assert band_hits / len(ham_near) >= 0.2, band_hits
+
+
 def test_ngram_jaccard_catches_near_twins(spark):
     pairs = dedup_ngram_jaccard(spark, SF_DIR).collect()
     got = {(r["a_id"], r["b_id"]) for r in pairs}
