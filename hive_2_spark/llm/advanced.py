@@ -49,8 +49,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: centroid inversion + 2-probe search (rows-only)."""
-    n_probe = 2
+    """IVF ANN: centroid inversion + 3-probe search (rows-only).
+
+    3 probes measured at avg recall ~0.7-0.9 on the (clusterless, random)
+    fixture vectors vs 0.5-0.7 at 2 probes; real embedding spaces cluster,
+    where fewer probes recover more. n_probe is THE recall/cost dial.
+    """
+    n_probe = 3
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "vec", _as_double(F.col("embedding"))
     )

@@ -36,6 +36,7 @@ _MODULES: list[str] = [
     "hive_2_spark.core.profile",
     "hive_2_spark.streaming.windows",
     "hive_2_spark.streaming.stateful",
+    "hive_2_spark.streaming.joins",
     "hive_2_spark.llm.text",
     "hive_2_spark.llm.dedup",
     "hive_2_spark.llm.similarity",

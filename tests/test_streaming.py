@@ -99,6 +99,29 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     assert spark.read.parquet(out).count() == before
 
 
+def test_stream_static_join(spark):
+    from hive_2_spark.streaming import joins as sj
+
+    n = _run_to_memory(
+        spark, sj.stream_static_join_builder(spark, SF_DIR), "t_ssj", "append"
+    )
+    assert n == sj.stream_static_join(spark, SF_DIR).count() > 0
+
+
+def test_stream_stream_interval_join(spark):
+    """Watermarked stream-stream join emits exactly the batch pair set
+    (fixture fits one micro-batch, so no pairs straddle the watermark)."""
+    from hive_2_spark.streaming import joins as sj
+
+    n = _run_to_memory(
+        spark,
+        sj.stream_interval_join_builder(spark, SF_DIR),
+        "t_ssij",
+        "append",
+    )
+    assert n == sj.stream_interval_join(spark, SF_DIR).count() > 0
+
+
 def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     """Exactly-once resume: restarting a checkpointed query over an
     unchanged source must not re-emit already-committed batches."""
