@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_exact",          # md5 fingerprint + hash agg
     "text_stats",           # regex-heavy text scan
     "sim_cosine_topk",      # vector math + window top-k
+    "join_asof",            # as-of join (union + carry-forward window)
+    "sql_q3_shipping_priority",  # 3-way join + agg + top-k (SQL API)
 ]
 
 
