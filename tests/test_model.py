@@ -88,6 +88,16 @@ def test_boolean_casts_straight():
     assert f.verbose(False) == "No"
 
 
+def test_enum_field_membership():
+    from hive_2_spark.model import EnumField
+
+    f = EnumField(choices=("draft", "live"), default="draft")
+    assert f.value("live") == "live"
+    assert f.value("") == "draft"  # falsy -> default
+    with pytest.raises(ValueError):
+        f.value("bogus")
+
+
 def test_float_verbose_decimals():
     f = FloatField(decimals=2)
     assert f.verbose(1234.5) == "1,234.50"
