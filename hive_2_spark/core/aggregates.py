@@ -134,8 +134,57 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: the most frequent l_quantity per
+    returnflag, smallest value winning ties. Spark's built-in ``mode()``
+    is tie-nondeterministic, so both engines compute count + row_number
+    with a total order — same plan shape, hash-identical result.
+
+    Scale: the inner groupBy collapses to (|groups| x |distinct values|)
+    rows map-side before the window — the window input is tiny regardless
+    of fact-table size."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("mode_n"),
+        )
+    )
+
+
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Datasketches HLL: per-group sketches UNIONED into a
+    global distinct estimate — the 100-TB pattern for distinct counting
+    (each partition builds a fixed-size sketch; merging is associative,
+    so no re-shuffle of raw keys is ever needed; sketches can also be
+    persisted and merged across days). Rows-only: the sketch estimate is
+    deterministic in Spark but not reproducible by DuckDB's HLL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_parts"),
+        F.sum("n_rows").alias("total_rows"),
+    )
+
+
 QUERIES = {
     "agg_groupby": agg_groupby,
+    "agg_mode": agg_mode,
+    "agg_sketch_merge": agg_sketch_merge,
     "agg_bitwise": agg_bitwise,
     "agg_corr": agg_corr,
     "agg_listagg": agg_listagg,
@@ -149,6 +198,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_mode": (
+        "SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n FROM ("
+        "SELECT l_returnflag, l_quantity, COUNT(*) AS n, "
+        "ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+        "ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn "
+        "FROM lineitem GROUP BY l_returnflag, l_quantity) WHERE rn = 1"
+    ),
     "agg_bitwise": (
         "SELECT l_returnflag, "
         "CAST(bit_and(l_linenumber) AS BIGINT) AS and_ln, "

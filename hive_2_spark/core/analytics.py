@@ -226,8 +226,47 @@ def sql_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q12)
 
 
+_RECURSIVE_CTE = """
+WITH RECURSIVE thresholds(n) AS (
+  SELECT 5 UNION ALL SELECT n + 5 FROM thresholds WHERE n < 50
+)
+SELECT CAST(n AS BIGINT) AS qty_threshold,
+       COUNT(l_orderkey) AS n_lines
+FROM thresholds LEFT JOIN lineitem ON l_quantity >= n
+GROUP BY n
+"""
+
+_LATERAL_TOPK = """
+SELECT c_custkey, o_orderkey, o_totalprice
+FROM customer,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 2
+)
+WHERE c_custkey <= 50
+"""
+
+
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x): generated threshold series joined
+    against the fact table. The recursion happens at PLAN time on 10
+    rows; the fact side stays a single scan."""
+    return _sql(spark, sf_dir, _RECURSIVE_CTE)
+
+
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — per-customer
+    top-2 orders. Catalyst decorrelates this into a ranked window over
+    one shuffle, not N point queries."""
+    return _sql(spark, sf_dir, _LATERAL_TOPK)
+
+
 QUERIES = {
     "agg_filtered": agg_filtered,
+    "sql_recursive_cte": sql_recursive_cte,
+    "sql_lateral_topk": sql_lateral_topk,
     "sql_q2_min_cost_supplier": sql_q2_min_cost_supplier,
     "sql_q4_order_priority": sql_q4_order_priority,
     "sql_q14_promo_share": sql_q14_promo_share,
@@ -242,6 +281,8 @@ QUERIES = {
 
 ORACLES = {
     "agg_filtered": _FILTERED_AGG,
+    "sql_recursive_cte": _RECURSIVE_CTE,
+    "sql_lateral_topk": _LATERAL_TOPK,
     "sql_q2_min_cost_supplier": _Q2ISH,
     "sql_q4_order_priority": _Q4ISH,
     "sql_q14_promo_share": _Q14ISH,

@@ -79,6 +79,85 @@ def roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out)
 
 
+def avro_supported(spark: SparkSession) -> bool:
+    """Whether the external spark-avro module is deployed. Probes the
+    data-source REGISTRY (not Class.forName — stray avro classes on the
+    classpath make that a false positive): a reader resolve that fails
+    with 'Failed to find data source' means the module is absent; any
+    other failure (e.g. path) means the source resolved."""
+    try:
+        spark.read.format("avro").schema("x int").load(
+            "/nonexistent_avro_probe_path"
+        )
+        return True
+    except Exception as ex:
+        return "Failed to find data source" not in str(ex)
+
+
+def roundtrip_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation -> Avro -> re-read. GATED: raises with deploy guidance when
+    the spark-avro jar is absent (it is not bundled in the default
+    distribution), so callers get a actionable error instead of an
+    opaque ClassNotFoundException. Not registered as a query key — the
+    driver environment has no spark-avro jar."""
+    if not avro_supported(spark):
+        raise NotImplementedError(
+            "Avro source requires the external spark-avro module; submit "
+            "with --packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    out = _scratch("nation_avro", sf_dir)
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").format(
+        "avro"
+    ).save(out)
+    return spark.read.format("avro").load(out)
+
+
+def jdbc_driver_present(spark: SparkSession, driver_class: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(driver_class)
+        return True
+    except Exception:
+        return False
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    driver_class: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """JDBC source. GATED on the driver jar being present. At scale,
+    ALWAYS pass partition_column + bounds: without them Spark reads the
+    whole table through ONE connection on one task; with them it issues
+    ``num_partitions`` bounded range queries in parallel."""
+    if not jdbc_driver_present(spark, driver_class):
+        raise NotImplementedError(
+            f"JDBC driver {driver_class!r} not on the classpath; add the "
+            "vendor jar via spark.jars before using the jdbc source"
+        )
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver_class)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    return reader.load()
+
+
 QUERIES = {
     "roundtrip_csv": roundtrip_csv,
     "roundtrip_json": roundtrip_json,

@@ -1,0 +1,97 @@
+"""Data-layout optimization: z-order (Morton) clustering for multi-
+dimensional file skipping (SURVEY.md §2B op 41 extension).
+
+Parquet keeps per-row-group min/max stats; a scan with a predicate can
+skip whole row groups whose stat range misses the predicate. A linear
+sort clusters ONE column; z-ordering interleaves the bits of several
+columns so that files are simultaneously range-clustered on all of
+them — a 2-D predicate then touches only the files whose Morton range
+intersects the query box.
+
+The interleave is pure JVM-side bit arithmetic (shiftright/bitwiseAND/
+shiftleft composed in a Python loop at PLAN time — the loop builds one
+expression tree, it does not run per row), so the whole pipeline stays
+in whole-stage codegen. At cluster scale the write becomes
+``repartitionByRange(zkey)`` + ``sortWithinPartitions(zkey)`` — one
+range shuffle, then each task writes one tightly-clustered file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_spark.catalog import load_table
+from hive_2_spark.core.io import _scratch
+
+
+def morton_key(a: Column, b: Column, nbits: int = 16) -> Column:
+    """Interleave the low ``nbits`` of two non-negative integral columns
+    into one long: z = ...b1 a1 b0 a0. Equal-prefix z-values are close in
+    BOTH dimensions."""
+    z = F.lit(0).cast("long")
+    a = a.cast("long")
+    b = b.cast("long")
+    for i in range(nbits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_write(
+    df: DataFrame, out: str, dim_a: str, dim_b: str, files: int = 8
+) -> None:
+    """Rewrite ``df`` z-ordered on (dim_a, dim_b) into ``files`` parquet
+    files. Both dims are min-max scaled to the full 16-bit range first —
+    without that, the wider-magnitude dimension's high bits dominate the
+    interleave and the narrow dimension never clusters. The scaling agg
+    is one tiny job (answerable from parquet footer stats); the rewrite
+    itself is one range shuffle + per-partition sort."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(dim_a), F.max(dim_a), F.min(dim_b), F.max(dim_b)
+    ).first()
+
+    def scaled(col: str, lo: float, hi: float) -> Column:
+        span = max(hi - lo, 1)
+        return ((F.col(col) - F.lit(lo)) * F.lit(65535.0 / span)).cast("long")
+
+    keyed = df.withColumn(
+        "_zkey",
+        morton_key(scaled(dim_a, lo_a, hi_a), scaled(dim_b, lo_b, hi_b)),
+    )
+    (
+        keyed.repartitionByRange(files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query key: orders rewritten z-ordered on (o_custkey, o_orderkey),
+    then scanned with a 2-D box predicate. The oracle runs the same
+    predicate on the original table — proving the layout rewrite is
+    value-preserving; the layout win itself (row-group skipping) is
+    asserted in tests/test_layout.py."""
+    out = _scratch("orders_zorder", sf_dir)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zorder_write(src, out, "o_custkey", "o_orderkey")
+    return spark.read.parquet(out).filter(
+        (F.col("o_custkey") < 100) & (F.col("o_orderkey") < 10000)
+    )
+
+
+QUERIES = {"zorder_layout": zorder_layout}
+
+ORACLES = {
+    "zorder_layout": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_custkey < 100 AND o_orderkey < 10000"
+    ),
+}

@@ -62,13 +62,71 @@ def fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions with LAMBDAS — transform / filter /
+    aggregate run as Catalyst expressions inside codegen (NOT Python
+    UDFs): the lambda is a SQL expression tree, evaluated JVM-side per
+    element. Outputs folded to scalars (arrays don't hash portably)."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.transform(words, lambda x: F.upper(x)), ",").alias(
+            "upper_words"
+        ),
+        F.array_join(
+            F.filter(words, lambda x: F.length(x) > 5), ","
+        ).alias("long_words"),
+        F.aggregate(
+            words, F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+        .cast("long")
+        .alias("total_chars"),
+    )
+
+
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): ``parse_json`` once into a
+    binary variant, then typed path extraction with ``try_variant_get``
+    (NULL on missing path / cast failure, never a throw). At scale this
+    beats re-parsing the JSON string per extraction — parse once, extract
+    many. Outputs are typed scalars, so the DuckDB JSON oracle matches."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_num"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_val"),
+    )
+
+
 QUERIES = {
     "fn_map": fn_map,
     "fn_try": fn_try,
     "fn_array2": fn_array2,
+    "fn_lambda": fn_lambda,
+    "fn_variant": fn_variant,
 }
 
 ORACLES = {
+    "fn_variant": (
+        "SELECT event_id, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) AS k_num, "
+        "json_extract_string(props, '$.k') AS k_str, "
+        "json_extract_string(props, '$.missing') AS missing_val "
+        "FROM events"
+    ),
+    "fn_lambda": (
+        "SELECT p_partkey, "
+        "array_to_string(list_transform(string_split(p_name, ' '), "
+        "  x -> upper(x)), ',') AS upper_words, "
+        "COALESCE(array_to_string(list_filter(string_split(p_name, ' '), "
+        "  x -> length(x) > 5), ','), '') AS long_words, "
+        "CAST(list_sum(list_transform(string_split(p_name, ' '), "
+        "  x -> length(x))) AS BIGINT) AS total_chars "
+        "FROM part"
+    ),
     "fn_map": (
         "SELECT p_partkey, "
         "map(['brand','type'], [p_brand, p_type])['brand'][1] AS brand_val, "

@@ -21,6 +21,7 @@ registry; everything else is the Layer-B surface.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hive_2_spark import catalog, registry
 from hive_2_spark.model.meta import ModelMeta, meta as get_meta, register_model
@@ -64,6 +65,25 @@ class Engine:
         return df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
+
+    # ---------------------------------------------------- join strategies
+    @staticmethod
+    def broadcast(df: DataFrame) -> DataFrame:
+        """Mark a small side for broadcast-hash join — the scale lever for
+        dimension joins: ship the dim to every executor instead of
+        shuffling the fact table on the join key."""
+        return F.broadcast(df)
+
+    @staticmethod
+    def join_hint(df: DataFrame, strategy: str) -> DataFrame:
+        """Explicit join-strategy hint on a side: ``broadcast`` | ``merge``
+        | ``shuffle_hash`` | ``shuffle_replicate_nl``. Catalyst honors the
+        hint when legal for the join type; AQE may still demote a
+        broadcast that turns out too large at runtime."""
+        allowed = {"broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl"}
+        if strategy not in allowed:
+            raise ValueError(f"unknown join strategy {strategy!r}; one of {sorted(allowed)}")
+        return df.hint(strategy)
 
     # ------------------------------------------------------- Layer-A model
     def register(self, name: str, meta_obj: ModelMeta) -> ModelMeta:

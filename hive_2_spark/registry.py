@@ -32,6 +32,7 @@ _MODULES: list[str] = [
     "hive_2_spark.core.analytics",
     "hive_2_spark.core.udfs",
     "hive_2_spark.core.io",
+    "hive_2_spark.core.layout",
     "hive_2_spark.core.timeseries",
     "hive_2_spark.core.profile",
     "hive_2_spark.streaming.windows",

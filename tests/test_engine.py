@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from hive_2_spark.engine import Engine
 from tests.conftest import SF_DIR
 
@@ -54,3 +56,58 @@ def test_engine_model_roundtrip(spark, tmp_path):
     m.save()
     assert m.id == 1
     assert eng.store("note").df().count() == 1
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_engine_broadcast_forces_broadcast_join(spark):
+    eng = Engine(spark, SF_DIR)
+    j = eng.table("orders").join(
+        Engine.broadcast(eng.table("customer")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_engine_join_hint_merge_forces_sort_merge(spark):
+    eng = Engine(spark, SF_DIR)
+    j = eng.table("orders").join(
+        Engine.join_hint(eng.table("customer"), "merge"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    assert "SortMergeJoin" in _plan(j)
+
+
+def test_engine_join_hint_rejects_unknown():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown join strategy"):
+        Engine.join_hint(None, "turbo")
+
+
+def test_gated_avro_and_jdbc_raise_actionably(spark):
+    import pytest
+
+    from hive_2_spark.core.io import (
+        avro_supported,
+        read_jdbc,
+        roundtrip_avro,
+    )
+
+    if avro_supported(spark):  # environment-dependent: jar present
+        assert roundtrip_avro(spark, SF_DIR).count() == 25
+    else:
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            roundtrip_avro(spark, SF_DIR)
+
+    with pytest.raises(NotImplementedError, match="not on the classpath"):
+        read_jdbc(
+            spark,
+            "jdbc:nosuch://localhost/db",
+            "t",
+            driver_class="org.nosuch.Driver",
+        )

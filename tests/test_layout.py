@@ -1,0 +1,58 @@
+"""Z-order layout: the Morton key must actually cluster BOTH dimensions
+(so a 2-D box predicate skips files), and the rewrite must preserve data.
+"""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from hive_2_spark.catalog import load_table
+from hive_2_spark.core.io import _scratch
+from hive_2_spark.core.layout import morton_key, zorder_layout, zorder_write
+from tests.conftest import SF_DIR
+
+
+def test_morton_key_interleaves_bits(spark):
+    # z(1, 0) = ...a0 at bit 0 = 1 ; z(0, 1) = ...b0 at bit 1 = 2
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (2, 1)], "a long, b long"
+    ).select(morton_key(F.col("a"), F.col("b")).alias("z"))
+    assert [r.z for r in df.collect()] == [1, 2, 15, 6]
+
+
+def test_zorder_parity_and_file_stats(spark):
+    out = _scratch("orders_zorder_t", SF_DIR)
+    src = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zorder_write(src, out, "o_custkey", "o_orderkey", files=8)
+
+    back = spark.read.parquet(out)
+    # value-preserving rewrite
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0
+
+    # multiple files, and the box query reads fewer files than exist:
+    # per-file custkey min/max ranges must be narrower than the global
+    # range for most files (that's the whole point of the clustering).
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) > 1
+    lo, hi = src.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    narrow = 0
+    for f in files:
+        fl, fh = (
+            spark.read.parquet(f).agg(F.min("o_custkey"), F.max("o_custkey")).first()
+        )
+        if (fh - fl) < (hi - lo) * 0.8:
+            narrow += 1
+    assert narrow >= len(files) // 2, (
+        f"z-order produced no per-file clustering: {narrow}/{len(files)} narrow"
+    )
+
+
+def test_zorder_query_key_filters(spark):
+    df = zorder_layout(spark, SF_DIR)
+    rows = df.collect()
+    assert all(r.o_custkey < 100 and r.o_orderkey < 10000 for r in rows)

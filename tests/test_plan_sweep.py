@@ -19,6 +19,8 @@ CARTESIAN_OK = {
     "sim_pairwise_label",   # sampled pair set
     "insert_rows",          # 2-row literal cross join with max-key
     "ts_resample",          # spine x event_type (metadata-sized)
+    "sql_recursive_cte",    # pure-inequality join: 10-row recursion result
+                            # broadcast + nested-loop IS the right plan
 }
 PYTHON_OK = {
     "udf_scalar",

@@ -1,8 +1,14 @@
 # Simulates the driver: fresh process, its own SparkSession, calls the
 # public contract (entry / queries / oracle_sql) and hash-compares vs DuckDB
 # at sf0.01 (the real t2 scale).
+# Usage: python tools/driver_sim.py [--json OUT.json]  — the JSON report
+# mirrors the driver's CORRECTNESS_r{N}.json shape (per-key status).
+import json
 import sys
 sys.path.insert(0, "/root/repo")
+_json_out = None
+if "--json" in sys.argv:
+    _json_out = sys.argv[sys.argv.index("--json") + 1]
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.session.timeZone", "UTC")
@@ -19,11 +25,21 @@ print("queries:", len(q), "oracles:", len(o))
 from hive_2_spark.parity import compare, duckdb_connect
 con = duckdb_connect("/root/testdata/sf0.01")
 bad = 0
+report = {}
 for key in sorted(q):
     if key not in o:
-        print(key, "ROWS-ONLY count=", q[key](spark, "/root/testdata/sf0.01").count()); continue
+        n = q[key](spark, "/root/testdata/sf0.01").count()
+        report[key] = {"check": "rows_only", "rows": n, "ok": True}
+        print(key, "ROWS-ONLY count=", n); continue
     problems = compare(q[key](spark, "/root/testdata/sf0.01"), con, o[key])
     status = "OK" if not problems else "MISMATCH: " + "; ".join(problems)
     if problems: bad += 1
+    report[key] = {"check": "oracle_hash", "ok": not problems,
+                   "problems": problems}
     print(f"{key}: {status}")
 print("BAD:", bad)
+if _json_out:
+    with open(_json_out, "w") as f:
+        json.dump({"sf": 0.01, "n_queries": len(q), "n_oracles": len(o),
+                   "n_bad": bad, "keys": report}, f, indent=1)
+    print("wrote", _json_out)
