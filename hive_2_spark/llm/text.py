@@ -163,6 +163,71 @@ def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", rolling.alias("rfp"))
 
 
+_CHUNK_W = 50   # tokens per chunk
+_CHUNK_S = 40   # stride (10-token overlap)
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for training pipelines: each doc
+    becomes overlapping ``_CHUNK_W``-token chunks at stride ``_CHUNK_S``.
+    Pure codegen (sequence + transform + explode) — one narrow pass, no
+    shuffle, no Python: exactly the shape that streams 100 TB of text
+    through chunking at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - _CHUNK_W, F.lit(0)), F.lit(_CHUNK_S)
+    )
+    chunked = d.select(
+        "doc_id",
+        "lang",
+        F.explode(starts).alias("chunk_start"),
+        words.alias("_w"),
+    )
+    piece = F.slice(F.col("_w"), F.col("chunk_start") + 1, _CHUNK_W)
+    return chunked.select(
+        "doc_id",
+        "lang",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+_PACK_CAP = 2048  # token capacity per pack
+
+
+def token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training batches: docs are laid into
+    fixed-capacity token packs in doc_id order within each language —
+    pack_id = floor(running_token_offset / capacity). Deterministic and
+    window-expressible, so the oracle hash-matches. At scale the window
+    partitions by lang (bounded state per partition); packing across a
+    whole corpus would instead salt by a coarse doc_id range first."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_pack = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.floor((F.sum(n_tokens).over(w) - n_tokens) / _PACK_CAP).alias(
+            "pack_id"
+        ),
+    )
+    return with_pack.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "token_count": token_count,
@@ -170,6 +235,8 @@ QUERIES = {
     "lang_id": lang_id,
     "fingerprint": fingerprint,
     "fingerprint_rolling": fingerprint_rolling,  # rows-only (xxhash64 seed)
+    "text_chunk": text_chunk,
+    "token_pack": token_pack,
 }
 
 
@@ -199,6 +266,25 @@ def _dk_argmax_lang() -> str:
 _DK_BEST, _DK_BEST_SCORE = _dk_argmax_lang()
 
 ORACLES = {
+    "text_chunk": (
+        "SELECT doc_id, lang, CAST(s AS BIGINT) AS chunk_start, "
+        "CAST(len(list_slice(string_split(text, ' '), s + 1, s + 50)) "
+        "  AS BIGINT) AS n_chunk_tokens, "
+        "array_to_string(list_slice(string_split(text, ' '), s + 1, s + 50), "
+        "  ' ') AS chunk_text "
+        "FROM documents, LATERAL (SELECT unnest(range(0, "
+        "greatest(len(string_split(text, ' ')) - 50, 0) + 1, 40)) AS s)"
+    ),
+    "token_pack": (
+        "SELECT lang, pack_id, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens FROM ("
+        "SELECT lang, len(string_split(text, ' ')) AS n_tokens, "
+        "CAST(FLOOR((SUM(len(string_split(text, ' '))) OVER ("
+        "PARTITION BY lang ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "- len(string_split(text, ' '))) / 2048.0) AS BIGINT) AS pack_id "
+        "FROM documents) GROUP BY lang, pack_id"
+    ),
     "text_stats": (
         "SELECT doc_id, "
         "CAST(LENGTH(text) AS INT) AS n_chars_actual, "

@@ -77,6 +77,86 @@ def running_spend_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tws_supported() -> bool:
+    """transformWithStateInPandas streams state through a protobuf-based
+    runner; without the google.protobuf package the worker crashes with
+    an opaque STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _make_spend_processor():
+    """Deferred import: the StatefulProcessor base class exists without
+    protobuf; only RUNNING it needs the runner dependency."""
+    import pandas as pd  # local: keep module import light
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SpendProcessor(StatefulProcessor):
+        """Same per-user running-spend semantics as ``_update_spend``,
+        expressed in Spark 4's transformWithState API: named ValueState,
+        explicit exists()/get()/update() lifecycle, timer support
+        available via ``timerValues`` (unused here)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("spend", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._state.exists():
+                total, n = self._state.get()
+            else:
+                total, n = 0.0, 0
+            for pdf in rows:
+                total += float(pdf["value"].sum())
+                n += len(pdf)
+            self._state.update((total, n))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_spend": [round(total, 2)],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return SpendProcessor()
+
+
+def running_spend_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas face of the running-spend operator
+    (Spark 4's successor to applyInPandasWithState: composable named
+    state variables, timers, TTL). GATED: the streaming runner needs
+    google.protobuf; raises actionably when absent. Requires the
+    RocksDB state store provider on the session."""
+    if not tws_supported():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google.protobuf package "
+            "for its streaming state runner; pip install protobuf"
+        )
+    from hive_2_spark.streaming.windows import _read_stream_events
+
+    events = _read_stream_events(spark, sf_dir)
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _make_spend_processor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 QUERIES = {"stream_stateful_spend": running_spend_batch}
 
 ORACLES = {

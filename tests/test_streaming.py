@@ -147,3 +147,32 @@ def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     second = run_once("t_ck2")
     assert first == 1000  # the full fixture processed once
     assert second == 0  # resume from checkpoint: nothing new to process
+
+
+def test_transform_with_state_gated_or_runs(spark):
+    """Spark 4 transformWithStateInPandas: runs when the protobuf runner
+    dep is present, raises an actionable gate error when not."""
+    import pytest
+
+    from hive_2_spark.streaming import stateful
+
+    if not stateful.tws_supported():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful.running_spend_tws(spark, SF_DIR)
+        return
+
+    n = _run_to_memory(
+        spark, stateful.running_spend_tws(spark, SF_DIR), "t_tws", "update"
+    )
+    assert n > 0
+    stream_rows = {
+        r["user_id"]: (r["total_spend"], r["n_events"])
+        for r in spark.sql(
+            "SELECT user_id, total_spend, n_events FROM t_tws"
+        ).collect()
+    }
+    batch_rows = {
+        r["user_id"]: (r["total_spend"], r["n_events"])
+        for r in stateful.running_spend_batch(spark, SF_DIR).collect()
+    }
+    assert stream_rows == batch_rows

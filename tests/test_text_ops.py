@@ -69,3 +69,53 @@ def test_ngram_jaccard_catches_near_twins(spark):
         1 for (a, b) in got if a < 1_000_000 and b == a + 10_000_000
     )
     assert near_hits == 50
+
+
+def test_text_chunk_overlap_and_coverage(spark):
+    """Consecutive chunks of one doc overlap by exactly W-S tokens, and
+    every token of the doc appears in at least one chunk."""
+    from hive_2_spark.llm.text import _CHUNK_S, _CHUNK_W, text_chunk
+
+    chunks = (
+        text_chunk(spark, SF_DIR)
+        .filter("doc_id = 0")
+        .orderBy("chunk_start")
+        .collect()
+    )
+    assert chunks, "doc 0 produced no chunks"
+    for prev, cur in zip(chunks, chunks[1:]):
+        assert cur.chunk_start - prev.chunk_start == _CHUNK_S
+        prev_words = prev.chunk_text.split(" ")
+        cur_words = cur.chunk_text.split(" ")
+        overlap = _CHUNK_W - _CHUNK_S
+        assert prev_words[-overlap:] == cur_words[:overlap]
+    # coverage: reassembling non-overlapping prefixes gives the doc back
+    doc = (
+        spark.read.parquet(SF_DIR + "/documents.parquet")
+        .filter("doc_id = 0")
+        .first()
+        .text
+    )
+    rebuilt = chunks[0].chunk_text.split(" ")
+    for c in chunks[1:]:
+        rebuilt.extend(c.chunk_text.split(" ")[_CHUNK_W - _CHUNK_S:])
+    assert rebuilt == doc.split(" ")
+
+
+def test_token_pack_capacity_bound(spark):
+    """No pack exceeds capacity unless a single document already does;
+    pack ids are dense from 0 within each language."""
+    from hive_2_spark.llm.text import _PACK_CAP, token_pack
+
+    rows = token_pack(spark, SF_DIR).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, packs in by_lang.items():
+        ids = sorted(p.pack_id for p in packs)
+        assert ids == list(range(len(ids))), f"{lang}: sparse pack ids"
+        for p in packs:
+            # a doc can straddle the boundary it starts before; the
+            # greedy rule bounds a pack by capacity + one doc's tokens
+            assert p.pack_tokens < 2 * _PACK_CAP, f"{lang}: runaway pack"
