@@ -41,3 +41,50 @@ def test_media_stats_no_blob_in_agg(spark):
     assert "payload" not in stats.columns
     rows = {r["mime"]: r["n"] for r in stats.collect()}
     assert sum(rows.values()) == 500
+
+
+def test_media_resize_plan_semantics(spark):
+    """Targets fit 256x256, preserve aspect within 1px, never upscale."""
+    from hive_2_spark.llm.multimodal import media_resize
+
+    rows = media_resize(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.target_w <= 256 and 1 <= r.target_h <= 256
+        assert r.target_w <= r.orig_w and r.target_h <= r.orig_h
+        if r.orig_w <= 256 and r.orig_h <= 256:  # never upscale
+            assert (r.target_w, r.target_h) == (r.orig_w, r.orig_h)
+
+
+def test_resize_payloads_batch_shape(spark):
+    """Binary-in/binary-out mapInPandas kernel: one output row per input,
+    payload clamped to the stub's target size."""
+    from hive_2_spark.llm.multimodal import (
+        media_resize,
+        media_table,
+        resize_payloads,
+    )
+
+    base = media_table(spark, SF_DIR)
+    plan = media_resize(spark, SF_DIR).select(
+        "media_id", "target_w", "target_h"
+    )
+    out = resize_payloads(base.join(plan, "media_id"))
+    assert out.count() == base.count()
+    r = out.orderBy("media_id").first()
+    assert isinstance(r.resized, (bytes, bytearray)) and len(r.resized) >= 1
+
+
+def test_media_frame_sample_stride(spark):
+    """Only video rows fan out; indices are 0..n_frames-1 at stride 10."""
+    from hive_2_spark.llm.multimodal import media_frame_sample
+
+    rows = media_frame_sample(spark, SF_DIR).collect()
+    assert rows
+    by_media: dict[int, list[int]] = {}
+    for r in rows:
+        assert r.media_id % 3 == 2  # video/mp4 synthesis rule
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    for mid, idxs in by_media.items():
+        n_frames = mid % 300 + 30
+        assert sorted(idxs) == list(range(0, n_frames, 10))
