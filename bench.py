@@ -39,6 +39,8 @@ HEADLINE = [
     "sim_cosine_topk",      # vector math + window top-k
     "join_asof",            # as-of join (union + carry-forward window)
     "sql_q3_shipping_priority",  # 3-way join + agg + top-k (SQL API)
+    "text_chunk",           # sliding-window chunk fan-out (codegen explode)
+    "token_pack",           # running-sum window packing + re-agg
 ]
 
 

@@ -96,3 +96,31 @@ def test_salted_join_spreads_partitions(spark):
     plan = plan_of(df)
     # join key must include the salt so hot keys spread across tasks
     assert "__salt" in plan
+
+
+def test_text_chunk_is_shuffle_free(spark):
+    """Chunk fan-out must stay a narrow per-row transform: any Exchange
+    here would mean re-shuffling the whole corpus just to split it."""
+    from hive_2_spark.llm.text import text_chunk
+
+    plan = plan_of(text_chunk(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_media_frame_sample_is_shuffle_free(spark):
+    from hive_2_spark.llm.multimodal import media_frame_sample
+
+    plan = plan_of(media_frame_sample(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_token_pack_single_window_shuffle(spark):
+    """Packing needs exactly ONE shuffle (the lang window); the re-agg
+    reuses the same partitioning."""
+    from hive_2_spark.llm.text import token_pack
+
+    plan = plan_of(token_pack(spark, SF_DIR))
+    n_exchanges = plan.count("+- Exchange") + plan.count(": Exchange")
+    assert "Window" in plan
+    assert n_exchanges <= 2, plan  # window shuffle (+ AQE read at most)
