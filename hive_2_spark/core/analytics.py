@@ -249,6 +249,20 @@ WHERE c_custkey <= 50
 """
 
 
+_GROUP_BY_ALL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY ALL
+"""
+
+
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL: every non-aggregate select item becomes a group key
+    — identical syntax in Spark 4 and DuckDB."""
+    return _sql(spark, sf_dir, _GROUP_BY_ALL)
+
+
 def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4.x): generated threshold series joined
     against the fact table. The recursion happens at PLAN time on 10
@@ -267,6 +281,7 @@ QUERIES = {
     "agg_filtered": agg_filtered,
     "sql_recursive_cte": sql_recursive_cte,
     "sql_lateral_topk": sql_lateral_topk,
+    "sql_group_by_all": sql_group_by_all,
     "sql_q2_min_cost_supplier": sql_q2_min_cost_supplier,
     "sql_q4_order_priority": sql_q4_order_priority,
     "sql_q14_promo_share": sql_q14_promo_share,
@@ -283,6 +298,7 @@ ORACLES = {
     "agg_filtered": _FILTERED_AGG,
     "sql_recursive_cte": _RECURSIVE_CTE,
     "sql_lateral_topk": _LATERAL_TOPK,
+    "sql_group_by_all": _GROUP_BY_ALL,
     "sql_q2_min_cost_supplier": _Q2ISH,
     "sql_q4_order_priority": _Q4ISH,
     "sql_q14_promo_share": _Q14ISH,

@@ -54,8 +54,26 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cust_nations(spark, sf_dir).intersectAll(_supp_nations(spark, sf_dir))
 
 
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION by column NAME, not position, with missing columns filled
+    NULL (``unionByName(allowMissingColumns=True)`` / DuckDB
+    ``UNION ALL BY NAME``) — the schema-drift-tolerant concatenation a
+    multi-source ingest needs."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
 QUERIES = {
     "set_union": set_union,
+    "set_union_by_name": set_union_by_name,
     "set_union_all": set_union_all,
     "set_intersect": set_intersect,
     "set_except": set_except,
@@ -63,6 +81,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "set_union_by_name": (
+        "SELECT c_custkey AS id, c_name AS name FROM customer "
+        "UNION ALL BY NAME "
+        "SELECT s_suppkey AS id, s_name AS name, s_acctbal AS acctbal "
+        "FROM supplier"
+    ),
     "set_union": (
         "SELECT c_nationkey AS nationkey FROM customer UNION "
         "SELECT s_nationkey FROM supplier"

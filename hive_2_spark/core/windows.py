@@ -168,7 +168,34 @@ def topk_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS analytics over a sparse column: forward-fill via
+    running ``last(x) IGNORE NULLS`` (the canonical gap-fill), plus
+    first/nth non-null over the full frame. The sparse column is derived
+    (price only for finished orders) since testdata has no NULLs."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    run = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    full = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.last(x, ignorenulls=True).over(run).alias("ffill_price"),
+        F.first(x, ignorenulls=True).over(full).alias("first_f_price"),
+        F.nth_value(x, 2, ignoreNulls=True).over(full).alias("second_f_price"),
+    )
+
+
 QUERIES = {
+    "win_ignore_nulls": win_ignore_nulls,
     "win_range_time": win_range_time,
     "topk_nulls_last": topk_nulls_last,
     "win_pct_rank": win_pct_rank,
@@ -190,6 +217,20 @@ _W_PCT = (
 )
 
 ORACLES = {
+    "win_ignore_nulls": (
+        "SELECT o_custkey, o_orderkey, "
+        "LAST_VALUE(x IGNORE NULLS) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS ffill_price, "
+        "FIRST_VALUE(x IGNORE NULLS) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "UNBOUNDED FOLLOWING) AS first_f_price, "
+        "NTH_VALUE(x, 2 IGNORE NULLS) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "UNBOUNDED FOLLOWING) AS second_f_price "
+        "FROM (SELECT *, CASE WHEN o_orderstatus = 'F' "
+        "THEN o_totalprice END AS x FROM orders)"
+    ),
     "win_range_time": (
         "SELECT o_custkey, o_orderkey, "
         "COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate "

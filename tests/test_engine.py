@@ -111,3 +111,23 @@ def test_gated_avro_and_jdbc_raise_actionably(spark):
             "t",
             driver_class="org.nosuch.Driver",
         )
+
+
+def test_observe_metrics_on_action(spark):
+    """df.observe(): per-action metrics collected on the executors with
+    no separate job — the production observability hook for row counts
+    and checksums inside a pipeline."""
+    from pyspark.sql import Observation
+
+    from hive_2_spark.catalog import load_table
+
+    obs = Observation("orders_metrics")
+    df = load_table(spark, SF_DIR, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == load_table(spark, SF_DIR, "orders").count()
+    assert got["total"] > 0
