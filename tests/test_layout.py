@@ -56,3 +56,41 @@ def test_zorder_query_key_filters(spark):
     df = zorder_layout(spark, SF_DIR)
     rows = df.collect()
     assert all(r.o_custkey < 100 and r.o_orderkey < 10000 for r in rows)
+
+
+def _morton_py(a: int, b: int, nbits: int = 16) -> int:
+    z = 0
+    for i in range(nbits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_spark_matches_python_mirror(spark):
+    """The Column expression computes exactly the reference interleave."""
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", morton_key(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == _morton_py(r.a, r.b)
+
+
+def test_morton_monotone_per_dimension():
+    """For a fixed value of one dimension, the key is strictly monotone
+    in the other — the property that makes min/max range pruning on the
+    Morton key sound for each dimension separately."""
+    from hypothesis import given, strategies as st
+
+    u16 = st.integers(0, 65535)
+
+    @given(u16, u16, u16)
+    def check(a1, a2, b):
+        if a1 < a2:
+            assert _morton_py(a1, b) < _morton_py(a2, b)
+            assert _morton_py(b, a1) < _morton_py(b, a2)
+
+    check()
