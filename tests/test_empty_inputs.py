@@ -30,6 +30,12 @@ KEYS = [
     "dedup_exact",
     "topk_limit",
     "validate_rules",
+    "text_chunk",
+    "token_pack",
+    "media_frame_sample",
+    "win_ignore_nulls",
+    "sql_lateral_topk",
+    "agg_mode",
 ]
 
 
