@@ -19,15 +19,20 @@ SURVEY_2A = [
     "validate_rules", "fill_defaults", "model_over_agg",
 ]
 
-# §2B driver-mandated capability keys (ops 34-44)
+# §2B driver-mandated capability keys (ops 34-48)
 SURVEY_2B = [
     "agg_groupby", "agg_distinct", "agg_rollup", "agg_cube", "agg_approx",
+    "agg_sketch_merge", "sql_group_by_all",
     "join_outer", "join_semi", "join_anti", "join_range",
-    "win_rank", "win_lag_lead", "win_running_sum",
-    "set_union", "set_intersect", "set_except",
+    "win_rank", "win_lag_lead", "win_running_sum", "win_ignore_nulls",
+    "set_union", "set_intersect", "set_except", "set_union_by_name",
     "fn_string", "fn_date", "fn_math", "fn_cond", "fn_json", "fn_array",
     "stream_tumbling", "stream_session", "udf_scalar",
     "dedup_exact", "text_stats", "sim_cosine_topk",
+    "sql_recursive_cte", "sql_lateral_topk", "fn_lambda", "fn_variant",
+    "zorder_layout", "agg_mode",
+    "text_chunk", "token_pack",
+    "media_resize", "media_frame_sample",
 ]
 
 # build-brief training-pipeline mandates beyond the survey tables
