@@ -158,6 +158,60 @@ def read_jdbc(
     return reader.load()
 
 
+_TABLE_FORMAT_PACKAGES = {
+    "delta": "io.delta:delta-spark_2.13:<version> "
+    "(+ spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension)",
+    "iceberg": "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version> "
+    "(+ a spark.sql.catalog.<name> Iceberg catalog config)",
+}
+
+
+def table_format_supported(spark: SparkSession, fmt: str) -> bool:
+    """Whether an ACID table format ('delta' | 'iceberg') is deployed.
+
+    Same registry probe as :func:`avro_supported`: resolving the reader
+    against a bogus path fails with 'Failed to find data source' iff the
+    format's runtime jar is absent; any other error means it resolved.
+    """
+    if fmt not in _TABLE_FORMAT_PACKAGES:
+        raise ValueError(f"unknown table format {fmt!r}")
+    try:
+        spark.read.format(fmt).load(f"/nonexistent_{fmt}_probe_path")
+        return True
+    except Exception as ex:
+        # Spark <4: 'Failed to find data source'; Spark 4
+        # (DATA_SOURCE_NOT_FOUND): 'Failed to find the data source'.
+        msg = str(ex)
+        return not ("Failed to find" in msg and "data source" in msg)
+
+
+def write_table_format(
+    df: DataFrame, fmt: str, path: str, *, mode: str = "overwrite"
+) -> None:
+    """Write ``df`` as a Delta/Iceberg table. GATED: raises with deploy
+    guidance when the format runtime is absent (neither is bundled in
+    stock Spark). When present, these formats give the engine real ACID
+    upserts/deletes — the parquet merge-rewrite in ``model/store.py`` is
+    the dependency-free fallback with the same API semantics."""
+    spark = df.sparkSession
+    if not table_format_supported(spark, fmt):
+        raise NotImplementedError(
+            f"{fmt} requires its runtime jar; submit with --packages "
+            f"{_TABLE_FORMAT_PACKAGES[fmt]}"
+        )
+    df.write.format(fmt).mode(mode).save(path)
+
+
+def read_table_format(spark: SparkSession, fmt: str, path: str) -> DataFrame:
+    """Read a Delta/Iceberg table. GATED like :func:`write_table_format`."""
+    if not table_format_supported(spark, fmt):
+        raise NotImplementedError(
+            f"{fmt} requires its runtime jar; submit with --packages "
+            f"{_TABLE_FORMAT_PACKAGES[fmt]}"
+        )
+    return spark.read.format(fmt).load(path)
+
+
 QUERIES = {
     "roundtrip_csv": roundtrip_csv,
     "roundtrip_json": roundtrip_json,

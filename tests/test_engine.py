@@ -113,6 +113,32 @@ def test_gated_avro_and_jdbc_raise_actionably(spark):
         )
 
 
+def test_gated_table_formats_probe_and_raise_actionably(spark, tmp_path):
+    import pytest
+
+    from hive_2_spark.catalog import load_table
+    from hive_2_spark.core.io import (
+        read_table_format,
+        table_format_supported,
+        write_table_format,
+    )
+
+    nation = load_table(spark, SF_DIR, "nation")
+    for fmt in ("delta", "iceberg"):
+        path = str(tmp_path / fmt)
+        if table_format_supported(spark, fmt):  # jar present: full roundtrip
+            write_table_format(nation, fmt, path)
+            assert read_table_format(spark, fmt, path).count() == 25
+        else:
+            with pytest.raises(NotImplementedError, match="--packages"):
+                write_table_format(nation, fmt, path)
+            with pytest.raises(NotImplementedError, match="--packages"):
+                read_table_format(spark, fmt, path)
+
+    with pytest.raises(ValueError, match="unknown table format"):
+        table_format_supported(spark, "hudi2")
+
+
 def test_observe_metrics_on_action(spark):
     """df.observe(): per-action metrics collected on the executors with
     no separate job — the production observability hook for row counts
