@@ -1,0 +1,151 @@
+"""Event-stream batch analytics: sessionization, funnel, retention cohorts.
+
+The operators a clickstream / training-telemetry pipeline runs over an
+append-only event log (driver `events` table, FIXTURES.md §A) — all three
+are the batch faces; the streaming faces of this table live in
+`hive_2_spark/streaming/`.
+
+- ``event_sessionize`` — gap-based sessionization (30-min inactivity): the
+  lag-flag/cumulative-sum "gap and islands" pattern, entirely window
+  functions. One shuffle on ``user_id``; the two windows and the final
+  session group-by all reuse that single hash partitioning (Catalyst emits
+  one Exchange), so at 100 TB this is scan + 1 shuffle regardless of how
+  long each user's history is.
+- ``event_funnel`` — ordered view→click→purchase conversion: conditional
+  MIN per stage per user, then stage-ordering predicates. One shuffle on
+  ``user_id``, then a scalar global aggregate over 1 row per user.
+- ``event_retention`` — weekly cohort retention triangle: users bucketed by
+  first-seen week, counted per (cohort_week, week_offset). Two shuffles
+  (first-seen agg on user_id, cohort agg) — both on low-cardinality keys.
+
+Determinism: all time math is exact integer *microseconds*
+(``unix_micros`` / DuckDB ``epoch_us``, both BIGINT) — float epoch seconds
+drift at the 7th decimal and can flip a gap comparison or a week-boundary
+floor between engines. Window order ``(ts, event_id)`` is a total order
+(event_id unique), so lag/cumsum are reproducible under ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hive_2_spark.catalog import load_table, register_views
+
+GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level rollup: (user_id, session_id) -> count/start/duration."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = e.withColumn("us", F.unix_micros("ts"))
+    prev = F.lag("us").over(w)
+    e = e.withColumn(
+        "new_s",
+        F.when(prev.isNull() | ((F.col("us") - prev) > GAP_US), 1).otherwise(0),
+    )
+    e = e.withColumn("session_id", F.sum("new_s").over(w))
+    return e.groupBy(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, us,
+         SUM(new_s) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(us) - MIN(us) AS duration_us
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+# Funnel SQL is engine-portable (conditional MIN + CASE only), so the Spark
+# side runs the same string the oracle does — one plan, two engines.
+_FUNNEL = """
+WITH stage AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t_click >= t_view THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_then_click,
+       CAST(SUM(CASE WHEN t_click >= t_view AND t_purchase >= t_click
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full_funnel
+FROM stage
+"""
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_FUNNEL)
+
+
+def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort triangle: users by first-seen week x calendar-week offset."""
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("wk", F.expr(f"unix_micros(ts) div {WEEK_US}"))
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        e.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+_RETENTION_ORACLE = """
+WITH wk AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+), first AS (
+  SELECT user_id, MIN(wk) AS cohort_week FROM wk GROUP BY user_id
+)
+SELECT cohort_week, wk.wk - cohort_week AS week_offset,
+       CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS n_active
+FROM wk JOIN first ON wk.user_id = first.user_id
+GROUP BY cohort_week, week_offset
+"""
+
+
+QUERIES = {
+    "event_sessionize": event_sessionize,
+    "event_funnel": event_funnel,
+    "event_retention": event_retention,
+}
+
+ORACLES = {
+    "event_sessionize": _SESSIONIZE_ORACLE,
+    "event_funnel": _FUNNEL,
+    "event_retention": _RETENTION_ORACLE,
+}

@@ -30,6 +30,8 @@ _MODULES: list[str] = [
     "hive_2_spark.core.reshape",
     "hive_2_spark.core.skew",
     "hive_2_spark.core.analytics",
+    "hive_2_spark.core.analytics2",
+    "hive_2_spark.core.events",
     "hive_2_spark.core.udfs",
     "hive_2_spark.core.io",
     "hive_2_spark.core.layout",

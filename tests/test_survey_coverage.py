@@ -41,6 +41,13 @@ BRIEF_EXTRAS = [
     "dedup_embedding", "sim_cosine_lsh", "sim_ivf_topk",
     "lang_id", "quality_score", "token_count", "fingerprint",
     "media_features", "media_stats",
+    # TPC-H remainder adapted to the driver schema (core/analytics2.py)
+    "sql_q6_forecast_revenue", "sql_q8_market_share",
+    "sql_q11_revenue_concentration", "sql_q13_order_distribution",
+    "sql_q15_top_supplier", "sql_q17_small_qty_revenue",
+    "sql_q22_idle_customers",
+    # event-log batch analytics (core/events.py)
+    "event_sessionize", "event_funnel", "event_retention",
 ]
 
 
