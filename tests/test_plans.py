@@ -124,3 +124,36 @@ def test_token_pack_single_window_shuffle(spark):
     n_exchanges = plan.count("+- Exchange") + plan.count(": Exchange")
     assert "Window" in plan
     assert n_exchanges <= 2, plan  # window shuffle (+ AQE read at most)
+
+
+def test_sessionize_single_exchange(spark):
+    """Gap-island sessionization must hash-partition on user_id exactly
+    once: both windows AND the session group-by reuse that partitioning.
+    A second Exchange would re-shuffle the full event log at 100 TB."""
+    from hive_2_spark.core.events import event_sessionize
+
+    plan = plan_of(event_sessionize(spark, SF_DIR))
+    n_exchanges = plan.count("+- Exchange") + plan.count(": Exchange")
+    assert n_exchanges == 1, plan
+    assert plan.count("Window") >= 2
+
+
+def test_funnel_one_wide_shuffle(spark):
+    """Funnel = one hash shuffle on user_id; the final global aggregate
+    exchanges only one pre-aggregated row per partition."""
+    from hive_2_spark.core.events import event_funnel
+
+    plan = plan_of(event_funnel(spark, SF_DIR))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "SinglePartition" in plan
+
+
+def test_q8_dimensions_broadcast(spark):
+    """The 7-way market-share star join must broadcast every dimension
+    (part/supplier/customer/nation x2/region) — no SortMergeJoin against a
+    broadcast-sized table, no CartesianProduct anywhere."""
+    from hive_2_spark.core.analytics2 import sql_q8_market_share
+
+    plan = plan_of(sql_q8_market_share(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
