@@ -111,9 +111,17 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti: customers with no orders at all (NOT EXISTS)."""
+    """Left anti (NOT EXISTS): customers with no URGENT order in 1998.
+
+    The probe side is date/priority-filtered so the survivor set is
+    non-empty at every sf (every customer has *some* order in the driver
+    data, so anti-joining all orders returns 0 rows — a vacuous check).
+    """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -214,7 +222,9 @@ ORACLES = {
     ),
     "join_anti": (
         "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS ("
-        "SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderpriority = '1-URGENT' "
+        "AND o_orderdate >= TIMESTAMP '1998-01-01')"
     ),
     "join_range": (
         "SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate "

@@ -108,8 +108,11 @@ def filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Infix LIKE over the live p_type vocabulary: %ROM% hits PROMO only,
+    so the match set is non-empty AND a strict subset (a vacuous or
+    match-everything pattern would prove nothing about LIKE semantics)."""
     p = load_table(spark, sf_dir, "part")
-    return p.filter(F.col("p_type").like("%BRASS%")).select(
+    return p.filter(F.col("p_type").like("%ROM%")).select(
         "p_partkey", "p_name", "p_type"
     )
 
@@ -238,7 +241,7 @@ ORACLES = {
         "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')"
     ),
     "filter_like": (
-        "SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE '%BRASS%'"
+        "SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE '%ROM%'"
     ),
     "filter_null": (
         "SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_o FROM orders "

@@ -15,36 +15,43 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Module order controls registry insertion order, which is the order the
+# driver consumes keys in. Round 1 verified the first 50 keys (flagship,
+# relational, joins, aggregates, windows, set_union); round 2 front-loads the
+# families that have no driver-side CORRECTNESS verdict yet so the driver's
+# window lands on them: writes -> streaming batch faces -> LLM ops -> TPC-H
+# SQL -> events -> scalar fns -> udfs/io/misc. Already-driver-green families
+# sit at the tail.
 _MODULES: list[str] = [
+    "hive_2_spark.core.writes",
+    "hive_2_spark.streaming.windows",
+    "hive_2_spark.streaming.stateful",
+    "hive_2_spark.streaming.joins",
+    "hive_2_spark.llm.dedup",
+    "hive_2_spark.llm.similarity",
+    "hive_2_spark.llm.text",
+    "hive_2_spark.llm.advanced",
+    "hive_2_spark.llm.multimodal",
+    "hive_2_spark.core.analytics",
+    "hive_2_spark.core.analytics2",
+    "hive_2_spark.core.events",
+    "hive_2_spark.core.scalarfns",
+    "hive_2_spark.core.scalarfns2",
+    "hive_2_spark.core.scalarfns3",
+    "hive_2_spark.core.udfs",
+    "hive_2_spark.core.io",
+    "hive_2_spark.core.asof",
+    "hive_2_spark.core.reshape",
+    "hive_2_spark.core.skew",
+    "hive_2_spark.core.layout",
+    "hive_2_spark.core.timeseries",
+    "hive_2_spark.core.profile",
+    "hive_2_spark.core.setops",
     "hive_2_spark.flagship",
     "hive_2_spark.core.relational",
     "hive_2_spark.core.joins",
     "hive_2_spark.core.aggregates",
     "hive_2_spark.core.windows",
-    "hive_2_spark.core.setops",
-    "hive_2_spark.core.scalarfns",
-    "hive_2_spark.core.scalarfns2",
-    "hive_2_spark.core.scalarfns3",
-    "hive_2_spark.core.writes",
-    "hive_2_spark.core.asof",
-    "hive_2_spark.core.reshape",
-    "hive_2_spark.core.skew",
-    "hive_2_spark.core.analytics",
-    "hive_2_spark.core.analytics2",
-    "hive_2_spark.core.events",
-    "hive_2_spark.core.udfs",
-    "hive_2_spark.core.io",
-    "hive_2_spark.core.layout",
-    "hive_2_spark.core.timeseries",
-    "hive_2_spark.core.profile",
-    "hive_2_spark.streaming.windows",
-    "hive_2_spark.streaming.stateful",
-    "hive_2_spark.streaming.joins",
-    "hive_2_spark.llm.text",
-    "hive_2_spark.llm.dedup",
-    "hive_2_spark.llm.similarity",
-    "hive_2_spark.llm.multimodal",
-    "hive_2_spark.llm.advanced",
 ]
 
 
