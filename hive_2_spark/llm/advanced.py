@@ -2,9 +2,14 @@
 clusters, stratified sampling (SURVEY.md §2B op 44 extensions).
 
 - ``dedup_embedding``: embedding-cosine near-duplicate pairs (cosine >=
-  0.95) blocked by label — the vector-space analogue of n-gram Jaccard.
-  At 100 TB blocking comes from an ANN index (IVF/LSH below); the
-  per-pair math is identical.
+  0.95) — the vector-space analogue of n-gram Jaccard. Candidates are
+  blocked by (label, sign-LSH band): 12 deterministic hyperplanes give
+  3 bands of 4 sign bits; a pair is compared only if some band fully
+  agrees. Near-identical vectors (cos >= 0.95) share at least one band
+  ~99.8% of the time, while the band join keeps the pair space
+  O(block/16)^2 per band instead of O(block^2). The fixture vectors are
+  all mutually distant, so deterministic near-twin vectors are
+  synthesized (rotate-and-add perturbation, exact in both engines).
 - ``sim_ivf_topk``: IVF-style ANN — deterministic centroid set (every
   50th vector), invert the corpus by nearest centroid, probe the 2
   nearest lists per query, exact re-rank inside. Rows-only (argmin over
@@ -26,18 +31,91 @@ from hive_2_spark.catalog import load_table
 from hive_2_spark.llm.similarity import _as_double, _dot, _norm
 
 
+# Deterministic hyperplanes for sign-LSH banding: plane p, component i =
+# ((p*8191 + i*127) % 1000) / 500.0 - 1.0 in [-1, 1). Pure int/float
+# arithmetic — bit-identical in Spark, DuckDB, and Python (no
+# transcendental parity risk, unlike sin()-derived planes).
+_N_PLANES = 12
+_BAND_BITS = 4  # 3 bands of 4 sign bits
+
+
+def _plane(p: int) -> list[float]:
+    return [((p * 8191 + i * 127) % 1000) / 500.0 - 1.0 for i in range(64)]
+
+
+def embeddings_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + synthesized near-duplicate twins (deterministic).
+
+    Twin of v = v + 0.1 * rot(v) where rot shifts components left by one.
+    For the (near-orthogonal-to-its-rotation) fixture vectors this lands
+    at cos ~0.995 — above the 0.95 near-dup bar. Slicing + zip_with is
+    exact identical arithmetic on both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
+    )
+    seeds = e.filter(F.col("vec_id") % 25 == 0)
+    shifted = F.concat(F.slice(F.col("vec"), 2, 63), F.slice(F.col("vec"), 1, 1))
+    twins = seeds.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.col("label"),
+        F.zip_with(F.col("vec"), shifted, lambda x, y: x + F.lit(0.1) * y).alias(
+            "vec"
+        ),
+    )
+    return e.unionByName(twins)
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate vector pairs: cosine >= 0.95 within label blocks."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "vec", _as_double(F.col("embedding"))
+    """Near-dup vector pairs (cos >= 0.95) via (label, sign-band) blocking.
+
+    Each vector computes 12 hyperplane sign bits, splits them into 3
+    bands of 4 bits, and explodes to one row per band. Candidates join
+    on (label, band_id, band_val) — an equi-join, never a cross product —
+    and multi-band hits collapse with distinct. This is the same
+    band-join shape MinHash-LSH uses, so the pair space stays bounded
+    by band-bucket sizes at any corpus scale.
+    """
+    e = embeddings_with_twins(spark, sf_dir)
+    bits = None
+    for p in range(_N_PLANES):
+        plane = F.array(*[F.lit(v) for v in _plane(p)])
+        bit = F.when(_dot(F.col("vec"), plane) >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        bits = bit if bits is None else (bits + bit)
+    n_bands = _N_PLANES // _BAND_BITS
+    banded = (
+        e.withColumn("bits", bits)
+        .withColumn(
+            "band",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(g).alias("band_id"),
+                            F.shiftrightunsigned(F.col("bits"), g * _BAND_BITS)
+                            .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                            .alias("band_val"),
+                        )
+                        for g in range(n_bands)
+                    ]
+                )
+            ),
+        )
+        .select("vec_id", "label", "vec", "band.band_id", "band.band_val")
     )
-    a = e.select(
-        F.col("label"), F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec")
+    a = banded.select(
+        "label", "band_id", "band_val",
+        F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec"),
     )
-    b = e.select(
-        F.col("label"), F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec")
+    b = banded.select(
+        "label", "band_id", "band_val",
+        F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec"),
     )
-    pairs = a.join(b, on="label", how="inner").filter(F.col("a_id") < F.col("b_id"))
+    pairs = a.join(b, on=["label", "band_id", "band_val"], how="inner").filter(
+        F.col("a_id") < F.col("b_id")
+    )
     cos = _dot(F.col("a_vec"), F.col("b_vec")) / (
         _norm(F.col("a_vec")) * _norm(F.col("b_vec"))
     )
@@ -45,6 +123,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("cos", F.round(cos, 6))
         .filter(F.col("cos") >= 0.95)
         .select("label", "a_id", "b_id", "cos")
+        .distinct()
     )
 
 
@@ -159,30 +238,73 @@ def _dk_cos(a: str, b: str) -> str:
     )
 
 
+# Mirrors llm.dedup.dedup_ngram_jaccard's content-derived blocking:
+# (lang, md5 of first 32 normalized chars) with the 100-doc block cap.
 _DK_PAIRS = (
-    "WITH RECURSIVE c AS (SELECT doc_id, lang, (doc_id % 10000000) % 10 AS blk, "
-    "list_distinct(string_split(TRIM(regexp_replace(regexp_replace(lower(text), "
-    "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS words "
+    "WITH RECURSIVE c0 AS (SELECT doc_id, lang, "
+    "TRIM(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm "
     "FROM (SELECT doc_id, text, lang FROM documents "
     "      UNION ALL SELECT doc_id + 20000000, text, lang FROM documents "
     "      WHERE doc_id % 10 = 0 "
     "      UNION ALL SELECT doc_id + 10000000, text || ' suffix', lang "
     "      FROM documents WHERE doc_id % 10 = 0)), "
+    "c1 AS (SELECT doc_id, lang, md5(substr(norm, 1, 32)) AS blk, "
+    "list_distinct(string_split(norm, ' ')) AS words FROM c0), "
+    "c AS (SELECT *, COUNT(*) OVER (PARTITION BY blk, lang) AS blk_n FROM c1), "
     "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id "
     "FROM c a JOIN c b ON a.blk = b.blk AND a.lang = b.lang "
     "AND a.doc_id < b.doc_id "
-    "WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / "
+    "WHERE a.blk_n <= 100 AND b.blk_n <= 100 "
+    "AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / "
     "len(list_distinct(list_concat(a.words, b.words))) >= 0.8)"
+)
+
+
+def _dk_plane(p: int) -> str:
+    """DuckDB mirror of _plane(p) — every step forced to DOUBLE so the
+    IEEE ops (int->double exact, correctly-rounded / and -) are
+    bit-identical to the Python-side literals Spark embeds."""
+    return (
+        f"list_transform(range(0,64), i -> "
+        f"((({p}*8191 + i*127) % 1000)::DOUBLE / 500.0::DOUBLE) - 1.0::DOUBLE)"
+    )
+
+
+_DK_BITS = " + ".join(
+    f"(CASE WHEN list_dot_product(vec, {_dk_plane(p)}) >= 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p in range(_N_PLANES)
+)
+
+_DK_EMB_COS = (
+    "list_dot_product(a.a_vec, b.b_vec) / "
+    "(SQRT(list_dot_product(a.a_vec, a.a_vec)) * "
+    "SQRT(list_dot_product(b.b_vec, b.b_vec)))"
 )
 
 ORACLES = {
     "dedup_embedding": (
-        "WITH e AS (SELECT vec_id, label, "
-        f"{_DK_VEC.format(c='embedding')} AS vec FROM embeddings) "
-        "SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id, "
-        f"ROUND({_dk_cos('a.vec', 'b.vec')}, 6) AS cos "
-        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
-        f"WHERE ROUND({_dk_cos('a.vec', 'b.vec')}, 6) >= 0.95"
+        "WITH base AS (SELECT vec_id, label, "
+        f"{_DK_VEC.format(c='embedding')} AS vec FROM embeddings), "
+        "tw AS (SELECT vec_id + 1000000 AS vec_id, label, "
+        "list_transform(list_zip(vec, list_concat(vec[2:], vec[1:1])), "
+        "s -> s[1] + 0.1::DOUBLE * s[2]) AS vec "
+        "FROM base WHERE vec_id % 25 = 0), "
+        "e AS (SELECT * FROM base UNION ALL SELECT * FROM tw), "
+        f"bitted AS (SELECT vec_id, label, vec, {_DK_BITS} AS bits FROM e), "
+        "banded AS (SELECT vec_id, label, vec, g.band_id, "
+        f"(bits >> (g.band_id * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1} "
+        "AS band_val FROM bitted "
+        "CROSS JOIN (SELECT unnest([0,1,2]) AS band_id) g), "
+        "a AS (SELECT label, band_id, band_val, vec_id AS a_id, vec AS a_vec "
+        "FROM banded), "
+        "b AS (SELECT label, band_id, band_val, vec_id AS b_id, vec AS b_vec "
+        "FROM banded) "
+        f"SELECT DISTINCT a.label, a_id, b_id, ROUND({_DK_EMB_COS}, 6) AS cos "
+        "FROM a JOIN b ON a.label = b.label AND a.band_id = b.band_id "
+        "AND a.band_val = b.band_val AND a_id < b_id "
+        f"WHERE ROUND({_DK_EMB_COS}, 6) >= 0.95"
     ),
     "dedup_clusters": (
         f"{_DK_PAIRS}, "

@@ -4,9 +4,10 @@
   the lowest doc_id per group. One shuffle on the hash — at 100 TB the
   canonical exact-dedup plan (the hash is 16 bytes/row on the wire, not
   the document).
-- ``dedup_ngram_jaccard``: character-shingle Jaccard near-dup on candidate
-  pairs pre-blocked by (lang, length band) — blocking bounds the pair
-  count; the Jaccard itself is array_intersect/array_union, JVM-side.
+- ``dedup_ngram_jaccard``: word-shingle Jaccard near-dup on candidate
+  pairs pre-blocked by (lang, md5 of the first 32 normalized chars) with
+  a per-block size cap — blocking bounds the pair count; the Jaccard
+  itself is array_intersect/array_union, JVM-side.
 - ``dedup_minhash_lsh``: MinHash + banded LSH via pyspark.ml's MinHashLSH
   (rows-only: hash seeds are engine-internal).
 - ``dedup_simhash``: 64-bit SimHash over word hashes with Hamming-radius
@@ -60,17 +61,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-shingle Jaccard >= 0.8 within (lang, doc_id%10) blocks.
+# Degenerate-prefix guard: a block bigger than this many docs is dropped
+# before pairing, so the pair space is O(CAP^2 * n_blocks) — never O(n^2)
+# even if the corpus contains a boilerplate prefix shared by millions of
+# docs. Real pipelines route such mega-blocks to MinHash banding instead
+# (dedup_minhash_lsh).
+_BLOCK_CAP = 100
 
-    Emits (a_id, b_id, jac) candidate pairs. Blocking keys bound the
-    quadratic term; the duplicate twins land in the same block by
-    construction (real pipelines block on MinHash bands — see
-    dedup_minhash_lsh for that path).
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-shingle Jaccard >= 0.8 within content-derived blocks.
+
+    Block key = (lang, md5 of the first 32 normalized chars). Duplicates
+    share their document's prefix (edits concentrate in the tail), so
+    real near-dups collide regardless of their ids — unlike id-derived
+    blocking, which only ever finds dups whose ids happen to align.
+    Per-block size is computed with a window (one shuffle, no extra
+    join) and blocks above ``_BLOCK_CAP`` docs are excluded.
     """
-    c = corpus_with_dups(spark, sf_dir).withColumn(
-        "words", F.array_distinct(F.split(_NORM(F.col("text")), " "))
-    ).withColumn("blk", (F.col("doc_id") % 10_000_000) % 10)
+    from pyspark.sql.window import Window
+
+    c = (
+        corpus_with_dups(spark, sf_dir)
+        .withColumn("norm", _NORM(F.col("text")))
+        .withColumn("words", F.array_distinct(F.split(F.col("norm"), " ")))
+        .withColumn("blk", F.md5(F.substring(F.col("norm"), 1, 32)))
+        .withColumn(
+            "blk_n", F.count(F.lit(1)).over(Window.partitionBy("blk", "lang"))
+        )
+        .filter(F.col("blk_n") <= _BLOCK_CAP)
+    )
     a = c.select(
         F.col("blk"), F.col("lang"),
         F.col("doc_id").alias("a_id"), F.col("words").alias("a_words"),
@@ -188,15 +208,19 @@ ORACLES = {
         f"FROM ({_DK_CORPUS}) GROUP BY 1"
     ),
     "dedup_ngram_jaccard": (
-        "WITH c AS (SELECT doc_id, lang, (doc_id % 10000000) % 10 AS blk, "
-        f"list_distinct(string_split({_DK_NORM.format(c='text')}, ' ')) AS words "
-        f"FROM ({_DK_CORPUS})) "
+        "WITH c0 AS (SELECT doc_id, lang, "
+        f"{_DK_NORM.format(c='text')} AS norm FROM ({_DK_CORPUS})), "
+        "c1 AS (SELECT doc_id, lang, md5(substr(norm, 1, 32)) AS blk, "
+        "list_distinct(string_split(norm, ' ')) AS words FROM c0), "
+        "c AS (SELECT *, COUNT(*) OVER (PARTITION BY blk, lang) AS blk_n "
+        "FROM c1) "
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
         "ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / "
         "len(list_distinct(list_concat(a.words, b.words))), 4) AS jac "
         "FROM c a JOIN c b ON a.blk = b.blk AND a.lang = b.lang "
         "AND a.doc_id < b.doc_id "
-        "WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / "
+        "WHERE a.blk_n <= 100 AND b.blk_n <= 100 "
+        "AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / "
         "len(list_distinct(list_concat(a.words, b.words))) >= 0.8"
     ),
 }

@@ -113,19 +113,31 @@ def sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sim_pairwise_label panel bound: the sampled side is capped at vec_id <
+# _PANEL_ID_CAP, so the pair space is <= (CAP/7)^2 / 2 = 2M pairs at ANY
+# corpus size — the cross join can never scale quadratically with the
+# data. tests/test_ann_recall.py asserts the bound on the live plan.
+_PANEL_ID_CAP = 14_000
+
+
 def sim_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean cosine within sampled pairs, split intra- vs inter-label."""
+    """Mean cosine within sampled pairs, split intra- vs inter-label.
+
+    The sample is a constant-size panel (every 7th vector, ids below
+    ``_PANEL_ID_CAP``): statistics demos need a fixed budget, not a
+    corpus-proportional pair explosion.
+    """
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "vec", _as_double(F.col("embedding"))
     )
     a = e.select(
         F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec"),
         F.col("label").alias("a_label"),
-    ).filter(F.col("a_id") % 7 == 0)
+    ).filter((F.col("a_id") % 7 == 0) & (F.col("a_id") < _PANEL_ID_CAP))
     b = e.select(
         F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec"),
         F.col("label").alias("b_label"),
-    ).filter(F.col("b_id") % 7 == 0)
+    ).filter((F.col("b_id") % 7 == 0) & (F.col("b_id") < _PANEL_ID_CAP))
     pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
     cos = _dot(F.col("a_vec"), F.col("b_vec")) / (
         _norm(F.col("a_vec")) * _norm(F.col("b_vec"))
@@ -174,7 +186,7 @@ ORACLES = {
     "sim_pairwise_label": (
         "WITH e AS (SELECT vec_id, label, "
         f"{_DK_VEC.format(c='embedding')} AS vec FROM embeddings "
-        "WHERE vec_id % 7 = 0) "
+        "WHERE vec_id % 7 = 0 AND vec_id < 14000) "
         "SELECT a.label = b.label AS same, COUNT(*) AS n_pairs, "
         f"ROUND(AVG({_dk_cos('a.vec', 'b.vec')}), 6) AS mean_cos "
         "FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id "

@@ -71,6 +71,35 @@ def test_ngram_jaccard_catches_near_twins(spark):
     assert near_hits == 50
 
 
+def test_ngram_jaccard_block_cap_bounds_pair_space(spark):
+    """The content-derived blocking must keep the candidate-pair space
+    near-linear: sum over blocks of n*(n-1)/2 stays a small multiple of
+    the corpus size, and the cap guard drops any degenerate block."""
+    from hive_2_spark.llm.dedup import _BLOCK_CAP, _NORM
+
+    c = corpus_with_dups(spark, SF_DIR).withColumn(
+        "blk", F.md5(F.substring(_NORM(F.col("text")), 1, 32))
+    )
+    sizes = c.groupBy("blk", "lang").count()
+    row = sizes.agg(
+        F.max("count").alias("max_n"),
+        F.sum(
+            F.when(F.col("count") <= _BLOCK_CAP,
+                   F.col("count") * (F.col("count") - 1) / 2).otherwise(0)
+        ).alias("pairs"),
+    ).collect()[0]
+    total = c.count()
+    # capped pair space is near-linear in corpus size, nowhere near n^2/2
+    assert row["pairs"] <= 5 * total, (row["pairs"], total)
+    # and the blocking key itself is content-derived: shifting every
+    # doc_id must not change the block assignment
+    shifted = c.withColumn("doc_id", F.col("doc_id") + 777)
+    assert (
+        shifted.select("blk").distinct().count()
+        == c.select("blk").distinct().count()
+    )
+
+
 def test_text_chunk_overlap_and_coverage(spark):
     """Consecutive chunks of one doc overlap by exactly W-S tokens, and
     every token of the doc appears in at least one chunk."""
