@@ -36,9 +36,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, prefer_managed: bool = False
+) -> DataFrame:
+    """Resolve a table to a DataFrame.
+
+    With ``prefer_managed=True`` the session catalog is consulted first:
+    if the table was materialized as a managed warehouse table
+    (``core.metastore.create_managed``) the catalog copy serves the scan;
+    otherwise the driver's parquet files do. Models can thereby be backed
+    by managed tables without any change at the call site.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if prefer_managed:
+        from hive_2_spark.core.metastore import DB
+
+        if spark.catalog.tableExists(f"{DB}.{name}"):
+            return spark.table(f"{DB}.{name}")
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))

@@ -24,6 +24,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # sit at the tail.
 _MODULES: list[str] = [
     "hive_2_spark.core.writes",
+    "hive_2_spark.core.metastore",
     "hive_2_spark.streaming.windows",
     "hive_2_spark.streaming.stateful",
     "hive_2_spark.streaming.joins",

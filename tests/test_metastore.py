@@ -1,0 +1,65 @@
+"""Managed-table lifecycle: create -> list -> read via spark.table ->
+model backed by the catalog copy -> drop. The warehouse dir is real
+(files on disk), the catalog API is the standard spark.catalog surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from hive_2_spark.catalog import load_table
+from hive_2_spark.core.metastore import (
+    DB,
+    create_managed,
+    create_managed_as_select,
+    drop_managed,
+    list_managed,
+    warehouse_location,
+)
+from tests.conftest import SF_DIR
+
+
+def test_managed_table_lifecycle(spark):
+    drop_managed(spark, "nation")
+    assert "nation" not in list_managed(spark)
+
+    managed = create_managed(spark, SF_DIR, "nation")
+    # catalog sees it
+    assert "nation" in list_managed(spark)
+    assert spark.catalog.tableExists(f"{DB}.nation")
+    # warehouse files exist on disk
+    loc = os.path.join(warehouse_location(), f"{DB}.db", "nation")
+    assert os.path.isdir(loc) and os.listdir(loc)
+    # catalog copy matches the source files exactly
+    src = load_table(spark, SF_DIR, "nation")
+    assert sorted(map(tuple, managed.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+    drop_managed(spark, "nation")
+    assert not spark.catalog.tableExists(f"{DB}.nation")
+
+
+def test_ctas_face(spark):
+    df = load_table(spark, SF_DIR, "region").selectExpr(
+        "r_regionkey", "upper(r_name) AS r_name_uc"
+    )
+    out = create_managed_as_select(spark, df, "region_uc")
+    assert out.count() == 5
+    assert set(out.columns) == {"r_regionkey", "r_name_uc"}
+    drop_managed(spark, "region_uc")
+
+
+def test_model_served_from_managed_table(spark):
+    """load_table(prefer_managed=True) must switch the scan to the
+    catalog copy when one exists, and fall back to files when not."""
+    create_managed(spark, SF_DIR, "region")
+    via_catalog = load_table(spark, SF_DIR, "region", prefer_managed=True)
+    plan = via_catalog._jdf.queryExecution().toString()
+    assert f"{DB}.region" in plan or "region" in plan
+    assert sorted(map(tuple, via_catalog.collect())) == sorted(
+        map(tuple, load_table(spark, SF_DIR, "region").collect())
+    )
+    drop_managed(spark, "region")
+    fallback = load_table(spark, SF_DIR, "region", prefer_managed=True)
+    assert fallback.count() == 5
