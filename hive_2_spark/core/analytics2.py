@@ -152,13 +152,18 @@ WHERE p_brand = 'Brand#3'
 
 # Q22-shaped: customers with above-average positive balance and no orders at
 # all — scalar AVG subquery + NOT EXISTS anti-join, grouped by nation.
+# DECIMAL accumulation on both the AVG threshold and the reported SUM (the
+# module's determinism rule): the boundary comparison and the .005 rounding
+# boundary then depend on one exact sum, not on double summation order.
 _Q22 = """
 SELECT c_nationkey,
        CAST(COUNT(*) AS BIGINT) AS numcust,
-       ROUND(SUM(c_acctbal), 2) AS totacctbal
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS totacctbal
 FROM customer
 WHERE c_acctbal > (
-    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+    SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2)))
+    FROM customer WHERE c_acctbal > 0.0
   )
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_nationkey

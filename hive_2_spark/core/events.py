@@ -14,9 +14,11 @@ are the batch faces; the streaming faces of this table live in
 - ``event_funnel`` — ordered view→click→purchase conversion: conditional
   MIN per stage per user, then stage-ordering predicates. One shuffle on
   ``user_id``, then a scalar global aggregate over 1 row per user.
-- ``event_retention`` — weekly cohort retention triangle: users bucketed by
-  first-seen week, counted per (cohort_week, week_offset). Two shuffles
-  (first-seen agg on user_id, cohort agg) — both on low-cardinality keys.
+- ``event_retention`` — cohort retention triangle over *epoch-week buckets*
+  (``unix_micros div WEEK_US`` — weeks counted from the Unix epoch, a
+  Thursday, NOT calendar weeks): users bucketed by first-seen epoch-week,
+  counted per (cohort_week, week_offset). Two shuffles (first-seen agg on
+  user_id, cohort agg) — both on low-cardinality keys.
 
 Determinism: all time math is exact integer *microseconds*
 (``unix_micros`` / DuckDB ``epoch_us``, both BIGINT) — float epoch seconds
@@ -37,20 +39,32 @@ GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 WEEK_US = 7 * 24 * 3600 * 1_000_000
 
 
-def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-level rollup: (user_id, session_id) -> count/start/duration."""
-    e = load_table(spark, sf_dir, "events")
+def sessionized(e: DataFrame, gap_us: int = GAP_US) -> DataFrame:
+    """Gap-island core shared by every sessionize face: adds exact-microsecond
+    ``us`` and per-user ``session_id`` (BIGINT) columns.
+
+    This is the ONLY place the gap constant, tie-breaking order, and
+    flag/cumulative-sum pattern live — ``event_sessionize`` here and
+    ``streaming/windows.stream_session`` both roll up from it, so the two
+    faces cannot drift (ADVICE r1). Both windows reuse one hash partitioning
+    on ``user_id`` — Catalyst emits a single Exchange.
+    """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = e.withColumn("us", F.unix_micros("ts"))
     prev = F.lag("us").over(w)
     e = e.withColumn(
         "new_s",
-        F.when(prev.isNull() | ((F.col("us") - prev) > GAP_US), 1).otherwise(0),
+        F.when(prev.isNull() | ((F.col("us") - prev) > gap_us), 1).otherwise(0),
     )
-    e = e.withColumn("session_id", F.sum("new_s").over(w))
-    return e.groupBy(
-        "user_id", F.col("session_id").cast("bigint").alias("session_id")
-    ).agg(
+    return e.withColumn(
+        "session_id", F.sum("new_s").over(w).cast("bigint")
+    ).drop("new_s")
+
+
+def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level rollup: (user_id, session_id) -> count/start/duration."""
+    e = sessionized(load_table(spark, sf_dir, "events"))
+    return e.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         (F.max("us") - F.min("us")).alias("duration_us"),
@@ -109,7 +123,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort triangle: users by first-seen week x calendar-week offset."""
+    """Cohort triangle: users by first-seen epoch-week x epoch-week offset."""
     e = load_table(spark, sf_dir, "events")
     e = e.withColumn("wk", F.expr(f"unix_micros(ts) div {WEEK_US}"))
     first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))

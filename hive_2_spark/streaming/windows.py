@@ -24,8 +24,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_2_spark.catalog import load_table, table_path
+from hive_2_spark.core.events import sessionized
 
-GAP_SECONDS = 30 * 60  # session gap: 30 minutes
+GAP_SECONDS = 30 * 60  # session gap: 30 minutes (streaming session_window)
 
 
 # ------------------------------------------------------------- tumbling
@@ -62,25 +63,12 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) per user — batch form
     via the lag/cumulative-sum island pattern (identical SQL semantics to
-    streaming ``session_window``)."""
-    e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    with_gap = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
-        "new_sess",
-        F.when(
-            F.col("prev_ts").isNull()
-            | (
-                F.col("ts").cast("long") - F.col("prev_ts").cast("long")
-                > GAP_SECONDS
-            ),
-            1,
-        ).otherwise(0),
-    )
-    sess = with_gap.withColumn(
-        "sess_id",
-        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
-    return sess.groupBy("user_id", "sess_id").agg(
+    streaming ``session_window``). The gap constant, ordering, and
+    flag/cumsum core are shared with ``core.events.sessionize`` — only the
+    rollup columns differ (exact-microsecond comparison, matching the
+    oracle's fractional ``epoch()`` diff)."""
+    e = sessionized(load_table(spark, sf_dir, "events"))
+    return e.groupBy("user_id", F.col("session_id").alias("sess_id")).agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
