@@ -33,6 +33,7 @@ _MODULES: list[str] = [
     "hive_2_spark.llm.text",
     "hive_2_spark.llm.advanced",
     "hive_2_spark.llm.multimodal",
+    "hive_2_spark.core.analytics3",
     "hive_2_spark.core.analytics",
     "hive_2_spark.core.analytics2",
     "hive_2_spark.core.events",

@@ -43,8 +43,10 @@ BRIEF_EXTRAS = [
     "media_features", "media_stats",
     # TPC-H remainder adapted to the driver schema (core/analytics2.py)
     "sql_q6_forecast_revenue", "sql_q8_market_share",
-    "sql_q11_revenue_concentration", "sql_q13_order_distribution",
-    "sql_q15_top_supplier", "sql_q17_small_qty_revenue",
+    "sql_q9_profit_by_nation", "sql_q11_revenue_concentration",
+    "sql_q13_order_distribution", "sql_q15_top_supplier",
+    "sql_q16_supplier_diversity", "sql_q17_small_qty_revenue",
+    "sql_q20_volume_suppliers", "sql_q21_waiting_suppliers",
     "sql_q22_idle_customers",
     # event-log batch analytics (core/events.py)
     "event_sessionize", "event_funnel", "event_retention",
