@@ -93,10 +93,15 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct — rows-only check (sketch != oracle)."""
+    """HLL approximate distinct — rows-only check (sketch != oracle).
+
+    rsd=0.02 (not the 0.05 default): the default's 1-sigma bound makes
+    ±5% errors routine, while 2% rsd keeps the observed error inside the
+    ±5% accuracy gate (tests/test_approx_accuracy.py) for ~4x the sketch
+    memory — still a fixed few KB per group at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
             "approx_median_price"
         ),
