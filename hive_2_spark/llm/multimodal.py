@@ -2,15 +2,23 @@
 
 Images/audio/video ride as opaque ``binary`` columns with typed metadata
 structs. The Spark-side plumbing — schema, partitioning, Arrow batch
-shape, Pandas-UDF signatures — is real and tested; the actual
-decode/resample kernels are STUBBED deterministically because no
-image/audio libraries exist in this container (each stub documents the
-production swap-in, e.g. PIL/libvips for images).
+shape, Pandas-UDF signatures — is real and tested, and (since r2) so are
+the kernels: payloads are genuine PNG / WAV / RAWV containers built and
+parsed by the pure-stdlib codecs in ``media_codec.py`` (zlib PNG with
+CRC-validated chunks, ``wave`` 16-bit PCM, an explicit deterministic
+video container). A production deployment swaps one decode function for
+PIL/libvips/ffmpeg; every Spark-side decision stays identical.
 
-The binary fixtures are synthesized from ``documents.text`` (utf-8
-encode) — deterministic, so the rows-only query is stable.
+Two fixture tables:
 
-Scale notes: binary payloads stay OFF the shuffle path — metadata is
+- ``media_table`` — ``documents.text`` utf-8 bytes as the blob; feeds
+  the three ORACLE-checked metadata/plan keys (DuckDB can mirror
+  octet_length over encode(text), it cannot mirror PNG encoding).
+- ``media_table_real`` — real containers synthesized deterministically
+  from ``media_id`` inside ``mapInPandas``; feeds the rows-only
+  ``media_features`` decode pipeline and the real resize kernel.
+
+Scale notes: binary payloads stay OFF the shuffle path — features are
 extracted in a single mapInPandas scan; any grouping happens on the
 extracted metadata, never on the blob. Arrow batch size is capped via
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` when payloads are large.
@@ -18,6 +26,7 @@ extracted metadata, never on the blob. Arrow batch size is capped via
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hive_2_spark.catalog import load_table
+from hive_2_spark.llm import media_codec as codec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -68,43 +78,121 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes, mime: str) -> list[float]:
-    """STUB decode/feature-extract kernel.
+def media_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL container payload per document row, synthesized from
+    ``media_id`` alone inside ``mapInPandas`` — fully distributed (no
+    driver-side blob materialization) and bit-deterministic, so the
+    rows-only driver check is stable. Dimensions are kept small (the
+    point is genuine parse work per row, not bulk)."""
 
-    Production swap-in: PIL/libvips decode + CNN features for images,
-    torchaudio/librosa for audio, frame-sampling + per-frame features
-    for video. Here: a deterministic 8-dim byte-histogram sketch so the
-    pipeline shape (binary -> fixed-width float vector) is exercised
-    end-to-end without media libraries.
-    """
+    base = media_table(spark, sf_dir).select("media_id", "mime")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid, mime in zip(pdf["media_id"], pdf["mime"]):
+                mid = int(mid)
+                if mime == "image/png":
+                    payloads.append(
+                        codec.encode_png(mid % 24 + 8, mid % 16 + 8, mid)
+                    )
+                elif mime == "audio/wav":
+                    payloads.append(codec.encode_wav(mid % 1500 + 64, mid))
+                else:
+                    payloads.append(
+                        codec.encode_rawv(
+                            mid % 16 + 8, mid % 12 + 8, mid % 6 + 2, mid
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": pdf["mime"],
+                }
+            )
+
+    return base.mapInPandas(gen, schema="media_id long, payload binary, mime string")
+
+
+def _pixel_feats(kind: float, w: int, h: int, px: bytes) -> list[float]:
+    n = len(px)
+    mean = sum(px) / n
+    var = sum(b * b for b in px) / n - mean * mean
+    return [
+        kind,
+        float(w),
+        float(h),
+        float(n),
+        mean / 255.0,
+        math.sqrt(max(var, 0.0)) / 255.0,
+        min(px) / 255.0,
+        max(px) / 255.0,
+    ]
+
+
+def decode_features(payload: bytes) -> list[float]:
+    """REAL decode/feature kernel: sniff the container by magic bytes,
+    parse it with the stdlib codec, and reduce content to a fixed 8-dim
+    vector ``[kind, dim1, dim2, n_units, mean, spread, min, max]``.
+
+    Raises ``ValueError`` on malformed/unknown payloads — surfaced as
+    ``decode_ok = false`` rows by ``extract_features``, never as a task
+    failure (one corrupt blob must not kill a 100 TB scan)."""
     if payload is None:
-        raise NotImplementedError("real decoder not available in this container")
-    hist = [0.0] * 8
-    for by in payload:
-        hist[by & 7] += 1.0
-    total = sum(hist) or 1.0
-    return [h / total for h in hist]
+        raise ValueError("null payload")
+    payload = bytes(payload)
+    if payload[: len(codec.PNG_SIG)] == codec.PNG_SIG:
+        w, h, px = codec.decode_png(payload)
+        return _pixel_feats(1.0, w, h, px)
+    if payload[:4] == b"RIFF":
+        rate, samples = codec.decode_wav(payload)
+        n = len(samples)
+        mean_abs = sum(abs(s) for s in samples) / n
+        rms = math.sqrt(sum(s * s for s in samples) / n)
+        return [
+            2.0,
+            float(rate),
+            1.0,  # channels
+            float(n),
+            mean_abs / 32768.0,
+            rms / 32768.0,
+            min(samples) / 32768.0,
+            max(samples) / 32768.0,
+        ]
+    if payload[:4] == codec.RAWV_MAGIC:
+        w, h, frames = codec.decode_rawv(payload)
+        feats = _pixel_feats(3.0, w, h, b"".join(frames))
+        feats[3] = float(len(frames))  # n_units = frame count
+        return feats
+    raise ValueError("unknown media container")
 
 
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas: Arrow-batched binary -> feature vectors.
 
-    One pass over partitions; the blob never crosses a shuffle.
+    One pass over partitions; the blob never crosses a shuffle. Corrupt
+    payloads yield ``decode_ok = false`` with a null feature vector.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                _decode_stub(p, m)
-                for p, m in zip(pdf["payload"], pdf["mime"])
-            ]
+            feats: list[list[float] | None] = []
+            oks: list[bool] = []
+            for p in pdf["payload"]:
+                try:
+                    feats.append(decode_features(p))
+                    oks.append(True)
+                except ValueError:
+                    feats.append(None)
+                    oks.append(False)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": [len(p) for p in pdf["payload"]],
                     "mime": pdf["mime"],
                     "feat": feats,
-                    "decode_ok": [True] * len(pdf),
+                    "decode_ok": oks,
                 }
             )
 
@@ -112,8 +200,8 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only query key: full binary->features pipeline."""
-    return extract_features(media_table(spark, sf_dir))
+    """rows-only query key: real binary -> parse -> features pipeline."""
+    return extract_features(media_table_real(spark, sf_dir))
 
 
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,25 +235,47 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """STUB pixel-resize kernel (production swap-in: PIL.Image.resize /
-    libvips thumbnail). Deterministic fake: clamp the blob to
-    target_w*target_h bytes — preserves the binary-in/binary-out batch
-    shape the real kernel would have."""
-    if payload is None:
-        raise NotImplementedError("real resizer not available in this container")
-    return payload[: max(target_w * target_h, 1)]
+def resize_payload(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL resize kernel, dispatched on container magic:
+
+    - PNG  -> decode, nearest-neighbor resample to (target_w, target_h),
+      re-encode (production: PIL.Image.resize / libvips thumbnail).
+    - RAWV -> per-frame nearest-neighbor resample, re-encode.
+    - WAV  -> nearest-neighbor resample of the sample array to a
+      ``target_w * target_h`` sample budget (production: polyphase
+      resampler) — the audio analog of fitting a pixel box.
+
+    Opaque blobs (e.g. ``media_table``'s text bytes) are clamped to the
+    target byte budget — the documented fallback, not an error, because
+    a mixed 100 TB corpus always contains formats a kernel can't parse.
+    """
+    payload = bytes(payload)
+    tw, th = max(int(target_w), 1), max(int(target_h), 1)
+    if payload[: len(codec.PNG_SIG)] == codec.PNG_SIG:
+        w, h, px = codec.decode_png(payload)
+        return codec.encode_png_gray(tw, th, codec.resample_gray(px, w, h, tw, th))
+    if payload[:4] == codec.RAWV_MAGIC:
+        w, h, frames = codec.decode_rawv(payload)
+        return codec.encode_rawv_frames(
+            tw, th, [codec.resample_gray(f, w, h, tw, th) for f in frames]
+        )
+    if payload[:4] == b"RIFF":
+        rate, samples = codec.decode_wav(payload)
+        n, m = len(samples), tw * th
+        out = [samples[i * n // m] for i in range(m)]
+        return codec.encode_wav_from_samples(rate, out)
+    return payload[: max(tw * th, 1)]
 
 
 def resize_payloads(df: DataFrame) -> DataFrame:
     """mapInPandas face of the resize: blob + target dims -> new blob.
-    Input df must carry payload/target_w/target_h (join of media_table
-    and media_resize output)."""
+    Input df must carry payload/target_w/target_h (join of a media table
+    and the media_resize plan output)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = [
-                _resize_stub(p, w, h)
+                resize_payload(p, w, h)
                 for p, w, h in zip(
                     pdf["payload"], pdf["target_w"], pdf["target_h"]
                 )

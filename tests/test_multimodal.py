@@ -1,12 +1,16 @@
-"""Multimodal binary-column plumbing: schema, Arrow batch shape, stubbed
-decode kernel, and the no-blob-on-shuffle aggregation path."""
+"""Multimodal binary-column plumbing: schema, Arrow batch shape, REAL
+stdlib decode kernels (PNG/WAV/RAWV), and the no-blob-on-shuffle
+aggregation path."""
 
 from __future__ import annotations
 
 import pytest
 
+from hive_2_spark.llm import media_codec as codec
 from hive_2_spark.llm import multimodal as mm
 from tests.conftest import SF_DIR
+
+KIND_BY_MIME = {"image/png": 1.0, "audio/wav": 2.0, "video/mp4": 3.0}
 
 
 def test_media_table_schema(spark):
@@ -18,21 +22,53 @@ def test_media_table_schema(spark):
     assert row["meta"]["n_bytes"] == len(row["payload"])
 
 
-def test_extract_features_batchwise(spark):
-    feats = mm.extract_features(mm.media_table(spark, SF_DIR)).collect()
+def test_media_table_real_payloads_are_valid_containers(spark):
+    rows = mm.media_table_real(spark, SF_DIR).orderBy("media_id").take(9)
+    for r in rows:
+        p = bytes(r.payload)
+        if r.mime == "image/png":
+            assert p[:8] == codec.PNG_SIG
+        elif r.mime == "audio/wav":
+            assert p[:4] == b"RIFF"
+        else:
+            assert p[:4] == codec.RAWV_MAGIC
+
+
+def test_extract_features_real_decode(spark):
+    feats = mm.extract_features(mm.media_table_real(spark, SF_DIR)).collect()
     assert len(feats) == 500
-    for r in feats[:5]:
+    for r in feats:
+        assert r["decode_ok"], r
         assert len(r["feat"]) == 8
-        assert abs(sum(r["feat"]) - 1.0) < 1e-9  # histogram normalized
-        assert r["decode_ok"]
+        assert r["feat"][0] == KIND_BY_MIME[r["mime"]]  # kind matches mime
+        assert 0.0 <= r["feat"][4] <= 1.0  # normalized mean
 
 
-def test_decode_stub_deterministic():
-    a = mm._decode_stub(b"hello world", "image/png")
-    b = mm._decode_stub(b"hello world", "image/png")
-    assert a == b
-    with pytest.raises(NotImplementedError):
-        mm._decode_stub(None, "image/png")
+def test_decode_features_real_and_corrupt():
+    png = codec.encode_png(16, 12, seed=7)
+    assert mm.decode_features(png) == mm.decode_features(png)  # deterministic
+    assert mm.decode_features(png)[:4] == [1.0, 16.0, 12.0, 192.0]
+    wav = codec.encode_wav(200, seed=3)
+    assert mm.decode_features(wav)[:4] == [2.0, 8000.0, 1.0, 200.0]
+    with pytest.raises(ValueError):
+        mm.decode_features(b"not a container at all")
+    # corrupt a PNG byte inside IDAT -> CRC check must catch it
+    bad = bytearray(png)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        mm.decode_features(bytes(bad))
+
+
+def test_extract_features_corrupt_rows_flagged_not_fatal(spark):
+    """One corrupt blob yields decode_ok=false, not a task failure."""
+    good = codec.encode_png(8, 8, seed=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(good), "image/png"), (2, bytearray(b"garbage"), "image/png")],
+        "media_id long, payload binary, mime string",
+    )
+    rows = {r.media_id: r for r in mm.extract_features(df).collect()}
+    assert rows[1].decode_ok and rows[1].feat is not None
+    assert not rows[2].decode_ok and rows[2].feat is None
 
 
 def test_media_stats_no_blob_in_agg(spark):
@@ -56,23 +92,44 @@ def test_media_resize_plan_semantics(spark):
             assert (r.target_w, r.target_h) == (r.orig_w, r.orig_h)
 
 
-def test_resize_payloads_batch_shape(spark):
-    """Binary-in/binary-out mapInPandas kernel: one output row per input,
-    payload clamped to the stub's target size."""
+def test_resize_payloads_real_kernel(spark):
+    """Binary-in/binary-out mapInPandas kernel over REAL containers: one
+    output row per input, and resized PNGs decode to the plan's exact
+    target dimensions."""
     from hive_2_spark.llm.multimodal import (
         media_resize,
-        media_table,
+        media_table_real,
         resize_payloads,
     )
 
-    base = media_table(spark, SF_DIR)
+    base = media_table_real(spark, SF_DIR)
     plan = media_resize(spark, SF_DIR).select(
         "media_id", "target_w", "target_h"
     )
-    out = resize_payloads(base.join(plan, "media_id"))
+    joined = base.join(plan, "media_id")
+    out = resize_payloads(joined)
     assert out.count() == base.count()
-    r = out.orderBy("media_id").first()
-    assert isinstance(r.resized, (bytes, bytearray)) and len(r.resized) >= 1
+    targets = {r.media_id: (r.target_w, r.target_h) for r in plan.collect()}
+    for r in out.filter("media_id % 3 = 0").orderBy("media_id").take(5):
+        w, h, px = codec.decode_png(bytes(r.resized))  # valid PNG out
+        assert (w, h) == targets[r.media_id]
+        assert len(px) == w * h
+
+
+def test_resize_payload_kernel_units():
+    png = codec.encode_png(20, 10, seed=5)
+    w, h, _ = codec.decode_png(mm.resize_payload(png, 10, 5))
+    assert (w, h) == (10, 5)
+    vid = codec.encode_rawv(12, 8, 3, seed=5)
+    vw, vh, frames = codec.decode_rawv(mm.resize_payload(vid, 6, 4))
+    assert (vw, vh, len(frames)) == (6, 4, 3)
+    wav = codec.encode_wav(500, seed=5)
+    rate, samples = codec.decode_wav(mm.resize_payload(wav, 10, 10))
+    assert rate == codec.WAV_RATE and len(samples) == 100
+    # opaque blob -> documented clamp fallback
+    assert mm.resize_payload(b"\x00\x01\x02\x03" * 10, 2, 3) == bytes(
+        b"\x00\x01\x02\x03" * 10
+    )[:6]
 
 
 def test_media_frame_sample_stride(spark):
