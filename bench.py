@@ -88,6 +88,37 @@ def main() -> None:
             }
         )
     )
+    # Append to the per-round trend log (BENCH_TREND.jsonl) so regressions
+    # are mechanically diffable (tools/bench_trend.py) instead of eyeballed.
+    # stdout stays exactly one JSON line; trend-write failure never fails
+    # the bench.
+    try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        commit = None
+    try:
+        with open(os.path.join(REPO, "BENCH_TREND.jsonl"), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "ts": round(time.time(), 1),
+                        "commit": commit,
+                        "sf": sf_val,
+                        "total_sec": total,
+                        "queries": timings,
+                    }
+                )
+                + "\n"
+            )
+    except OSError:
+        pass
     spark.stop()
 
 
