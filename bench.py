@@ -41,6 +41,7 @@ HEADLINE = [
     "sql_q3_shipping_priority",  # 3-way join + agg + top-k (SQL API)
     "text_chunk",           # sliding-window chunk fan-out (codegen explode)
     "token_pack",           # running-sum window packing + re-agg
+    "contamination_ngram",  # shingle explode + broadcast semi-join
 ]
 
 

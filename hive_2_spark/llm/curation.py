@@ -1,0 +1,271 @@
+"""Corpus-curation operators for a training-data pipeline (driver
+mandate, BASELINE.json north star; no reference counterpart — the
+reference is a PHP ORM).
+
+The steps between "raw crawl" and "training set" that aren't dedup or
+similarity (those live in ``dedup.py``/``similarity.py``/``advanced.py``):
+
+- ``pii_redact`` — regex PII scrub (emails), reported per source. The
+  fixture text has no PII, so a deterministic synthetic email is
+  injected into every 5th doc first — the redaction math is then
+  non-vacuous and DuckDB-mirrorable.
+- ``doc_split`` — deterministic train/val/test assignment from a
+  CONTENT hash (first hex char of md5(text): 1/16 test, 1/16 val, 14/16
+  train). Content-hashed splits survive re-crawls and re-sharding,
+  unlike row-number splits; identical docs land in the same split, so
+  近-dup leakage across splits is visible, not hidden.
+- ``contamination_ngram`` — eval-set contamination: corpus docs sharing
+  any 5-word shingle with a held-out benchmark set (every 97th doc).
+  The shingle join is a semi-join against a broadcast-sized gram set —
+  the standard decontamination pass before training.
+- ``tfidf_top_terms`` — top-3 characteristic terms per source by
+  tf-idf; token explode -> two hash aggs -> windowed top-k.
+
+Scale: every op is one explode/scan + hash aggregation (shuffles on
+token/gram/source keys only — never on full text); the eval-gram side
+of the contamination join is tiny by construction (benchmark sets are
+KB-to-MB) and broadcasts.
+
+All math that feeds comparisons is integer or string; the single
+double (tf-idf score) is rounded away from decision boundaries and
+tie-broken by term, so cross-engine hash parity is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hive_2_spark.catalog import load_table
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_HEX = "0123456789abcdef"
+
+
+def _with_injected_pii(d: DataFrame) -> DataFrame:
+    """Every 5th doc gets a deterministic synthetic email appended."""
+    return d.withColumn(
+        "text2",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII scrub report: docs touched, emails removed, and
+    the redacted corpus size. Single scan, codegen regex, one agg."""
+    d = _with_injected_pii(load_table(spark, sf_dir, "documents"))
+    d = d.withColumn(
+        "n_emails", F.size(F.regexp_extract_all("text2", F.lit(_EMAIL_RE), F.lit(0)))
+    ).withColumn(
+        "clean", F.regexp_replace("text2", _EMAIL_RE, "[EMAIL]")
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_emails") > 0).cast("bigint")).alias("n_docs_pii"),
+        F.sum("n_emails").cast("bigint").alias("n_emails_redacted"),
+        F.sum(F.length("clean")).cast("bigint").alias("clean_chars"),
+    )
+
+
+def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash split: first md5 hex char 0 -> test,
+    1 -> val, else train; per-(split, lang) doc counts + char volume."""
+    d = load_table(spark, sf_dir, "documents")
+    first = F.substring(F.md5("text"), 1, 1)
+    split = (
+        F.when(first == "0", "test").when(first == "1", "val").otherwise("train")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+_GRAM_N = 5
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, source, gram) for every 5-word shingle; docs shorter
+    than 5 words contribute nothing (both engines filter identically)."""
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(words) - (_GRAM_N - 1))
+    grams = F.transform(
+        starts, lambda i: F.array_join(F.slice(words, i, _GRAM_N), " ")
+    )
+    return (
+        d.filter(F.size(words) >= _GRAM_N)
+        .select("doc_id", "source", F.explode(grams).alias("gram"))
+    )
+
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: every 97th doc is the held-out
+    eval set; a corpus doc is contaminated if it shares ANY 5-word
+    shingle with it. Per-source: docs checked, docs contaminated."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = _shingles(d)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    corpus_hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    per_source_hits = corpus_hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs_checked"))
+        .join(per_source_hits, "source", "left")
+        .select(
+            "source",
+            "n_docs_checked",
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per source by tf-idf (idf over the
+    source corpus). Ties broken lexicographically so top-k is a total
+    order. The scalar n_sources rides a broadcast 1-row aggregate, not
+    a driver collect."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_sources = tf.select(
+        F.count_distinct("source").alias("n_sources")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_sources))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_sources") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "term", "score", F.col("rn").cast("bigint").alias("rank"))
+    )
+
+
+QUERIES = {
+    "pii_redact": pii_redact,
+    "doc_split": doc_split,
+    "contamination_ngram": contamination_ngram,
+    "tfidf_top_terms": tfidf_top_terms,
+}
+
+ORACLES = {
+    # DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
+    # default); regexp_extract_all exists in both.
+    "pii_redact": f"""
+WITH injected AS (
+  SELECT source,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com now'
+              ELSE text END AS text2
+  FROM documents
+), scrubbed AS (
+  SELECT source,
+         length(regexp_extract_all(text2, '{_EMAIL_RE}')) AS n_emails,
+         regexp_replace(text2, '{_EMAIL_RE}', '[EMAIL]', 'g') AS clean
+  FROM injected
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_pii,
+       CAST(SUM(n_emails) AS BIGINT) AS n_emails_redacted,
+       CAST(SUM(length(clean)) AS BIGINT) AS clean_chars
+FROM scrubbed GROUP BY source
+""",
+    "doc_split": """
+SELECT CASE substr(md5(text), 1, 1)
+         WHEN '0' THEN 'test' WHEN '1' THEN 'val' ELSE 'train' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2
+""",
+    # DuckDB list slicing l[a:b] is INCLUSIVE on both ends and range()
+    # is exclusive on the stop — ws[i:i+4] is the same 5 words as
+    # Spark's slice(ws, i, 5).
+    "contamination_ngram": """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(ws) - 3),
+                               i -> array_to_string(ws[i:i+4], ' '))) AS gram
+  FROM w WHERE len(ws) >= 5
+), eval_grams AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT DISTINCT g.doc_id, g.source
+  FROM g SEMI JOIN eval_grams ON g.gram = eval_grams.gram
+  WHERE g.doc_id % 97 <> 0
+), per_source AS (
+  SELECT source, COUNT(*) AS n_contaminated FROM hits GROUP BY source
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_checked,
+       CAST(COALESCE(MAX(p.n_contaminated), 0) AS BIGINT) AS n_contaminated
+FROM documents d LEFT JOIN per_source p ON d.source = p.source
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.source
+""",
+    "tfidf_top_terms": """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT source, term, COUNT(*) AS tf FROM toks
+  WHERE term <> '' GROUP BY source, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), ns AS (
+  SELECT COUNT(DISTINCT source) AS n_sources FROM tf
+), scored AS (
+  SELECT tf.source, tf.term,
+         ROUND(tf.tf * ln(ns.n_sources / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN ns
+), ranked AS (
+  SELECT source, term, score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT source, term, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+}

@@ -31,6 +31,7 @@ _MODULES: list[str] = [
     "hive_2_spark.llm.dedup",
     "hive_2_spark.llm.similarity",
     "hive_2_spark.llm.text",
+    "hive_2_spark.llm.curation",
     "hive_2_spark.llm.advanced",
     "hive_2_spark.llm.multimodal",
     "hive_2_spark.core.analytics3",

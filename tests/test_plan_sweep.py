@@ -21,6 +21,8 @@ CARTESIAN_OK = {
     "ts_resample",          # spine x event_type (metadata-sized)
     "sql_recursive_cte",    # pure-inequality join: 10-row recursion result
                             # broadcast + nested-loop IS the right plan
+    "tfidf_top_terms",      # 1-row broadcast n_sources scalar — the same
+                            # plan a scalar subquery compiles to
 }
 PYTHON_OK = {
     "udf_scalar",

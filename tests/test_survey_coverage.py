@@ -50,6 +50,8 @@ BRIEF_EXTRAS = [
     "sql_q22_idle_customers",
     # event-log batch analytics (core/events.py)
     "event_sessionize", "event_funnel", "event_retention",
+    # corpus curation (llm/curation.py)
+    "pii_redact", "doc_split", "contamination_ngram", "tfidf_top_terms",
 ]
 
 
