@@ -104,9 +104,74 @@ def stream_interval_join_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_id", "user_id", "p_ts", "c_id", "c_ts")
 
 
+# -------------------------------------- LEFT OUTER stream-stream join
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face: every purchase, with its preceding-hour clicks or
+    NULLs — the conversion-attribution shape where unmatched purchases
+    matter as much as matched ones."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (p.user_id == c.c_user_id)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts >= p.p_ts - F.expr(f"INTERVAL {INTERVAL_S} SECONDS"))
+    )
+    return p.join(c, cond, "left").select(
+        "p_id", "user_id", "p_ts", "c_id", "c_ts"
+    )
+
+
+def stream_interval_join_left_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face: watermarked LEFT OUTER stream-stream join. Spark
+    buffers each purchase in state until the watermark passes its join
+    horizon, THEN emits the NULL row if no click arrived — so on a
+    bounded input, tail-of-stream unmatched rows are withheld (the
+    watermark never advances past the final batch). That is watermark
+    semantics, not a bug; the batch face above is the oracle for the
+    complete answer."""
+    p = (
+        _read_stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    c = (
+        _read_stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    return p.join(
+        c,
+        F.expr(
+            "user_id = c_user_id AND "
+            "c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    ).select("p_id", "user_id", "p_ts", "c_id", "c_ts")
+
+
 QUERIES = {
     "stream_static_join": stream_static_join,
     "stream_interval_join": stream_interval_join,
+    "stream_interval_join_left": stream_interval_join_left,
 }
 
 ORACLES = {
@@ -121,6 +186,14 @@ ORACLES = {
         "c.event_id AS c_id, c.ts AS c_ts "
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
         "JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND c.ts <= p.ts "
+        "AND c.ts >= p.ts - INTERVAL 3600 SECONDS"
+    ),
+    "stream_interval_join_left": (
+        "SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts, "
+        "c.event_id AS c_id, c.ts AS c_ts "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
         "ON p.user_id = c.user_id AND c.ts <= p.ts "
         "AND c.ts >= p.ts - INTERVAL 3600 SECONDS"
     ),

@@ -196,6 +196,29 @@ def test_stream_stream_interval_join(spark):
     assert n == sj.stream_interval_join(spark, SF_DIR).count() > 0
 
 
+def test_stream_left_outer_interval_join(spark):
+    """Watermarked LEFT OUTER stream-stream join: emits every matched
+    pair; unmatched purchases are bounded by the batch face's NULL rows
+    (tail-of-stream unmatched rows are withheld until the watermark
+    passes — correct watermark semantics on bounded input)."""
+    from hive_2_spark.streaming import joins as sj
+
+    n = _run_to_memory(
+        spark,
+        sj.stream_interval_join_left_builder(spark, SF_DIR),
+        "t_ssj_left",
+        "append",
+    )
+    matched = sj.stream_interval_join(spark, SF_DIR).count()
+    batch_left = sj.stream_interval_join_left(spark, SF_DIR).count()
+    assert matched <= n <= batch_left
+    # matched rows must agree exactly with the inner-join face
+    stream_matched = spark.sql(
+        "SELECT COUNT(*) FROM t_ssj_left WHERE c_id IS NOT NULL"
+    ).collect()[0][0]
+    assert stream_matched == matched
+
+
 def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     """Exactly-once resume: restarting a checkpointed query over an
     unchanged source must not re-emit already-committed batches."""
