@@ -120,9 +120,57 @@ def catalog_managed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def create_partitioned_ddl(spark: SparkSession, sf_dir: str) -> None:
+    """Pure-SQL DDL path: partitioned managed table via CTAS, extended
+    with INSERT INTO ... SELECT. Drop+recreate keeps the key idempotent
+    (the in-memory session catalog cannot REPLACE TABLE)."""
+    from hive_2_spark.catalog import register_views
+
+    ensure_database(spark, DB)
+    register_views(spark, sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {DB}.orders_part")
+    _clear_orphaned_location(spark, "orders_part", DB)
+    # partition column last: v1 tables store partition columns at the
+    # schema tail, and INSERT INTO matches by position
+    spark.sql(
+        f"""
+        CREATE TABLE {DB}.orders_part
+        USING parquet PARTITIONED BY (o_orderstatus)
+        AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderstatus = 'F'
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {DB}.orders_part
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'O'
+        """
+    )
+
+
+def catalog_partitioned_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query key: CTAS + INSERT INTO a PARTITIONED managed table, then an
+    aggregate over one partition — the WHERE reaches the scan as a
+    partition filter (directory pruning, gated in tests/test_metastore),
+    which is THE layout win for a 100 TB fact table."""
+    create_partitioned_ddl(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM {DB}.orders_part
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderstatus
+        """
+    )
+
+
 QUERIES = {
     "catalog_managed_agg": catalog_managed_agg,
     "catalog_managed_join": catalog_managed_join,
+    "catalog_partitioned_ddl": catalog_partitioned_ddl,
 }
 
 ORACLES = {
@@ -135,5 +183,10 @@ ORACLES = {
         "ROUND(SUM(s_acctbal), 2) AS total_acctbal "
         "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    ),
+    "catalog_partitioned_ddl": (
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "ROUND(SUM(o_totalprice), 2) AS total_price "
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus"
     ),
 }

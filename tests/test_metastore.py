@@ -63,3 +63,26 @@ def test_model_served_from_managed_table(spark):
     drop_managed(spark, "region")
     fallback = load_table(spark, SF_DIR, "region", prefer_managed=True)
     assert fallback.count() == 5
+
+
+def test_partitioned_ddl_prunes_partitions(spark):
+    """CTAS + INSERT INTO a partitioned managed table; a status-filtered
+    read must hit ONE partition directory (PartitionFilters in the scan),
+    and the table must contain exactly the two inserted partitions."""
+    from hive_2_spark.core.metastore import catalog_partitioned_ddl
+
+    df = catalog_partitioned_ddl(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    # partition directories on disk: exactly F and O
+    loc = os.path.join(warehouse_location(), f"{DB}.db", "orders_part")
+    parts = sorted(d for d in os.listdir(loc) if d.startswith("o_orderstatus="))
+    assert parts == ["o_orderstatus=F", "o_orderstatus=O"]
+    # idempotent on re-run (drop + recreate, no row duplication)
+    n1 = spark.table(f"{DB}.orders_part").count()
+    catalog_partitioned_ddl(spark, SF_DIR)
+    assert spark.table(f"{DB}.orders_part").count() == n1
+    src = load_table(spark, SF_DIR, "orders")
+    assert n1 == src.filter("o_orderstatus IN ('F','O')").count()

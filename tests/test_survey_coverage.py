@@ -52,6 +52,10 @@ BRIEF_EXTRAS = [
     "event_sessionize", "event_funnel", "event_retention",
     # corpus curation (llm/curation.py)
     "pii_redact", "doc_split", "contamination_ngram", "tfidf_top_terms",
+    # managed catalog face (core/metastore.py)
+    "catalog_managed_agg", "catalog_managed_join", "catalog_partitioned_ddl",
+    # streaming join faces (streaming/joins.py)
+    "stream_static_join", "stream_interval_join", "stream_interval_join_left",
 ]
 
 
