@@ -152,10 +152,58 @@ def sim_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ embedding prep ops
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalization report per vector: original norm + extremes of
+    the unit vector. Single scan, zero shuffle, all codegen array
+    lambdas — the preprocessing step before any cosine/IVF indexing
+    (normalized corpus => cosine == dot product, which halves the
+    per-pair work in every downstream similarity op)."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", _as_double(F.col("embedding"))
+    )
+    nrm = F.greatest(_norm(F.col("vec")), F.lit(1e-12))
+    unit = F.transform(F.col("vec"), lambda x: x / nrm)
+    return e.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.round(nrm, 6).alias("l2_norm"),
+        F.round(F.array_max(unit), 6).alias("unit_max"),
+        F.round(F.array_min(unit), 6).alias("unit_min"),
+    )
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (the storage/serving format for
+    billion-vector corpora: 4x smaller than float32, SIMD-friendly):
+    per-vector scale = max|x|/127, q_i = floor(x/scale + 0.5).
+
+    floor(x+0.5) instead of round(): ROUND's half-away/half-even choice
+    differs across engines; floor(+0.5) is bit-identical everywhere.
+    The quantized vector is emitted as a CSV string — hash-stable in the
+    oracle compare, and exactly what a compact serving index stores."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", _as_double(F.col("embedding"))
+    )
+    maxabs = F.array_max(F.transform(F.col("vec"), F.abs))
+    scale = F.greatest(maxabs, F.lit(1e-12)) / F.lit(127.0)
+    qvec = F.transform(
+        F.col("vec"),
+        lambda x: F.floor(x / scale + F.lit(0.5)).cast("bigint").cast("string"),
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale, 8).alias("scale"),
+        F.array_join(qvec, ",").alias("qvec"),
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_cosine_lsh": sim_cosine_lsh,  # rows-only (Spark-side hyperplane trig)
     "sim_pairwise_label": sim_pairwise_label,
+    "emb_normalize": emb_normalize,
+    "emb_quantize_int8": emb_quantize_int8,
 }
 
 _DK_VEC = "list_transform({c}, x -> CAST(x AS DOUBLE))"
@@ -191,5 +239,27 @@ ORACLES = {
         f"ROUND(AVG({_dk_cos('a.vec', 'b.vec')}), 6) AS mean_cos "
         "FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id "
         "GROUP BY 1"
+    ),
+    "emb_normalize": (
+        "WITH e AS (SELECT vec_id, label, "
+        f"{_DK_VEC.format(c='embedding')} AS vec FROM embeddings), "
+        "n AS (SELECT vec_id, label, vec, "
+        "GREATEST(sqrt(list_dot_product(vec, vec)), 1e-12) AS nrm FROM e) "
+        "SELECT vec_id, CAST(label AS BIGINT) AS label, "
+        "ROUND(nrm, 6) AS l2_norm, "
+        "ROUND(list_max(list_transform(vec, x -> x / nrm)), 6) AS unit_max, "
+        "ROUND(list_min(list_transform(vec, x -> x / nrm)), 6) AS unit_min "
+        "FROM n"
+    ),
+    "emb_quantize_int8": (
+        "WITH e AS (SELECT vec_id, "
+        f"{_DK_VEC.format(c='embedding')} AS vec FROM embeddings), "
+        "s AS (SELECT vec_id, vec, "
+        "GREATEST(list_max(list_transform(vec, x -> abs(x))), 1e-12) / 127.0 "
+        "AS scale FROM e) "
+        "SELECT vec_id, ROUND(scale, 8) AS scale, "
+        "array_to_string(list_transform(vec, "
+        "x -> CAST(CAST(floor(x / scale + 0.5) AS BIGINT) AS VARCHAR)), ',') "
+        "AS qvec FROM s"
     ),
 }

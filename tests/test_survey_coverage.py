@@ -56,6 +56,8 @@ BRIEF_EXTRAS = [
     "catalog_managed_agg", "catalog_managed_join", "catalog_partitioned_ddl",
     # streaming join faces (streaming/joins.py)
     "stream_static_join", "stream_interval_join", "stream_interval_join_left",
+    # embedding prep (llm/similarity.py)
+    "emb_normalize", "emb_quantize_int8",
 ]
 
 
