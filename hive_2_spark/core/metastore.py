@@ -86,8 +86,10 @@ def drop_managed(spark: SparkSession, table: str, db: str = DB) -> None:
 
 
 def list_managed(spark: SparkSession, db: str = DB) -> list[str]:
+    """Managed tables only: listTables(db) also returns session TEMP
+    views (catalog API contract), which are not warehouse tables."""
     ensure_database(spark, db)
-    return [t.name for t in spark.catalog.listTables(db)]
+    return [t.name for t in spark.catalog.listTables(db) if not t.isTemporary]
 
 
 # --------------------------------------------------------------- query keys
