@@ -36,6 +36,16 @@ KEYS = [
     "win_ignore_nulls",
     "sql_lateral_topk",
     "agg_mode",
+    # round-2 additions
+    "pii_redact",
+    "doc_split",
+    "contamination_ngram",
+    "tfidf_top_terms",
+    "emb_normalize",
+    "emb_quantize_int8",
+    "stream_interval_join_left",
+    "sql_q21_waiting_suppliers",
+    "media_features",
 ]
 
 

@@ -100,3 +100,46 @@ def test_encoders_deterministic():
     assert codec.encode_png(10, 7, 42) == codec.encode_png(10, 7, 42)
     assert codec.encode_wav(100, 42) == codec.encode_wav(100, 42)
     assert codec.encode_rawv(5, 5, 2, 42) == codec.encode_rawv(5, 5, 2, 42)
+
+
+# ---------------------------------------------------- property tests
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, seed):
+    """encode -> decode is identity for any dims/seed."""
+    payload = codec.encode_png(w, h, seed)
+    dw, dh, px = codec.decode_png(payload)
+    assert (dw, dh) == (w, h) and len(px) == w * h
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    pixels=st.binary(min_size=1, max_size=400),
+    tw=st.integers(min_value=1, max_value=20),
+    th=st.integers(min_value=1, max_value=20),
+)
+def test_resample_outputs_only_input_pixels(pixels, tw, th):
+    """Nearest-neighbor output contains only source pixel values and has
+    exactly tw*th bytes, for ANY source shape factorization."""
+    w = len(pixels)
+    out = codec.resample_gray(pixels, w, 1, tw, th)
+    assert len(out) == tw * th
+    assert set(out) <= set(pixels)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, seed):
+    rate, samples = codec.decode_wav(codec.encode_wav(n, seed))
+    assert rate == codec.WAV_RATE and len(samples) == n
+    assert all(-32768 <= s <= 32767 for s in samples)
