@@ -157,3 +157,42 @@ def test_q8_dimensions_broadcast(spark):
     plan = plan_of(sql_q8_market_share(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelates_to_hash_joins(spark):
+    """The double-correlated EXISTS/NOT-EXISTS self-join must compile to
+    semi/anti hash joins on l_orderkey — never a nested loop over the
+    fact table."""
+    from hive_2_spark.core.analytics3 import sql_q21_waiting_suppliers
+
+    plan = plan_of(sql_q21_waiting_suppliers(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q20_nested_in_becomes_semi_joins(spark):
+    """Both IN levels (supplier IN agg-subquery, partkey IN part-subquery)
+    must reduce to semi joins, with the aggregate run once."""
+    from hive_2_spark.core.analytics3 import sql_q20_volume_suppliers
+
+    plan = plan_of(sql_q20_volume_suppliers(spark, SF_DIR))
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    """The eval-gram set must be the broadcast side of the semi-join —
+    the corpus shingle stream never shuffles for the probe."""
+    from hive_2_spark.llm.curation import contamination_ngram
+
+    plan = plan_of(contamination_ngram(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_emb_ops_have_no_shuffle(spark):
+    """Normalization and quantization are pure map work: zero Exchange."""
+    from hive_2_spark.llm.similarity import emb_normalize, emb_quantize_int8
+
+    for fn in (emb_normalize, emb_quantize_int8):
+        assert "Exchange" not in plan_of(fn(spark, SF_DIR))
