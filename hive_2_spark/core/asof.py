@@ -27,36 +27,55 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    direction: str = "backward",
+    carry_right_ts: bool = False,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the latest right row with
-    right.ts <= left.ts on the same key. Left rows are preserved (left
-    outer semantics); right-only rows are dropped from the output."""
+    """As-of join: for each left row, the nearest right row on the same
+    key with right.ts <= left.ts (``backward``, the default) or
+    right.ts >= left.ts (``forward``). Left rows are preserved (left
+    outer semantics); right-only rows are dropped from the output.
+
+    ``carry_right_ts=True`` additionally emits ``asof_ts`` — the matched
+    right timestamp — which callers use for tolerance filters (null out
+    matches older than a max gap) without a second join.
+
+    Either direction is the same physical plan: ONE shuffle on the key,
+    a single in-partition sort, zero range explosion.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
     )
+    carry = list(value_cols) + ([right_ts] if carry_right_ts else [])
     r_proj = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        *[F.col(c).alias(f"__r_{c}") for c in carry],
     )
     for c in left.columns:
         if c != on and c not in r_proj.columns:
             r_proj = r_proj.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = l_tagged.unionByName(r_proj, allowMissingColumns=True)
-    # right rows sort BEFORE left rows at equal ts so ts-equality matches
+    # right rows sort BEFORE left rows at equal ts (either direction) so
+    # ts-equality matches; forward = the same carry over REVERSED time
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         W.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned
-    for c in value_cols:
+    for c in carry:
+        out_name = "asof_ts" if (carry_right_ts and c == right_ts) else f"asof_{c}"
         carried = carried.withColumn(
-            f"asof_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
+            out_name, F.last(f"__r_{c}", ignorenulls=True).over(w)
         )
     return carried.filter(F.col("__side") == 1).drop(
-        "__side", "__ts", *[f"__r_{c}" for c in value_cols]
+        "__side", "__ts", *[f"__r_{c}" for c in carry]
     )
 
 
@@ -119,11 +138,89 @@ def asof_join_pandas(
     )
 
 
-QUERIES = {"join_asof": join_asof}
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click event: the user's NEXT purchase at-or-after it —
+    the attribution direction (click -> eventual conversion)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_id"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_purchase_id").alias("next_purchase_id"),
+    )
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 1-hour tolerance: a prior click only counts
+    if it happened within the hour (stale matches null out). The matched
+    right ts is carried by the SAME window pass — no second join."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_id"],
+        carry_right_ts=True,
+    )
+    within = (
+        F.unix_micros("ts") - F.unix_micros("asof_ts") <= 3600 * 1_000_000
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("asof_click_id")).alias("recent_click_id"),
+    )
+
+
+QUERIES = {
+    "join_asof": join_asof,
+    "join_asof_forward": join_asof_forward,
+    "join_asof_tolerance": join_asof_tolerance,
+}
 
 ORACLES = {
     "join_asof": (
         "SELECT p.event_id, p.user_id, p.ts, c.event_id AS prior_click_id "
+        "FROM (SELECT event_id, user_id, ts FROM events "
+        "      WHERE event_type = 'purchase') p "
+        "ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events "
+        "      WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts"
+    ),
+    "join_asof_forward": (
+        "SELECT c.event_id, c.user_id, c.ts, p.event_id AS next_purchase_id "
+        "FROM (SELECT event_id, user_id, ts FROM events "
+        "      WHERE event_type = 'click') c "
+        "ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events "
+        "      WHERE event_type = 'purchase') p "
+        "ON c.user_id = p.user_id AND c.ts <= p.ts"
+    ),
+    "join_asof_tolerance": (
+        "SELECT p.event_id, p.user_id, p.ts, "
+        "CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000 "
+        "     THEN c.event_id END AS recent_click_id "
         "FROM (SELECT event_id, user_id, ts FROM events "
         "      WHERE event_type = 'purchase') p "
         "ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events "

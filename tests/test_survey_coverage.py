@@ -58,6 +58,8 @@ BRIEF_EXTRAS = [
     "stream_static_join", "stream_interval_join", "stream_interval_join_left",
     # embedding prep (llm/similarity.py)
     "emb_normalize", "emb_quantize_int8",
+    # as-of join variants (core/asof.py)
+    "join_asof", "join_asof_forward", "join_asof_tolerance",
 ]
 
 
