@@ -181,10 +181,76 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable MinHash parameters: 8 signature slots, banded 2-per-band.
+# Exact twins share every slot (guaranteed candidate); a one-shingle edit
+# flips a slot with prob ~|changed|/|shingles|, so P(miss) = (1-(1-p)^2)^4
+# — <1e-3 at the fixture's edit size. tests/test_dedup_truth.py measures.
+_MH_K = 8
+_MH_BAND = 2
+_MH_SHINGLE = 3
+
+
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidate pairs with ENGINE-PORTABLE hashes —
+    unlike ``dedup_minhash_lsh`` (pyspark.ml, engine-internal seeds,
+    rows-only), this one is hash-verified cell-for-cell by DuckDB.
+
+    The trick: a min-hash slot i is ``MIN(md5(i || shingle))`` — md5 hex
+    strings compare bytewise identically everywhere, and MIN over strings
+    is a portable aggregate. Everything is JVM codegen (split/slice/md5)
+    + two hash shuffles (signature groupBy, band self-join); the
+    documents never cross the wire, only 32-char hashes.
+
+    At 100 TB: identical plan, with a per-bucket candidate cap added in
+    front of the self-join (mega-buckets route to verification directly)
+    — the cap is omitted here so the oracle stays a pure join.
+    """
+    c = corpus_with_dups(spark, sf_dir)
+    words = F.split(_NORM(F.col("text")), " ")
+    starts = F.sequence(F.lit(1), F.size(words) - (_MH_SHINGLE - 1))
+    grams = F.transform(
+        starts, lambda i: F.array_join(F.slice(words, i, _MH_SHINGLE), " ")
+    )
+    g = c.filter(F.size(words) >= _MH_SHINGLE).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    sigs = g.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i)), F.col("gram")))).alias(f"h{i}")
+            for i in range(_MH_K)
+        ]
+    )
+    band_arr = F.array(
+        *[
+            F.concat(
+                *[F.col(f"h{b * _MH_BAND + j}") for j in range(_MH_BAND)]
+            )
+            for b in range(_MH_K // _MH_BAND)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,  # rows-only (engine hash seeds)
+    "dedup_minhash_portable": dedup_minhash_portable,  # oracle-checked
     "dedup_simhash": dedup_simhash,  # rows-only (xxhash64 is Spark-side)
 }
 
@@ -206,6 +272,27 @@ ORACLES = {
         f"SELECT md5({_DK_NORM.format(c='text')}) AS fp, "
         "MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
         f"FROM ({_DK_CORPUS}) GROUP BY 1"
+    ),
+    "dedup_minhash_portable": (
+        f"WITH c AS ({_DK_CORPUS}), "
+        f"w AS (SELECT doc_id, string_split({_DK_NORM.format(c='text')}, ' ') "
+        "AS ws FROM c), "
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1), "
+        "i -> array_to_string(ws[i:i+2], ' '))) AS gram "
+        "FROM w WHERE len(ws) >= 3), "
+        "s AS (SELECT doc_id, "
+        + ", ".join(
+            f"MIN(md5('{i}' || gram)) AS h{i}" for i in range(8)
+        )
+        + " FROM g GROUP BY doc_id), "
+        "bd AS ("
+        "  SELECT doc_id, 0 AS band_idx, h0 || h1 AS band_key FROM s"
+        "  UNION ALL SELECT doc_id, 1, h2 || h3 FROM s"
+        "  UNION ALL SELECT doc_id, 2, h4 || h5 FROM s"
+        "  UNION ALL SELECT doc_id, 3, h6 || h7 FROM s) "
+        "SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id "
+        "FROM bd x JOIN bd y ON x.band_idx = y.band_idx "
+        "AND x.band_key = y.band_key AND x.doc_id < y.doc_id"
     ),
     "dedup_ngram_jaccard": (
         "WITH c0 AS (SELECT doc_id, lang, "

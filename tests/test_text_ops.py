@@ -148,3 +148,27 @@ def test_token_pack_capacity_bound(spark):
             # a doc can straddle the boundary it starts before; the
             # greedy rule bounds a pack by capacity + one doc's tokens
             assert p.pack_tokens < 2 * _PACK_CAP, f"{lang}: runaway pack"
+
+
+def test_minhash_portable_recall_on_planted_twins(spark):
+    """Exact twins (identical text -> identical signature) MUST all be
+    candidates; near twins (one-word suffix edit) at >=95% recall — the
+    banded miss probability is (1-(1-p)^2)^4 with p ~ 2/|shingles|."""
+    from hive_2_spark.llm.dedup import corpus_with_dups, dedup_minhash_portable
+
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup_minhash_portable(spark, SF_DIR).collect()
+    }
+    seeds = [
+        r.doc_id
+        for r in corpus_with_dups(spark, SF_DIR)
+        .filter("doc_id % 10 = 0 AND doc_id < 10000000")
+        .select("doc_id")
+        .collect()
+    ]
+    assert seeds
+    exact_found = sum((s, s + 20_000_000) in pairs for s in seeds)
+    near_found = sum((s, s + 10_000_000) in pairs for s in seeds)
+    assert exact_found == len(seeds)  # guaranteed by construction
+    assert near_found / len(seeds) >= 0.95
