@@ -50,7 +50,69 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-QUERIES = {"profile_orders": profile_orders}
+# Declarative expectations over lineitem (the dbt-test / Great
+# Expectations shape): each rule -> one violation count. The five
+# scan-local rules share ONE pass (conditional sums); uniqueness and
+# referential integrity need their own aggregate/anti-join. The
+# ``drift_quantity_le_30`` rule is deliberately tight so the report
+# carries a non-zero row — an expectations engine must prove it can
+# FAIL, not just pass. (The uniqueness rule also fails organically:
+# the driver's synthetic generator does NOT enforce the TPC-H
+# (l_orderkey, l_linenumber) primary key — a real data-quality finding
+# about the fixture, hash-verified against the oracle.)
+_SCAN_RULES: list[tuple[str, str]] = [
+    ("not_null_l_orderkey", "l_orderkey IS NULL"),
+    ("range_l_quantity_1_50", "l_quantity < 1 OR l_quantity > 50"),
+    ("range_l_discount_0_1", "l_discount < 0.0 OR l_discount > 1.0"),
+    ("accepted_l_returnflag", "l_returnflag NOT IN ('A', 'N', 'R')"),
+    ("drift_quantity_le_30", "l_quantity > 30"),
+]
+
+
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-violation report: one row per expectation with its
+    violation count and pass flag. At 100 TB the scan-local rules cost
+    one map-side pass; uniqueness is a hash agg on the key; referential
+    integrity is an anti-join that broadcasts or shuffles like any join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    parts = [
+        li.agg(
+            F.lit(rule).alias("rule"),
+            F.sum(F.when(F.expr(cond), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+        for rule, cond in _SCAN_RULES
+    ]
+    parts.append(
+        li.agg(
+            F.lit("unique_orderkey_linenumber").alias("rule"),
+            (
+                F.count(F.lit(1))
+                - F.count_distinct("l_orderkey", "l_linenumber")
+            )
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+    )
+    parts.append(
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+            F.lit("ref_orderkey_in_orders").alias("rule"),
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+QUERIES = {
+    "profile_orders": profile_orders,
+    "quality_expectations": quality_expectations,
+}
 
 
 def _dk_col_profile(col: str, numeric: bool) -> str:
@@ -70,5 +132,23 @@ def _dk_col_profile(col: str, numeric: bool) -> str:
 ORACLES = {
     "profile_orders": " UNION ALL ".join(
         _dk_col_profile(c, c in _NUMERIC) for c in sorted(_NUMERIC | _STRINGY)
+    ),
+    "quality_expectations": (
+        " UNION ALL ".join(
+            f"SELECT '{rule}' AS rule, "
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_violations, "
+            f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) = 0 AS passed "
+            "FROM lineitem"
+            for rule, cond in _SCAN_RULES
+        )
+        + " UNION ALL "
+        "SELECT 'unique_orderkey_linenumber', "
+        "CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT), "
+        "COUNT(*) = COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem"
+        " UNION ALL "
+        "SELECT 'ref_orderkey_in_orders', CAST(COUNT(*) AS BIGINT), "
+        "COUNT(*) = 0 FROM lineitem "
+        "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)"
     ),
 }
