@@ -18,10 +18,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Module order controls registry insertion order, which is the order the
 # driver consumes keys in. Round 1 verified the first 50 keys (flagship,
 # relational, joins, aggregates, windows, set_union); round 2 front-loads the
-# families that have no driver-side CORRECTNESS verdict yet so the driver's
-# window lands on them: writes -> streaming batch faces -> LLM ops -> TPC-H
-# SQL -> events -> scalar fns -> udfs/io/misc. Already-driver-green families
-# sit at the tail.
+# families the r1 verdict's done-criterion names (writes, metastore,
+# streaming faces, dedup/similarity, event_sessionize, the TPC-H SQL suite)
+# so a 50-key window covers writes -> ... -> analytics2. Round 3 rotation:
+# whatever CORRECTNESS_r02 did NOT cover (expected: text, curation,
+# advanced, multimodal, scalarfns, udfs, io, asof, profile) moves to the
+# front next. Already-driver-green families sit at the tail.
 _MODULES: list[str] = [
     "hive_2_spark.core.writes",
     "hive_2_spark.core.metastore",
@@ -30,14 +32,14 @@ _MODULES: list[str] = [
     "hive_2_spark.streaming.joins",
     "hive_2_spark.llm.dedup",
     "hive_2_spark.llm.similarity",
+    "hive_2_spark.core.events",
+    "hive_2_spark.core.analytics",
+    "hive_2_spark.core.analytics2",
+    "hive_2_spark.core.analytics3",
     "hive_2_spark.llm.text",
     "hive_2_spark.llm.curation",
     "hive_2_spark.llm.advanced",
     "hive_2_spark.llm.multimodal",
-    "hive_2_spark.core.analytics3",
-    "hive_2_spark.core.analytics",
-    "hive_2_spark.core.analytics2",
-    "hive_2_spark.core.events",
     "hive_2_spark.core.scalarfns",
     "hive_2_spark.core.scalarfns2",
     "hive_2_spark.core.scalarfns3",
