@@ -87,11 +87,66 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"zorder_layout": zorder_layout}
+def compact_write(
+    df: DataFrame, out: str, src_dir: str, target_bytes: int = 128 << 20
+) -> int:
+    """OPTIMIZE-style small-file compaction: rewrite ``src_dir``'s
+    fragments into ceil(total_bytes / target_bytes) evenly-sized files.
+
+    ``repartition`` (round-robin shuffle), not ``coalesce``: coalesce
+    glues whole input partitions and inherits their skew, while the
+    shuffle costs one pass over data that is being rewritten anyway and
+    guarantees even output sizes — the property that keeps downstream
+    scan tasks uniform. Returns the target file count."""
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(src_dir, f))
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+    n_target = max(1, -(-total // target_bytes))
+    df.repartition(n_target).write.mode("overwrite").parquet(out)
+    return n_target
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query key: orders deliberately fragmented into 64 tiny files,
+    compacted back by size target, then aggregated from the compacted
+    copy — the oracle on the original table proves the rewrite is
+    value-preserving. The small-file problem is THE operational failure
+    mode of streaming/incremental ingestion at scale (10^6 kilobyte
+    files turn a scan into a metadata storm); file-count reduction is
+    asserted in tests/test_layout.py."""
+    frag = _scratch("orders_fragmented", sf_dir)
+    out = _scratch("orders_compacted", sf_dir)
+    load_table(spark, sf_dir, "orders").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(frag)
+    compact_write(spark.read.parquet(frag), out, frag, target_bytes=1 << 20)
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+QUERIES = {
+    "zorder_layout": zorder_layout,
+    "compact_small_files": compact_small_files,
+}
 
 ORACLES = {
     "zorder_layout": (
         "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
         "WHERE o_custkey < 100 AND o_orderkey < 10000"
+    ),
+    "compact_small_files": (
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "ROUND(SUM(o_totalprice), 2) AS total_price "
+        "FROM orders GROUP BY o_orderstatus"
     ),
 }

@@ -94,3 +94,22 @@ def test_morton_monotone_per_dimension():
             assert _morton_py(b, a1) < _morton_py(b, a2)
 
     check()
+
+
+def test_compact_small_files_reduces_file_count(spark):
+    """64 fragment files -> size-targeted handful, rows preserved."""
+    import os
+
+    from hive_2_spark.core.io import _scratch
+    from hive_2_spark.core.layout import compact_small_files
+
+    compact_small_files(spark, SF_DIR).collect()
+    frag = _scratch("orders_fragmented", SF_DIR)
+    out = _scratch("orders_compacted", SF_DIR)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_frag == 64
+    assert n_out < n_frag / 4
+    assert (
+        spark.read.parquet(out).count() == spark.read.parquet(frag).count()
+    )

@@ -60,7 +60,7 @@ BRIEF_EXTRAS = [
     "emb_normalize", "emb_quantize_int8",
     # as-of join variants (core/asof.py)
     "join_asof", "join_asof_forward", "join_asof_tolerance",
-    "dedup_minhash_portable", "quality_expectations",
+    "dedup_minhash_portable", "quality_expectations", "compact_small_files",
 ]
 
 
