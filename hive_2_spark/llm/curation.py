@@ -178,11 +178,41 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-language sampling rates in 1/256 granularity (two md5 hex chars
+# compare lexicographically): rebalance a source-skewed corpus by
+# keeping high-resource languages at a lower rate.
+_STRATA_RATES = {"en": "40", "de": "80", "fr": "80"}  # hex /0x100
+_DEFAULT_RATE = "c0"
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) downsampling from a
+    CONTENT hash — the corpus-rebalancing step of a data mix. A doc is
+    kept iff its first two md5 hex chars sort below the language's rate
+    threshold, so the sample is reproducible across runs, shards, and
+    engines (no RNG state), and identical docs sample identically.
+    Reports per-language totals vs kept."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5("text"), 1, 2)
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return (
+        d.withColumn("kept", (bucket < rate).cast("bigint"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 QUERIES = {
     "pii_redact": pii_redact,
     "doc_split": doc_split,
     "contamination_ngram": contamination_ngram,
     "tfidf_top_terms": tfidf_top_terms,
+    "sample_stratified": sample_stratified,
 }
 
 ORACLES = {
@@ -244,6 +274,17 @@ SELECT d.source,
 FROM documents d LEFT JOIN per_source p ON d.source = p.source
 WHERE d.doc_id % 97 <> 0
 GROUP BY d.source
+""",
+    "sample_stratified": """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN substr(md5(text), 1, 2) <
+                     (CASE lang WHEN 'en' THEN '40'
+                                WHEN 'de' THEN '80'
+                                WHEN 'fr' THEN '80'
+                                ELSE 'c0' END)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents GROUP BY lang
 """,
     "tfidf_top_terms": """
 WITH toks AS (

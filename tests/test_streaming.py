@@ -273,3 +273,21 @@ def test_transform_with_state_gated_or_runs(spark):
         for r in stateful.running_spend_batch(spark, SF_DIR).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_trigger_available_now_bounded_run(spark):
+    """Trigger.AvailableNow: process everything currently in the source
+    as a bounded multi-batch run, then STOP on its own — the batch-job
+    face of a streaming pipeline (backfills, catch-up runs). The query
+    must terminate without manual stop and produce the batch answer."""
+    q = (
+        sw.stream_tumbling_builder(spark, SF_DIR)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_avail_now")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)  # self-terminates when caught up
+    n = spark.sql("SELECT COUNT(*) FROM t_avail_now").collect()[0][0]
+    assert n == sw.stream_tumbling(spark, SF_DIR).count() > 0
