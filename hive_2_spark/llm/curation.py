@@ -185,7 +185,7 @@ _STRATA_RATES = {"en": "40", "de": "80", "fr": "80"}  # hex /0x100
 _DEFAULT_RATE = "c0"
 
 
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified (per-language) downsampling from a
     CONTENT hash — the corpus-rebalancing step of a data mix. A doc is
     kept iff its first two md5 hex chars sort below the language's rate
@@ -212,7 +212,7 @@ QUERIES = {
     "doc_split": doc_split,
     "contamination_ngram": contamination_ngram,
     "tfidf_top_terms": tfidf_top_terms,
-    "sample_stratified": sample_stratified,
+    "sample_weighted_mix": sample_weighted_mix,
 }
 
 ORACLES = {
@@ -275,7 +275,7 @@ FROM documents d LEFT JOIN per_source p ON d.source = p.source
 WHERE d.doc_id % 97 <> 0
 GROUP BY d.source
 """,
-    "sample_stratified": """
+    "sample_weighted_mix": """
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN substr(md5(text), 1, 2) <

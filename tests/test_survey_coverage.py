@@ -52,7 +52,7 @@ BRIEF_EXTRAS = [
     "event_sessionize", "event_funnel", "event_retention",
     # corpus curation (llm/curation.py)
     "pii_redact", "doc_split", "contamination_ngram", "tfidf_top_terms",
-    "sample_stratified",
+    "sample_weighted_mix",
     # managed catalog face (core/metastore.py)
     "catalog_managed_agg", "catalog_managed_join", "catalog_partitioned_ddl",
     # streaming join faces (streaming/joins.py)
