@@ -20,6 +20,10 @@ similarity (those live in ``dedup.py``/``similarity.py``/``advanced.py``):
   the standard decontamination pass before training.
 - ``tfidf_top_terms`` — top-3 characteristic terms per source by
   tf-idf; token explode -> two hash aggs -> windowed top-k.
+- ``sample_weighted_mix`` — per-language differential-rate downsampling
+  from a content hash (the data-mixing step); reproducible across
+  shards/engines, no RNG state. (``llm.advanced.sample_stratified`` is
+  the simpler systematic 1-in-k cousin.)
 
 Scale: every op is one explode/scan + hash aggregation (shuffles on
 token/gram/source keys only — never on full text); the eval-gram side
