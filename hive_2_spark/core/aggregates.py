@@ -186,6 +186,29 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via mergeable bitmaps (Spark 4 bitmap aggs).
+
+    The scalable exact-distinct pattern: key space is split into 32k-bit
+    buckets (bitmap_bucket_number / bitmap_bit_position), each group x
+    bucket collapses to one bitmap map-side (bitmap_construct_agg), and
+    popcounts are summed. Unlike COUNT(DISTINCT) the partial state is
+    re-aggregatable — the same bitmaps roll up across partitions, days,
+    or incremental batches without re-scanning. Oracle: plain
+    COUNT(DISTINCT) — bitmap counting is exact, not a sketch.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag", F.bitmap_bucket_number("l_partkey").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("l_partkey")).alias("bm")
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_parts"))
+    )
+
+
 QUERIES = {
     "agg_groupby": agg_groupby,
     "agg_mode": agg_mode,
@@ -200,9 +223,14 @@ QUERIES = {
     "agg_percentile": agg_percentile,
     "agg_stats": agg_stats,
     "agg_approx": agg_approx,  # rows-only: HLL/KLL sketches are engine-specific
+    "agg_bitmap_distinct": agg_bitmap_distinct,
 }
 
 ORACLES = {
+    "agg_bitmap_distinct": (
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
     "agg_mode": (
         "SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n FROM ("
         "SELECT l_returnflag, l_quantity, COUNT(*) AS n, "

@@ -194,13 +194,93 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIN_US = 3_600_000_000  # 1-hour bins; >= max window duration (54 min)
+
+
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval containment join rewritten as a binned EQUI-join.
+
+    No shared key exists between the sides (maintenance windows x event
+    points), so a naive plan is a nested-loop O(N*M). The scale rewrite:
+    quantize time into fixed bins no smaller than the longest interval,
+    explode each interval to the <=2 bins it covers, bin each point once,
+    equi-join on the bin, then apply the exact containment residual.
+    Cost becomes one shuffle on the bin key and |intervals| x 2 + |points|
+    rows — the plan survives 100x data where the nested loop detonates.
+
+    Windows are derived deterministically from the observed time range
+    (every 3rd hour, duration 10 + (i*13) % 45 minutes) so the DuckDB
+    oracle — written as the NAIVE inequality join — proves the rewrite
+    is semantics-preserving.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
+    )
+    hours = bounds.select(
+        F.posexplode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("i", "start")
+    )
+    wins = hours.filter(F.col("i") % 3 == 0).select(
+        F.col("i").cast("long").alias("win_id"),
+        "start",
+        F.expr(
+            "timestampadd(MINUTE, 10 + (i * 13) % 45, start)"
+        ).alias("fin"),
+    )
+    wins_binned = wins.select(
+        "win_id",
+        "start",
+        "fin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("start") / _BIN_US),
+                F.floor(F.unix_micros("fin") / _BIN_US),
+            )
+        ).alias("bin"),
+    )
+    pts = e.select(
+        "ts", "value", F.floor(F.unix_micros("ts") / _BIN_US).alias("bin")
+    )
+    return (
+        pts.join(wins_binned, on="bin")
+        .filter((F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("fin")))
+        .groupBy("win_id", F.col("start").alias("win_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "join_asof": join_asof,
     "join_asof_forward": join_asof_forward,
     "join_asof_tolerance": join_asof_tolerance,
+    "join_interval_binned": join_interval_binned,
 }
 
 ORACLES = {
+    # Deliberately the NAIVE inequality join — proves the binned equi-join
+    # rewrite preserves semantics exactly.
+    "join_interval_binned": (
+        "WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo, "
+        "  MAX(ts) AS hi FROM events), "
+        "hours AS (SELECT UNNEST(generate_series("
+        "  (SELECT lo FROM bounds), (SELECT hi FROM bounds), "
+        "  INTERVAL '1 hour')) AS start), "
+        "idx AS (SELECT start, "
+        "  CAST(ROW_NUMBER() OVER (ORDER BY start) - 1 AS BIGINT) AS i "
+        "  FROM hours), "
+        "wins AS (SELECT i AS win_id, start, "
+        "  start + to_minutes(10 + (i * 13) % 45) AS fin "
+        "  FROM idx WHERE i % 3 = 0) "
+        "SELECT w.win_id, w.start AS win_start, COUNT(*) AS n_events, "
+        "ROUND(SUM(e.value), 2) AS sum_value "
+        "FROM wins w JOIN events e ON e.ts >= w.start AND e.ts <= w.fin "
+        "GROUP BY 1, 2"
+    ),
     "join_asof": (
         "SELECT p.event_id, p.user_id, p.ts, c.event_id AS prior_click_id "
         "FROM (SELECT event_id, user_id, ts FROM events "

@@ -1,11 +1,16 @@
-"""Time-series operators: gap-filled resampling (hypertable-rollup shape)
-and value histograms.
+"""Time-series operators: gap-filled resampling (hypertable-rollup shape),
+linear gap interpolation, and value histograms.
 
 - ``ts_resample``: events rolled up to a 30-minute grid per event_type,
   with EMPTY buckets materialized (the time spine) — the "hypertable
   rollup + gap fill" pattern. The spine is generated from the observed
   min/max with ``sequence`` + ``explode``; at scale the spine is a
   metadata-sized cross join (buckets x types), never a fact-table blowup.
+- ``ts_interpolate``: the same grid with empty buckets LINEARLY
+  INTERPOLATED between their nearest observed neighbors (leading/trailing
+  gaps back-/forward-fill) — the hypertable ``interpolate()`` shape.
+  Pure window algebra: two IGNORE NULLS carries per direction, weights in
+  exact integer microseconds; one shuffle on event_type, no Python.
 - ``agg_histogram``: fixed-bin value histogram via ``width_bucket`` —
   bin edges shared with the DuckDB oracle.
 """
@@ -58,6 +63,59 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 30-min grid with linear interpolation of empty buckets.
+
+    For each empty bucket: value = prev + (next - prev) * frac, where
+    frac is the exact integer-microsecond position between the two
+    nearest observed buckets; leading gaps take the next observed value,
+    trailing gaps the previous. Quantized with floor(x*10000 + 0.5)
+    (engine-identical half-up; plain ROUND differs at halves).
+    """
+    from pyspark.sql import Window as W
+
+    g = ts_resample(spark, sf_dir)
+    us = F.unix_micros(F.col("bucket"))
+    v = F.when(F.col("n") > 0, F.col("sum_value"))
+    g = g.select("bucket", "event_type", "n", us.alias("us"), v.alias("v"))
+
+    before = (
+        W.partitionBy("event_type")
+        .orderBy("us")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    after = (
+        W.partitionBy("event_type")
+        .orderBy("us")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    obs_us = F.when(F.col("v").isNotNull(), F.col("us"))
+    carried = g.select(
+        "bucket",
+        "event_type",
+        "n",
+        "us",
+        "v",
+        F.last("v", ignorenulls=True).over(before).alias("pv"),
+        F.last(obs_us, ignorenulls=True).over(before).alias("pus"),
+        F.first("v", ignorenulls=True).over(after).alias("nv"),
+        F.first(obs_us, ignorenulls=True).over(after).alias("nus"),
+    )
+    frac = (F.col("us") - F.col("pus")) / (F.col("nus") - F.col("pus"))
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return carried.select(
+        "bucket",
+        "event_type",
+        "n",
+        (F.floor(interp * 10000.0 + 0.5) / 10000.0).alias("value_interp"),
+    )
+
+
 def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-bin histogram of order totals via width_bucket."""
     o = load_table(spark, sf_dir, "orders")
@@ -75,8 +133,24 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ts_resample": ts_resample,
+    "ts_interpolate": ts_interpolate,
     "agg_histogram": agg_histogram,
 }
+
+_GRID_CTE = (
+    "b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket, "
+    "  event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value "
+    "  FROM events GROUP BY 1, 2), "
+    "spine AS (SELECT UNNEST(generate_series("
+    "  (SELECT date_trunc('hour', MIN(ts)) FROM events), "
+    "  (SELECT MAX(ts) FROM events), INTERVAL '30 minutes')) AS bucket), "
+    "types AS (SELECT DISTINCT event_type FROM events), "
+    "g AS (SELECT s.bucket, t.event_type, COALESCE(b.n, 0) AS n, "
+    "  epoch_us(s.bucket) AS us, "
+    "  CASE WHEN b.n > 0 THEN b.sum_value END AS v "
+    "  FROM spine s CROSS JOIN types t "
+    "  LEFT JOIN b ON b.bucket = s.bucket AND b.event_type = t.event_type)"
+)
 
 ORACLES = {
     "ts_resample": (
@@ -91,6 +165,27 @@ ORACLES = {
         "COALESCE(b.n, 0) AS n, COALESCE(b.sum_value, 0.0) AS sum_value "
         "FROM spine s CROSS JOIN types t "
         "LEFT JOIN b ON b.bucket = s.bucket AND b.event_type = t.event_type"
+    ),
+    "ts_interpolate": (
+        f"WITH {_GRID_CTE}, "
+        "c AS (SELECT bucket, event_type, n, us, v, "
+        "  LAST_VALUE(v IGNORE NULLS) OVER w1 AS pv, "
+        "  LAST_VALUE(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) "
+        "    OVER w1 AS pus, "
+        "  FIRST_VALUE(v IGNORE NULLS) OVER w2 AS nv, "
+        "  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) "
+        "    OVER w2 AS nus "
+        "  FROM g WINDOW "
+        "  w1 AS (PARTITION BY event_type ORDER BY us "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+        "  w2 AS (PARTITION BY event_type ORDER BY us "
+        "    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) "
+        "SELECT bucket, event_type, n, "
+        "FLOOR((CASE WHEN v IS NOT NULL THEN v "
+        "  WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv "
+        "  ELSE pv + (nv - pv) * "
+        "    (CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE)) END"
+        ") * 10000.0 + 0.5) / 10000.0 AS value_interp FROM c"
     ),
     # DuckDB has no width_bucket; same binning arithmetically
     "agg_histogram": (

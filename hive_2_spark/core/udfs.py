@@ -8,6 +8,8 @@ Demonstrates every Python-extension tier with its cost profile:
 - ``pandas_udf`` grouped-agg + ``applyInPandas`` grouped-map — custom
   aggregation/transform per group.
 - registered SQL UDF (spark.udf.register) — callable from the SQL API.
+- Python UDTF (``@udtf`` + ``spark.udtf.register``) — table-valued
+  function invoked via LATERAL, one output row per yielded tuple.
 
 Each demo computes semantics DuckDB can mirror exactly (ASCII case map,
 linear math, group z-scores), so even the UDF surface is oracle-checked
@@ -97,12 +99,40 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: LATERAL table function yielding one row per word.
+
+    The third extension tier after scalar UDF and grouped UDAF — a
+    generator UDTF correlated per input row (``FROM part, LATERAL
+    split_words(p_name)``). Kept off hot paths like the scalar demo:
+    the built-in explode/split covers this case JVM-side; the key proves
+    the extension surface round-trips values exactly.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, wlen bigint")
+    class SplitWords:
+        def eval(self, name: str):
+            if name is None:
+                return
+            for w in name.split(" "):
+                yield (w, len(w))
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_udtf_part")
+    return spark.sql(
+        "SELECT p.p_partkey, s.word, s.wlen "
+        "FROM _udtf_part p, LATERAL split_words(p.p_name) s"
+    )
+
+
 QUERIES = {
     "udf_scalar": udf_scalar,
     "udf_pandas_scalar": udf_pandas_scalar,
     "udf_grouped_agg": udf_grouped_agg,
     "udf_grouped_map": udf_grouped_map,
     "udf_sql_registered": udf_sql_registered,
+    "udf_table": udf_table,
 }
 
 ORACLES = {
@@ -134,5 +164,9 @@ ORACLES = {
         "SELECT c_custkey, "
         "CASE WHEN c_acctbal >= 5000.0 THEN 'high' ELSE 'low' END AS band "
         "FROM customer"
+    ),
+    "udf_table": (
+        "SELECT p_partkey, u.word, CAST(LENGTH(u.word) AS BIGINT) AS wlen "
+        "FROM part, UNNEST(string_split(p_name, ' ')) AS u(word)"
     ),
 }

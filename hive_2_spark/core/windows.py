@@ -194,6 +194,30 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count over a trailing 10-row frame.
+
+    Spark has no COUNT(DISTINCT) OVER; the idiomatic rewrite is
+    size(collect_set() OVER frame) — set state is bounded by the frame
+    (10 rows), so memory stays O(frame) per partition at any scale.
+    Oracle: DuckDB's native COUNT(DISTINCT ...) OVER the same frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-9, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        # cast to long: size() is INT in Spark, COUNT is BIGINT in DuckDB
+        F.size(F.collect_set("o_orderstatus").over(w))
+        .cast("long")
+        .alias("distinct_status_10"),
+    )
+
+
 QUERIES = {
     "win_ignore_nulls": win_ignore_nulls,
     "win_range_time": win_range_time,
@@ -205,6 +229,7 @@ QUERIES = {
     "win_first_last": win_first_last,
     "win_range_frame": win_range_frame,
     "win_topk_per_group": win_topk_per_group,
+    "win_distinct_rolling": win_distinct_rolling,
 }
 
 _W_RANK = (
@@ -291,5 +316,12 @@ ORACLES = {
         "ROW_NUMBER() OVER (PARTITION BY o_custkey "
         "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) t "
         "WHERE rn <= 3"
+    ),
+    "win_distinct_rolling": (
+        "SELECT o_orderkey, o_orderpriority, "
+        "COUNT(DISTINCT o_orderstatus) OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_orderdate ASC, o_orderkey ASC "
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS distinct_status_10 "
+        "FROM orders"
     ),
 }

@@ -19,6 +19,7 @@ CARTESIAN_OK = {
     "sim_pairwise_label",   # sampled pair set
     "insert_rows",          # 2-row literal cross join with max-key
     "ts_resample",          # spine x event_type (metadata-sized)
+    "ts_interpolate",       # builds on the ts_resample spine (same bound)
     "sql_recursive_cte",    # pure-inequality join: 10-row recursion result
                             # broadcast + nested-loop IS the right plan
     "tfidf_top_terms",      # 1-row broadcast n_sources scalar — the same
@@ -26,6 +27,7 @@ CARTESIAN_OK = {
 }
 PYTHON_OK = {
     "udf_scalar",
+    "udf_table",            # Python UDTF (BatchEvalPythonUDTF) — API demo
     "udf_pandas_scalar",
     "udf_grouped_agg",
     "udf_grouped_map",

@@ -62,6 +62,9 @@ BRIEF_EXTRAS = [
     # as-of join variants (core/asof.py)
     "join_asof", "join_asof_forward", "join_asof_tolerance",
     "dedup_minhash_portable", "quality_expectations", "compact_small_files",
+    # round-2 scale-pattern additions
+    "ts_interpolate", "win_distinct_rolling", "agg_bitmap_distinct",
+    "udf_table", "join_interval_binned",
 ]
 
 
