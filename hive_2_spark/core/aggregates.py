@@ -209,6 +209,50 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance via mergeable partials.
+
+    The orders table is split into a base (90%) and a delta batch (10%);
+    each side collapses to per-group partial state (sum/count/min/max),
+    and the two states MERGE without touching base rows again —
+    sum-of-sums, min-of-mins. This is the maintenance plan for a
+    continuously updated aggregate at 100 TB: the delta costs O(batch),
+    never O(history). AVG is derived at read time from merged sum/count
+    (it is not itself mergeable). Oracle: the same aggregate computed
+    flat over the full table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.sum("o_totalprice").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = state(o.filter(F.col("o_orderkey") % 10 != 0))
+    delta = state(o.filter(F.col("o_orderkey") % 10 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum("n").alias("n_orders"),
+            F.min("mn").alias("min_price"),
+            F.max("mx").alias("max_price"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round(F.col("s"), 2).alias("total"),
+            "n_orders",
+            "min_price",
+            "max_price",
+            F.round(F.col("s") / F.col("n_orders"), 4).alias("avg_price"),
+        )
+    )
+
+
 QUERIES = {
     "agg_groupby": agg_groupby,
     "agg_mode": agg_mode,
@@ -224,12 +268,24 @@ QUERIES = {
     "agg_stats": agg_stats,
     "agg_approx": agg_approx,  # rows-only: HLL/KLL sketches are engine-specific
     "agg_bitmap_distinct": agg_bitmap_distinct,
+    "agg_incremental_merge": agg_incremental_merge,
 }
 
 ORACLES = {
     "agg_bitmap_distinct": (
         "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts "
         "FROM lineitem GROUP BY l_returnflag"
+    ),
+    # Flat aggregate over the full table — proves base+delta state merge
+    # is exact (sum drift ~1e-8 absorbed by the 2dp/4dp rounding).
+    "agg_incremental_merge": (
+        "SELECT o_orderpriority, "
+        "ROUND(SUM(o_totalprice), 2) AS total, "
+        "COUNT(*) AS n_orders, "
+        "MIN(o_totalprice) AS min_price, "
+        "MAX(o_totalprice) AS max_price, "
+        "ROUND(SUM(o_totalprice) / COUNT(*), 4) AS avg_price "
+        "FROM orders GROUP BY o_orderpriority"
     ),
     "agg_mode": (
         "SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n FROM ("

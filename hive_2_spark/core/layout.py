@@ -134,12 +134,65 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def catalog_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed managed tables joined WITHOUT an exchange.
+
+    Both sides are written ``bucketBy(8, key).sortBy(key)`` into the
+    managed warehouse; a later equi-join on the bucket key reuses the
+    stored hash layout, so the sort-merge join runs with NO shuffle on
+    either side (gated in tests/test_bucketing.py). This is the
+    co-located-join strategy for repeated large-large joins at 100 TB:
+    pay the shuffle once at write time, never at read time. Oracle: the
+    same join computed flat from the source files.
+    """
+    from hive_2_spark.core.metastore import (
+        DB,
+        _clear_orphaned_location,
+        ensure_database,
+    )
+
+    ensure_database(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    for name, df, key in [
+        ("bkt_lineitem", li, "l_orderkey"),
+        ("bkt_orders", o, "o_orderkey"),
+    ]:
+        _clear_orphaned_location(spark, name, DB)
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(
+            f"{DB}.{name}"
+        )
+    return (
+        spark.table(f"{DB}.bkt_lineitem")
+        .join(
+            spark.table(f"{DB}.bkt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
     "zorder_layout": zorder_layout,
     "compact_small_files": compact_small_files,
+    "catalog_bucketed_join": catalog_bucketed_join,
 }
 
 ORACLES = {
+    "catalog_bucketed_join": (
+        "SELECT o_orderstatus, COUNT(*) AS n_lines, "
+        "ROUND(SUM(l_extendedprice), 2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderstatus"
+    ),
     "zorder_layout": (
         "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
         "WHERE o_custkey < 100 AND o_orderkey < 10000"

@@ -43,12 +43,45 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an INFERRED value spine (no explicit list).
+
+    The convenience form: Spark runs a distinct pre-query on the pivot
+    column to discover the spine, then compiles the same plan as the
+    explicit pivot. Kept alongside ``pivot_wide`` to document the cost:
+    at 100 TB that pre-query is a full extra scan+shuffle — enumerate
+    the spine when you know it. Inferred values are sorted, so the
+    output schema is deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus")  # inferred: sorted distinct statuses
+        .agg(F.count(F.lit(1)))
+    )
+    # statuses in the fixture: F, O, P (sorted inference)
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
 QUERIES = {
     "pivot_wide": pivot_wide,
     "unpivot_long": unpivot_long,
+    "pivot_dynamic": pivot_dynamic,
 }
 
 ORACLES = {
+    "pivot_dynamic": (
+        "SELECT o_orderpriority, "
+        "COUNT(*) FILTER (o_orderstatus = 'F') AS n_f, "
+        "COUNT(*) FILTER (o_orderstatus = 'O') AS n_o, "
+        "COUNT(*) FILTER (o_orderstatus = 'P') AS n_p "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
     "pivot_wide": (
         "SELECT l_returnflag, "
         "ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) "

@@ -101,15 +101,78 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/bit surface: hex encode, base64 roundtrip, bit shifts/xor.
+
+    All codegen JVM expressions; hex and base64 are byte-exact across
+    engines (uppercase hex, RFC 4648 base64), shifts/xor are integer ops.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.hex(F.col("p_name").cast("binary")).alias("name_hex"),
+        F.base64(F.col("p_brand").cast("binary")).alias("brand_b64"),
+        F.shiftleft(F.col("p_partkey"), 3).alias("key_shl3"),
+        F.shiftright(F.col("p_partkey"), 2).alias("key_shr2"),
+        F.expr("p_partkey ^ p_size").cast("long").alias("key_xor_size"),
+    )
+
+
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parse/encode surface: parse_url HOST/PATH/QUERY + url_encode.
+
+    URLs are synthesized from part columns so every component varies;
+    the oracle re-derives each component with regex/string functions
+    (DuckDB has no parse_url), proving semantics not just execution.
+    """
+    p = load_table(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_replace("p_brand", "#", "")),
+        F.lit(".example.com/catalog/"),
+        F.col("p_partkey").cast("string"),
+        F.lit("?size="),
+        F.col("p_size").cast("string"),
+    )
+    return p.select(
+        "p_partkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.url_encode(F.col("p_type")).alias("type_enc"),
+    )
+
+
 QUERIES = {
     "fn_map": fn_map,
     "fn_try": fn_try,
     "fn_array2": fn_array2,
     "fn_lambda": fn_lambda,
     "fn_variant": fn_variant,
+    "fn_binary": fn_binary,
+    "fn_url": fn_url,
 }
 
 ORACLES = {
+    "fn_binary": (
+        "SELECT p_partkey, "
+        "hex(encode(p_name)) AS name_hex, "
+        "to_base64(encode(p_brand)) AS brand_b64, "
+        "p_partkey << 3 AS key_shl3, "
+        "p_partkey >> 2 AS key_shr2, "
+        "CAST(xor(p_partkey, p_size) AS BIGINT) AS key_xor_size "
+        "FROM part"
+    ),
+    # p_type is ASCII letters+spaces, so form-encoding is exactly the
+    # space->'+' map; host/path/query re-derived by construction.
+    "fn_url": (
+        "SELECT p_partkey, "
+        "lower(replace(p_brand, '#', '')) || '.example.com' AS host, "
+        "'/catalog/' || CAST(p_partkey AS VARCHAR) AS path, "
+        "'size=' || CAST(p_size AS VARCHAR) AS query, "
+        "replace(p_type, ' ', '+') AS type_enc "
+        "FROM part"
+    ),
     "fn_variant": (
         "SELECT event_id, "
         "CAST(json_extract(props, '$.k') AS BIGINT) AS k_num, "

@@ -221,11 +221,74 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEV_BLOCK_CAP = 100  # pair space per block <= cap^2/2; asserted in tests
+_LEV_PREFIX = 200  # DP cost per pair bounded at 200x200 cells
+
+
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs inside content-hash blocks.
+
+    Completes the dedup family with the character-level measure (exact
+    twins: hash; token twins: Jaccard/MinHash; vector twins: cosine;
+    character twins: Levenshtein). Same scale discipline as
+    ``dedup_ngram_jaccard``: candidates are blocked by (lang, md5 of the
+    first 32 normalized chars) with a per-block cap, and the O(len^2) DP
+    runs on the first 200 normalized chars only, so per-pair cost is a
+    constant. Twins are synthesized by appending ' zq x' to every 15th
+    doc's normalized text (edit distance exactly 5).
+    """
+    from hive_2_spark.llm.dedup import _NORM
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    base = d.select("doc_id", "lang", _NORM(F.col("text")).alias("norm"))
+    twins = base.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        "lang",
+        F.concat(F.col("norm"), F.lit(" zq x")).alias("norm"),
+    )
+    c = (
+        base.unionByName(twins)
+        .withColumn("blk", F.md5(F.substring("norm", 1, 32)))
+        .withColumn("head", F.substring("norm", 1, _LEV_PREFIX))
+    )
+    from pyspark.sql import Window as W
+
+    c = c.withColumn(
+        "blk_n", F.count(F.lit(1)).over(W.partitionBy("blk", "lang"))
+    ).filter(F.col("blk_n") <= _LEV_BLOCK_CAP)
+    a = c.select(
+        F.col("doc_id").alias("a_id"),
+        "lang",
+        "blk",
+        F.col("head").alias("a_head"),
+    )
+    b = c.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("blk").alias("b_blk"),
+        F.col("head").alias("b_head"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("blk") == F.col("b_blk"))
+            & (F.col("lang") == F.col("b_lang"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .withColumn(
+            "dist", F.levenshtein("a_head", "b_head").cast("long")
+        )
+        .filter(F.col("dist") <= 5)
+        .select("a_id", "b_id", "dist")
+    )
+
+
 QUERIES = {
     "dedup_embedding": dedup_embedding,
     "sim_ivf_topk": sim_ivf_topk,  # rows-only: recall asserted vs brute force
     "dedup_clusters": dedup_clusters,
     "sample_stratified": sample_stratified,
+    "dedup_levenshtein": dedup_levenshtein,
 }
 
 _DK_VEC = "list_transform({c}, x -> CAST(x AS DOUBLE))"
@@ -284,6 +347,24 @@ _DK_EMB_COS = (
 )
 
 ORACLES = {
+    "dedup_levenshtein": (
+        "WITH c0 AS (SELECT doc_id, lang, "
+        "TRIM(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm "
+        "FROM documents), "
+        "u AS (SELECT doc_id, lang, norm FROM c0 "
+        "      UNION ALL SELECT doc_id + 40000000, lang, norm || ' zq x' "
+        "      FROM c0 WHERE doc_id % 15 = 0), "
+        "c1 AS (SELECT doc_id, lang, md5(substr(norm, 1, 32)) AS blk, "
+        "       substr(norm, 1, 200) AS head FROM u), "
+        "c AS (SELECT *, COUNT(*) OVER (PARTITION BY blk, lang) AS blk_n "
+        "      FROM c1) "
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist "
+        "FROM c a JOIN c b ON a.blk = b.blk AND a.lang = b.lang "
+        "AND a.doc_id < b.doc_id "
+        "WHERE a.blk_n <= 100 AND levenshtein(a.head, b.head) <= 5"
+    ),
     "dedup_embedding": (
         "WITH base AS (SELECT vec_id, label, "
         f"{_DK_VEC.format(c='embedding')} AS vec FROM embeddings), "

@@ -29,6 +29,27 @@ def bucketed(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_catalog_bucketed_join_key_has_no_shuffle(spark):
+    """The registry key's join must also run exchange-free once the
+    bucketed tables exist (broadcast disabled to force the choice)."""
+    from hive_2_spark.core.layout import catalog_bucketed_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = catalog_bucketed_join(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # the only exchange allowed is the one for the final groupBy
+        join_part = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
 def test_bucketed_join_has_no_shuffle(bucketed):
     spark = bucketed
     # disable broadcast so the join must choose a shuffle or bucket strategy

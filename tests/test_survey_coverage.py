@@ -65,6 +65,8 @@ BRIEF_EXTRAS = [
     # round-2 scale-pattern additions
     "ts_interpolate", "win_distinct_rolling", "agg_bitmap_distinct",
     "udf_table", "join_interval_binned",
+    "agg_incremental_merge", "dedup_levenshtein", "fn_binary", "fn_url",
+    "pivot_dynamic", "catalog_bucketed_join",
 ]
 
 
