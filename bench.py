@@ -42,6 +42,8 @@ HEADLINE = [
     "text_chunk",           # sliding-window chunk fan-out (codegen explode)
     "token_pack",           # running-sum window packing + re-agg
     "contamination_ngram",  # shingle explode + broadcast semi-join
+    "join_interval_binned", # keyless interval join via binned equi-join
+    "agg_bitmap_distinct",  # exact distinct from mergeable bitmaps
 ]
 
 

@@ -212,14 +212,48 @@ def read_table_format(spark: SparkSession, fmt: str, path: str) -> DataFrame:
     return spark.read.format(fmt).load(path)
 
 
+def read_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source: whole-file binary ingestion (the multimodal
+    ingest path — image/audio files land as (path, length, content)).
+
+    Fixture materialization is driver-side by necessity (one FILE per
+    blob is the point of the source) but metadata-sized: the 25 nation
+    names as .txt files. The read itself is a distributed scan; content
+    round-trips byte-exact, proven by decoding it back and hash-matching
+    the source table. At 100 TB the same reader fans files out across
+    executors; pair it with `spark.sql.files.maxPartitionBytes` and the
+    multimodal mapInPandas kernels (`llm/multimodal.py`).
+    """
+    out = _scratch("nation_binfiles", sf_dir)
+    os.makedirs(out, exist_ok=True)
+    rows = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()  # 25 rows — fixture setup, not a query path
+    )
+    for r in rows:
+        with open(os.path.join(out, f"{r.n_nationkey}.txt"), "wb") as f:
+            f.write(r.n_name.encode("utf-8"))
+    df = spark.read.format("binaryFile").load(out)
+    return df.select(
+        F.col("content").cast("string").alias("n_name"),
+        F.col("length").alias("n_bytes"),
+    )
+
+
 QUERIES = {
     "roundtrip_csv": roundtrip_csv,
     "roundtrip_json": roundtrip_json,
     "roundtrip_orc": roundtrip_orc,
     "partitioned_write_read": partitioned_write_read,
+    "read_binaryfile": read_binaryfile,
 }
 
 ORACLES = {
+    # names are ASCII so char length == byte length
+    "read_binaryfile": (
+        "SELECT n_name, CAST(LENGTH(n_name) AS BIGINT) AS n_bytes FROM nation"
+    ),
     "roundtrip_csv": (
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders"
     ),

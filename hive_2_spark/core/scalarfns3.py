@@ -143,6 +143,23 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer: rows with EMPTY arrays survive as NULL rows.
+
+    The outer variant matters in pipelines that must not lose parents
+    when a child list is empty (e.g. documents with zero long tokens) —
+    plain explode silently drops them.
+    """
+    p = load_table(spark, sf_dir, "part")
+    long_words = F.filter(
+        F.split(F.col("p_type"), " "), lambda x: F.length(x) > 6
+    )
+    return p.select(
+        "p_partkey",
+        F.posexplode_outer(long_words).alias("pos", "word"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
 QUERIES = {
     "fn_map": fn_map,
     "fn_try": fn_try,
@@ -151,6 +168,7 @@ QUERIES = {
     "fn_variant": fn_variant,
     "fn_binary": fn_binary,
     "fn_url": fn_url,
+    "fn_explode_outer": fn_explode_outer,
 }
 
 ORACLES = {
@@ -162,6 +180,21 @@ ORACLES = {
         "p_partkey >> 2 AS key_shr2, "
         "CAST(xor(p_partkey, p_size) AS BIGINT) AS key_xor_size "
         "FROM part"
+    ),
+    # Empty lists become [NULL] before UNNEST to mirror the OUTER
+    # semantics; pos is NULL exactly when word is NULL.
+    "fn_explode_outer": (
+        "WITH t AS (SELECT p_partkey, "
+        "  list_filter(string_split(p_type, ' '), x -> length(x) > 6) AS lw "
+        "  FROM part), "
+        "t2 AS (SELECT p_partkey, "
+        "  CASE WHEN len(lw) = 0 THEN [NULL::VARCHAR] ELSE lw END AS lw2 "
+        "  FROM t) "
+        "SELECT p_partkey, "
+        "CASE WHEN lw2[i] IS NULL THEN NULL "
+        "     ELSE CAST(i - 1 AS BIGINT) END AS pos, "
+        "lw2[i] AS word "
+        "FROM t2, UNNEST(range(1, len(lw2) + 1)) u(i)"
     ),
     # p_type is ASCII letters+spaces, so form-encoding is exactly the
     # space->'+' map; host/path/query re-derived by construction.

@@ -67,6 +67,7 @@ BRIEF_EXTRAS = [
     "udf_table", "join_interval_binned",
     "agg_incremental_merge", "dedup_levenshtein", "fn_binary", "fn_url",
     "pivot_dynamic", "catalog_bucketed_join",
+    "fn_explode_outer", "read_binaryfile",
 ]
 
 
