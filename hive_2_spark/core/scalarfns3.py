@@ -160,6 +160,25 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("pos", F.col("pos").cast("long"))
 
 
+def fn_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_json`` with an EXPLICIT schema: parse once into a typed
+    struct, then field access — the production JSON path (per-extraction
+    ``get_json_object`` re-parses the string each call; ``fn_variant``
+    is the schema-on-read cousin)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    rt = F.from_json(
+        F.to_json(F.struct("event_type", "value")),
+        "event_type STRING, value DOUBLE",
+    )
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_num"),
+        rt.getField("event_type").alias("etype"),
+        rt.getField("value").alias("val"),
+    )
+
+
 QUERIES = {
     "fn_map": fn_map,
     "fn_try": fn_try,
@@ -169,6 +188,7 @@ QUERIES = {
     "fn_binary": fn_binary,
     "fn_url": fn_url,
     "fn_explode_outer": fn_explode_outer,
+    "fn_from_json": fn_from_json,
 }
 
 ORACLES = {
@@ -180,6 +200,13 @@ ORACLES = {
         "p_partkey >> 2 AS key_shr2, "
         "CAST(xor(p_partkey, p_size) AS BIGINT) AS key_xor_size "
         "FROM part"
+    ),
+    # The JSON roundtrip (to_json -> from_json) is value-preserving, so
+    # the oracle reads the source columns directly.
+    "fn_from_json": (
+        "SELECT event_id, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) AS k_num, "
+        "event_type AS etype, value AS val FROM events"
     ),
     # Empty lists become [NULL] before UNNEST to mirror the OUTER
     # semantics; pos is NULL exactly when word is NULL.

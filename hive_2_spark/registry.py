@@ -50,6 +50,7 @@ _MODULES: list[str] = [
     "hive_2_spark.core.skew",
     "hive_2_spark.core.layout",
     "hive_2_spark.core.timeseries",
+    "hive_2_spark.core.cdc",
     "hive_2_spark.core.profile",
     "hive_2_spark.core.setops",
     "hive_2_spark.flagship",

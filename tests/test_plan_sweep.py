@@ -18,6 +18,7 @@ CARTESIAN_OK = {
     "sim_ivf_topk",         # centroid cross join (10 centroids)
     "sim_pairwise_label",   # sampled pair set
     "insert_rows",          # 2-row literal cross join with max-key
+    "cdc_changes",          # 50-row literal x 1-row max-key (bounded)
     "ts_resample",          # spine x event_type (metadata-sized)
     "ts_interpolate",       # builds on the ts_resample spine (same bound)
     "sql_recursive_cte",    # pure-inequality join: 10-row recursion result

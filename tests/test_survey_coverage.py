@@ -68,6 +68,7 @@ BRIEF_EXTRAS = [
     "agg_incremental_merge", "dedup_levenshtein", "fn_binary", "fn_url",
     "pivot_dynamic", "catalog_bucketed_join",
     "fn_explode_outer", "read_binaryfile",
+    "cdc_changes", "scd2_dimension", "fn_from_json",
 ]
 
 
