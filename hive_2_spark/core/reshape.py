@@ -59,12 +59,21 @@ def pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus")  # inferred: sorted distinct statuses
         .agg(F.count(F.lit(1)))
     )
-    # statuses in the fixture: F, O, P (sorted inference)
+    # statuses in the fixture: F, O, P (sorted inference). On empty input
+    # the inferred spine is empty and the pivoted columns don't exist —
+    # substitute 0 so the operator stays empty-input-safe.
+    cols = set(p.columns)
+    def n(c: str):  # noqa: E306
+        return (
+            F.coalesce(F.col(c), F.lit(0)).cast("long")
+            if c in cols
+            else F.lit(0).cast("long")
+        )
     return p.select(
         "o_orderpriority",
-        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
-        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
-        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+        n("F").alias("n_f"),
+        n("O").alias("n_o"),
+        n("P").alias("n_p"),
     )
 
 

@@ -46,6 +46,19 @@ KEYS = [
     "stream_interval_join_left",
     "sql_q21_waiting_suppliers",
     "media_features",
+    # late round-2 additions (cdc_changes excluded: like insert_rows, its
+    # synthesized insert batch is non-empty by construction)
+    "ts_interpolate",
+    "win_distinct_rolling",
+    "agg_bitmap_distinct",
+    "agg_incremental_merge",
+    "join_interval_binned",
+    "dedup_levenshtein",
+    "scd2_dimension",
+    "pivot_dynamic",
+    "fn_explode_outer",
+    "fn_from_json",
+    "read_binaryfile",
 ]
 
 
