@@ -60,18 +60,36 @@ def load_table(
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright. Read it as raw nanos and convert to a proper
-    TimestampType (micros) — the generator emits zero sub-microsecond
-    components, so the conversion is lossless. Done here so every query
-    works under ANY SparkSession (the driver brings its own)."""
+    """Load events with ``ts`` normalized to TimestampType (epoch micros,
+    naive values interpreted as UTC) under ANY SparkSession/timezone.
+
+    The generator's physical encoding of ``ts`` has varied across rounds:
+    parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    read as raw nanos via ``nanosAsLong`` and divide) and naive
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Branch on what the footer
+    actually says so either vintage of testdata works unchanged."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    # Integer division, NOT `/1000` — epoch nanos (~1.7e18) exceed double's
-    # 53-bit mantissa, so float division drifts by ±1 microsecond.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType, F))
+
+
+def _normalize_ts(dtype, F):
+    """Column expr converting a raw ``ts`` to TimestampType, epoch=naive-UTC."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if isinstance(dtype, LongType):
+        # Raw epoch nanos. Integer division, NOT `/1000` — epoch nanos
+        # (~1.7e18) exceed double's 53-bit mantissa, so float division
+        # drifts by ±1 microsecond.
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    if isinstance(dtype, TimestampNTZType):
+        # Naive micros: interpret the wall-clock value as UTC so the
+        # epoch (and every unix_micros/window computation downstream) is
+        # session-timezone independent, exactly as the nanos path was.
+        return F.to_utc_timestamp(F.col("ts"), "UTC")
+    return F.col("ts")  # already TimestampType
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

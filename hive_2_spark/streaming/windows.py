@@ -113,8 +113,12 @@ def _read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(static.schema).format("parquet").load(src_dir)
     )
-    # integer div — see catalog._load_events for the double-precision trap
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # same ts normalization as the batch path (nanos-long vs naive-micros)
+    from hive_2_spark.catalog import _normalize_ts
+
+    return stream.withColumn(
+        "ts", _normalize_ts(static.schema["ts"].dataType, F)
+    )
 
 
 def stream_tumbling_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
