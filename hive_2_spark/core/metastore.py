@@ -169,10 +169,38 @@ def catalog_partitioned_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATUS_DIM = [("F", "closed"), ("O", "open"), ("P", "pending")]
+
+
+def catalog_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the partitioned fact is joined to a
+    dimension whose FILTER (not the fact's) decides which partitions
+    are read. Catalyst turns the broadcast dim into a runtime partition
+    filter on the fact scan (``dynamicpruningexpression`` — gated in
+    tests/test_metastore), so at 100 TB the fact directories for
+    non-matching statuses are never listed, let alone read. The static
+    variant of this win is ``catalog_partitioned_ddl``."""
+    create_partitioned_ddl(spark, sf_dir)
+    fact = spark.table(f"{DB}.orders_part")
+    dim = spark.createDataFrame(_STATUS_DIM, "status string, phase string")
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("phase") == "closed")),
+            fact.o_orderstatus == F.col("status"),
+        )
+        .groupBy("phase", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 QUERIES = {
     "catalog_managed_agg": catalog_managed_agg,
     "catalog_managed_join": catalog_managed_join,
     "catalog_partitioned_ddl": catalog_partitioned_ddl,
+    "catalog_dpp_join": catalog_dpp_join,
 }
 
 ORACLES = {
@@ -188,6 +216,12 @@ ORACLES = {
     ),
     "catalog_partitioned_ddl": (
         "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "ROUND(SUM(o_totalprice), 2) AS total_price "
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus"
+    ),
+    "catalog_dpp_join": (
+        "SELECT 'closed' AS phase, o_orderstatus, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
         "ROUND(SUM(o_totalprice), 2) AS total_price "
         "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus"
     ),

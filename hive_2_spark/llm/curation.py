@@ -13,7 +13,7 @@ similarity (those live in ``dedup.py``/``similarity.py``/``advanced.py``):
   CONTENT hash (first hex char of md5(text): 1/16 test, 1/16 val, 14/16
   train). Content-hashed splits survive re-crawls and re-sharding,
   unlike row-number splits; identical docs land in the same split, so
-  近-dup leakage across splits is visible, not hidden.
+  near-dup leakage across splits is visible, not hidden.
 - ``contamination_ngram`` — eval-set contamination: corpus docs sharing
   any 5-word shingle with a held-out benchmark set (every 97th doc).
   The shingle join is a semi-join against a broadcast-sized gram set —
@@ -24,6 +24,11 @@ similarity (those live in ``dedup.py``/``similarity.py``/``advanced.py``):
   from a content hash (the data-mixing step); reproducible across
   shards/engines, no RNG state. (``llm.advanced.sample_stratified`` is
   the simpler systematic 1-in-k cousin.)
+- ``shuffle_train_order`` — deterministic global shuffle into training
+  shards: sort key = md5(seed, doc_id), shard = first two hex chars
+  (256 shards), position = rank within shard. Seed-keyed hashing gives
+  a different but reproducible permutation per epoch with no RNG state
+  to coordinate across executors.
 
 Scale: every op is one explode/scan + hash aggregation (shuffles on
 token/gram/source keys only — never on full text); the eval-gram side
@@ -211,12 +216,41 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHUFFLE_SEED = "epoch0:"
+
+
+def shuffle_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle into 256 shards.
+
+    At 100 TB: the sort key is uniform by construction, so
+    ``repartitionByRange(sort_key)`` + ``sortWithinPartitions`` writes
+    the shuffled corpus with perfectly balanced output files; the
+    window below ranks within each of 256 hash-prefix shards (one
+    shuffle keyed by shard, parallelism 256, no skew — each shard is
+    ~1/256 of the corpus). A new epoch is a new seed string, not a new
+    RNG protocol.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("sort_key")
+    return (
+        d.select(
+            "doc_id",
+            key.alias("sort_key"),
+            F.substring(key, 1, 2).alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 QUERIES = {
     "pii_redact": pii_redact,
     "doc_split": doc_split,
     "contamination_ngram": contamination_ngram,
     "tfidf_top_terms": tfidf_top_terms,
     "sample_weighted_mix": sample_weighted_mix,
+    "shuffle_train_order": shuffle_train_order,
 }
 
 ORACLES = {
@@ -312,5 +346,17 @@ WITH toks AS (
 )
 SELECT source, term, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 3
+""",
+    "shuffle_train_order": """
+WITH keyed AS (
+  SELECT doc_id,
+         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS sort_key
+  FROM documents
+)
+SELECT doc_id,
+       substr(sort_key, 1, 2) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY substr(sort_key, 1, 2)
+                               ORDER BY sort_key) AS BIGINT) AS pos
+FROM keyed
 """,
 }

@@ -1,0 +1,182 @@
+"""Repetition-based quality filters over `documents` (SURVEY.md §2B).
+
+The standard LLM-corpus quality gates beyond `llm/text.py`'s surface
+ratios: intra-document repetition (top-word fraction, duplicate-bigram
+fraction — the Gopher repetition rules) and corpus-level duplicated
+n-gram fraction (the FineWeb-style "how much of this doc exists
+elsewhere" signal). No reference counterpart (the reference is an ORM,
+`classes/hive/model.php`); these extend the driver-mandated LLM
+pipeline surface.
+
+Scale notes:
+- `quality_repetition`: duplicate-bigram fraction is computed entirely
+  inside per-row higher-order functions (zero shuffle); the top-word
+  fraction is an explode + two hash aggregations keyed by doc_id —
+  linear in token count, partial-aggregated map-side, no skew (doc_id
+  is unique).
+- `quality_dup_ngram_corpus`: one shingle explode, one gram-keyed
+  aggregation (the only wide exchange — same shape as shuffle dedup),
+  then a doc_id-keyed rollup. Identical to how contamination /
+  MinHash candidate generation shuffles, so it rides e.g. AQE skew
+  splitting the same way at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_spark.catalog import load_table
+from hive_2_spark.llm.curation import _shingles
+
+# Gopher-style thresholds: docs whose single most frequent word exceeds
+# 20% of tokens, or with >40% duplicated bigrams, are flagged.
+_TOP_WORD_MAX = 0.20
+_DUP_BIGRAM_MAX = 0.40
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition metrics + keep/flag decision.
+
+    Output: doc_id, n_words, top_word_frac, dup_bigram_frac, repetitive.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    # bigrams via HOF — per-row, no shuffle; docs with <2 words have none
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, 2), " "),
+    )
+    per_doc = d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_bigrams_distinct"),
+    )
+    top = (
+        d.select("doc_id", F.explode(words).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"))
+    )
+    dup_bi = F.when(
+        F.col("n_bigrams") > 0,
+        1.0 - F.col("n_bigrams_distinct") / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_doc.join(top, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.round(F.col("top_word_count") / F.col("n_words"), 6).alias(
+                "top_word_frac"
+            ),
+            F.round(dup_bi, 6).alias("dup_bigram_frac"),
+            (
+                (F.col("top_word_count") / F.col("n_words") > _TOP_WORD_MAX)
+                | (dup_bi > _DUP_BIGRAM_MAX)
+            ).alias("repetitive"),
+        )
+    )
+
+
+def quality_dup_ngram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's distinct 5-gram shingles that also occur
+    in at least one OTHER doc — the corpus-duplication quality signal.
+
+    Output: doc_id, n_grams, n_dup_grams, dup_frac (docs <5 words are
+    excluded identically by both engines).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = _shingles(d).select("doc_id", "gram").distinct()
+    # docs per gram; >1 means the gram is shared with another doc
+    gram_docs = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_docs_with_gram")
+    )
+    return (
+        grams.join(gram_docs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("n_docs_with_gram") > 1).cast("bigint")
+            ).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_dup_grams").cast("bigint").alias("n_dup_grams"),
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "quality_repetition": quality_repetition,
+    "quality_dup_ngram_corpus": quality_dup_ngram_corpus,
+}
+
+# DuckDB notes: list indexing is 1-based like Spark's slice/element_at;
+# range(a, b) is stop-exclusive so range(1, len) yields 1..len-1 — one
+# start per bigram. list_distinct mirrors array_distinct.
+ORACLES = {
+    "quality_repetition": f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), per_doc AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+           AS grams
+  FROM w
+), bi AS (
+  SELECT doc_id, n_words, len(grams) AS n_bigrams,
+         len(list_distinct(grams)) AS n_bigrams_distinct
+  FROM per_doc
+), top AS (
+  SELECT doc_id, MAX(c) AS top_word_count FROM (
+    SELECT doc_id, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wrd
+          FROM documents)
+    GROUP BY doc_id, wrd
+  ) GROUP BY doc_id
+)
+SELECT bi.doc_id,
+       CAST(bi.n_words AS BIGINT) AS n_words,
+       ROUND(top.top_word_count / CAST(bi.n_words AS DOUBLE), 6)
+         AS top_word_frac,
+       ROUND(CASE WHEN bi.n_bigrams > 0
+             THEN 1.0 - bi.n_bigrams_distinct / CAST(bi.n_bigrams AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_bigram_frac,
+       (top.top_word_count / CAST(bi.n_words AS DOUBLE) > {_TOP_WORD_MAX}
+        OR CASE WHEN bi.n_bigrams > 0
+           THEN 1.0 - bi.n_bigrams_distinct / CAST(bi.n_bigrams AS DOUBLE)
+           ELSE 0.0 END > {_DUP_BIGRAM_MAX}) AS repetitive
+FROM bi JOIN top USING (doc_id)
+""",
+    "quality_dup_ngram_corpus": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ws) - 3),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                     || ws[i+3] || ' ' || ws[i+4])) AS gram
+  FROM w
+), gram_docs AS (
+  SELECT gram, COUNT(*) AS n_docs_with_gram FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN gd.n_docs_with_gram > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_grams,
+       ROUND(SUM(CASE WHEN gd.n_docs_with_gram > 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+FROM grams g JOIN gram_docs gd USING (gram)
+GROUP BY g.doc_id
+""",
+}

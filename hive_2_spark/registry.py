@@ -38,6 +38,8 @@ _MODULES: list[str] = [
     "hive_2_spark.core.analytics3",
     "hive_2_spark.llm.text",
     "hive_2_spark.llm.curation",
+    "hive_2_spark.llm.quality",
+    "hive_2_spark.llm.retrieval",
     "hive_2_spark.llm.advanced",
     "hive_2_spark.llm.multimodal",
     "hive_2_spark.core.scalarfns",

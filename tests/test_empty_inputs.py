@@ -59,6 +59,11 @@ KEYS = [
     "fn_explode_outer",
     "fn_from_json",
     "read_binaryfile",
+    "quality_repetition",
+    "quality_dup_ngram_corpus",
+    "bm25_topk",
+    "keyword_search_and",
+    "shuffle_train_order",
 ]
 
 

@@ -86,3 +86,19 @@ def test_partitioned_ddl_prunes_partitions(spark):
     assert spark.table(f"{DB}.orders_part").count() == n1
     src = load_table(spark, SF_DIR, "orders")
     assert n1 == src.filter("o_orderstatus IN ('F','O')").count()
+
+
+def test_dpp_join_prunes_at_runtime(spark):
+    """The dim-side filter must become a DYNAMIC partition-pruning
+    subquery on the fact scan — the runtime analogue of the static
+    PartitionFilters gate above."""
+    from hive_2_spark.core.metastore import catalog_dpp_join
+
+    df = catalog_dpp_join(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    ).lower()
+    assert "dynamicpruning" in plan
+    rows = df.collect()
+    assert [r["o_orderstatus"] for r in rows] == ["F"]
+    assert rows[0]["phase"] == "closed"

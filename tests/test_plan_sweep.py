@@ -25,6 +25,8 @@ CARTESIAN_OK = {
                             # broadcast + nested-loop IS the right plan
     "tfidf_top_terms",      # 1-row broadcast n_sources scalar — the same
                             # plan a scalar subquery compiles to
+    "bm25_topk",            # 1-row broadcast (N, avgdl) corpus stats —
+                            # same scalar-subquery shape as tfidf
 }
 PYTHON_OK = {
     "udf_scalar",

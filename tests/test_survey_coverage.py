@@ -69,6 +69,11 @@ BRIEF_EXTRAS = [
     "pivot_dynamic", "catalog_bucketed_join",
     "fn_explode_outer", "read_binaryfile",
     "cdc_changes", "scd2_dimension", "fn_from_json",
+    # repetition quality gates + lexical retrieval (llm/quality.py,
+    # llm/retrieval.py)
+    "quality_repetition", "quality_dup_ngram_corpus",
+    "bm25_topk", "keyword_search_and", "shuffle_train_order",
+    "catalog_dpp_join",
 ]
 
 
