@@ -44,6 +44,9 @@ HEADLINE = [
     "contamination_ngram",  # shingle explode + broadcast semi-join
     "join_interval_binned", # keyless interval join via binned equi-join
     "agg_bitmap_distinct",  # exact distinct from mergeable bitmaps
+    "bm25_topk",            # posting-filtered explode + broadcast idf + top-k
+    "quality_lm_score",     # token explode + vocab join + doc rollup
+    "graph_pagerank",       # 3 iterations x (join + dst agg) over 1.2M edges
 ]
 
 

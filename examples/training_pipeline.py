@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """End-to-end LLM training-data pipeline over the documents table:
 
-    quality filter -> language filter -> PII scrub -> exact dedup ->
-    near-dup drop (MinHash-LSH candidates) -> eval-set decontamination
-    (5-word shingles) -> content-hash train/val/test split ->
-    sliding-window chunking -> sequence packing -> partitioned sink
+    quality filter -> language filter -> repetition + LM-surprisal
+    gates -> PII scrub -> exact dedup -> near-dup drop (MinHash-LSH
+    candidates) -> eval-set decontamination (5-word shingles) ->
+    content-hash train/val/test split -> sliding-window chunking ->
+    sequence packing -> deterministic shard shuffle -> partitioned sink
 
 Every stage is a registered operator (see OPERATORS.md); this script
 shows them composed the way a curation job would run them. Payload-free
@@ -46,6 +47,26 @@ def main() -> None:
         (F.length("text") >= 50) & F.col("lang").isin("en", "de", "fr")
     )
     n1 = kept.count()
+
+    # 1b. repetition + LM-surprisal gates (the Gopher/CCNet-style
+    # filters): drop repetitive docs and the extreme-surprisal tails
+    from hive_2_spark.llm.quality import quality_lm_score, quality_repetition
+
+    rep_ok = quality_repetition(spark, sf_dir).filter(
+        ~F.col("repetitive")
+    ).select("doc_id")
+    lm = quality_lm_score(spark, sf_dir)
+    bounds = lm.select(
+        F.expr("percentile(surprisal, 0.02)").alias("lo"),
+        F.expr("percentile(surprisal, 0.98)").alias("hi"),
+    )
+    lm_ok = lm.crossJoin(F.broadcast(bounds)).filter(
+        F.col("surprisal").between(F.col("lo"), F.col("hi"))
+    ).select("doc_id")
+    kept = kept.join(rep_ok, "doc_id", "left_semi").join(
+        lm_ok, "doc_id", "left_semi"
+    )
+    n1b = kept.count()
 
     # 2. PII scrub BEFORE fingerprinting: two docs identical except for
     # an embedded email must dedup together after redaction
@@ -104,11 +125,16 @@ def main() -> None:
         F.max("pack_id").alias("n_packs")
     )
 
-    # 8. partitioned sink: one dir per (split, language)
+    # 8. deterministic global shuffle: seed-keyed shard so the training
+    # order is reproducible without RNG state (new epoch = new seed)
+    shard_key = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    chunks = chunks.withColumn("shard", F.substring(shard_key, 1, 2))
+
+    # 9. partitioned sink: one dir per (split, language)
     chunks.write.mode("overwrite").partitionBy("split", "lang").parquet(out)
 
-    print(f"documents: {n0} -> quality/lang {n1} -> exact-dedup {n2} "
-          f"-> near-dedup {n3} -> decontaminated {n4}")
+    print(f"documents: {n0} -> quality/lang {n1} -> repetition/LM {n1b} "
+          f"-> exact-dedup {n2} -> near-dedup {n3} -> decontaminated {n4}")
     split_counts = {
         r.split: r.n for r in ids.groupBy("split").agg(
             F.count(F.lit(1)).alias("n")

@@ -1,0 +1,147 @@
+"""Iterative graph computation on DataFrames: PageRank over the
+customer–supplier transaction graph.
+
+The reference has no graph surface (it is an ORM —
+``classes/hive/model.php``); this extends the driver-mandated Layer-B
+breadth with the canonical *iterative* distributed algorithm, the shape
+``llm/advanced.py::dedup_clusters`` (label propagation) introduced:
+a driver-side loop composing pure DataFrame stages, no RDDs.
+
+Scale notes: each iteration is one join (ranks x edges, both keyed by
+the source node) and one dst-keyed aggregation — the classic two-
+shuffle PageRank step. Hub nodes concentrate the dst aggregation; AQE
+skew splitting handles that exchange. The fixed 3-iteration unroll
+keeps the demo deterministic and oracle-checkable; a production run
+loops to convergence and `persist()`s + `checkpoint()`s each ranks
+iteration to truncate lineage (noted, not needed at 3 unrolled steps).
+Doubles are only rounded at the very end (per-iteration rounding would
+compound; final drift is ~1e-12, far below the 1e-6 output grain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_spark.catalog import load_table
+
+_DAMPING = 0.85
+_ITERS = 3
+_TOPK = 20
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected bipartite customer–supplier edges, one edge per
+    distinct trading pair, materialized in both directions so every
+    node has out-degree >= 1 (no dangling-mass correction needed).
+
+    Node ids are sign-encoded BIGINTs (customer k -> +k, supplier k ->
+    -k): every shuffle/join/distinct in the hot loop moves 8-byte keys
+    instead of strings; the display label ('c<k>'/'s<k>') is formatted
+    once at output."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("cnode"),
+            (-F.col("l_suppkey")).cast("bigint").alias("snode"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+    rev = pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by PageRank after 3 fixed iterations (d=0.85,
+    rank0=1.0). Ties broken by node id on the ROUNDED rank so the
+    top-k cut is engine-independent."""
+    # Fold the out-degree into a per-edge weight ONCE, materialize, and
+    # truncate lineage (localCheckpoint) — every iteration then reads
+    # the cached weighted edges instead of re-running the
+    # lineitem⋈orders⋈distinct pipeline and a second deg join per step
+    # (measured 6.5s -> ~2s at sf0.1). Blocks are freed by the
+    # ContextCleaner when the returned DataFrame is dereferenced. The
+    # cluster-scale equivalent is persist() + checkpoint() per N rounds.
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_w = (
+        edges.join(deg, "src")
+        .select("src", "dst", (1.0 / F.col("deg")).alias("w"))
+        .localCheckpoint()
+    )
+    ranks = edges_w.select("src").distinct().withColumn("rank", F.lit(1.0))
+    for _ in range(_ITERS):
+        # ranks is node-sized (orders of magnitude below the edge list)
+        # -> broadcast it so the cached edges never re-shuffle; only the
+        # dst-keyed aggregation exchanges data. With billions of nodes
+        # this flips to a shuffle join against src-pre-partitioned edges.
+        contrib = (
+            edges_w.join(F.broadcast(ranks), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("src"),
+            (F.lit(1.0 - _DAMPING) + F.lit(_DAMPING) * F.col("mass")).alias(
+                "rank"
+            ),
+        )
+    label = F.when(
+        F.col("src") >= 0, F.concat(F.lit("c"), F.col("src").cast("string"))
+    ).otherwise(F.concat(F.lit("s"), (-F.col("src")).cast("string")))
+    out = ranks.select(
+        label.alias("node"), F.round("rank", 6).alias("rank")
+    )
+    return out.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(_TOPK)
+
+
+QUERIES = {"graph_pagerank": graph_pagerank}
+
+# mirrors the Spark side exactly: precomputed per-edge weight 1.0/deg,
+# mass = SUM(rank * w) — same IEEE ops, drift only from summation order
+# (absorbed by the final ROUND(...,6))
+_ITER_CTE = """
+r{k} AS (
+  SELECT e.dst AS node,
+         {one_minus_d} + {d} * SUM(r{p}.rank * e.w) AS rank
+  FROM edges_w e
+  JOIN r{p} ON e.src = r{p}.node
+  GROUP BY e.dst
+)"""
+
+
+def _pagerank_sql() -> str:
+    iters = ",".join(
+        _ITER_CTE.format(k=k, p=k - 1, d=_DAMPING, one_minus_d=1.0 - _DAMPING)
+        for k in range(1, _ITERS + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cnode,
+                  CAST(-l_suppkey AS BIGINT) AS snode
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), edges_w AS (
+  SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.deg AS w
+  FROM edges e JOIN deg ON e.src = deg.src
+), r0 AS (
+  SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg
+), {iters}
+SELECT node, rank FROM (
+  SELECT CASE WHEN node >= 0 THEN 'c' || CAST(node AS VARCHAR)
+         ELSE 's' || CAST(-node AS VARCHAR) END AS node,
+         ROUND(rank, 6) AS rank
+  FROM r{_ITERS}
+) ORDER BY rank DESC, node ASC LIMIT {_TOPK}
+"""
+
+
+ORACLES = {"graph_pagerank": _pagerank_sql()}

@@ -283,12 +283,42 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection — the step AFTER clustering:
+    keep each near-dup cluster's longest member (tie: smallest doc_id).
+    Composes `dedup_clusters` with a per-cluster argmax; the join and
+    window are cluster-keyed (clusters are tiny by construction, so no
+    skew). Output: cluster, kept_doc_id, n_members."""
+    from hive_2_spark.llm.dedup import corpus_with_dups
+
+    clusters = dedup_clusters(spark, sf_dir)
+    corpus = corpus_with_dups(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("len")
+    )
+    m = clusters.join(corpus, "doc_id")
+    w = W.partitionBy("cluster").orderBy(
+        F.col("len").desc(), F.col("doc_id").asc()
+    )
+    kept = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("doc_id").alias("kept_doc_id"))
+    )
+    size = m.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return kept.join(size, "cluster").select(
+        "cluster", "kept_doc_id", "n_members"
+    )
+
+
 QUERIES = {
     "dedup_embedding": dedup_embedding,
     "sim_ivf_topk": sim_ivf_topk,  # rows-only: recall asserted vs brute force
     "dedup_clusters": dedup_clusters,
     "sample_stratified": sample_stratified,
     "dedup_levenshtein": dedup_levenshtein,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 _DK_VEC = "list_transform({c}, x -> CAST(x AS DOUBLE))"
@@ -401,5 +431,30 @@ ORACLES = {
         "SELECT doc_id, lang, n_chars, "
         "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn "
         "FROM documents) t WHERE (rn - 1) % 10 = 0"
+    ),
+    "dedup_keep_best": (
+        f"{_DK_PAIRS}, "
+        "edges AS (SELECT a_id, b_id FROM p UNION SELECT b_id, a_id FROM p), "
+        "nodes AS (SELECT DISTINCT a_id AS node FROM edges), "
+        "reach AS (SELECT node, node AS r FROM nodes "
+        "          UNION SELECT e.a_id, r.r FROM edges e JOIN reach r "
+        "          ON e.b_id = r.node), "
+        "cl AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach "
+        "       GROUP BY node), "
+        "corpus AS (SELECT doc_id, length(text) AS len FROM ("
+        "  SELECT doc_id, text FROM documents "
+        "  UNION ALL SELECT doc_id + 20000000, text FROM documents "
+        "  WHERE doc_id % 10 = 0 "
+        "  UNION ALL SELECT doc_id + 10000000, text || ' suffix' "
+        "  FROM documents WHERE doc_id % 10 = 0)), "
+        "m AS (SELECT cl.cluster, cl.doc_id, corpus.len "
+        "      FROM cl JOIN corpus USING (doc_id)), "
+        "kept AS (SELECT cluster, doc_id AS kept_doc_id FROM ("
+        "  SELECT cluster, doc_id, ROW_NUMBER() OVER (PARTITION BY cluster "
+        "  ORDER BY len DESC, doc_id ASC) AS rn FROM m) WHERE rn = 1) "
+        "SELECT kept.cluster, kept.kept_doc_id, "
+        "CAST(cnt.n_members AS BIGINT) AS n_members "
+        "FROM kept JOIN (SELECT cluster, COUNT(*) AS n_members FROM m "
+        "                GROUP BY cluster) cnt USING (cluster)"
     ),
 }

@@ -114,9 +114,38 @@ def quality_dup_ngram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal per doc — the perplexity-proxy quality
+    filter (CCNet-style, with the corpus itself as the LM): score =
+    avg over tokens of -ln p(w), p(w) = corpus count / corpus total.
+    High = rare-word-heavy (gibberish or very technical); low =
+    stopword soup. Shuffles: token->count (word-keyed), token x vocab
+    join (word-keyed; broadcastable when the vocab fits), doc rollup —
+    all linear, partial-aggregated.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.select(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(wc, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c").cast("double") / F.col("n"))), 6
+            ).alias("surprisal"),
+        )
+    )
+
+
 QUERIES = {
     "quality_repetition": quality_repetition,
     "quality_dup_ngram_corpus": quality_dup_ngram_corpus,
+    "quality_lm_score": quality_lm_score,
 }
 
 # DuckDB notes: list indexing is 1-based like Spark's slice/element_at;
@@ -178,5 +207,21 @@ SELECT g.doc_id,
              / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
 FROM grams g JOIN gram_docs gd USING (gram)
 GROUP BY g.doc_id
+""",
+    "quality_lm_score": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), toks_ne AS (
+  SELECT doc_id, w FROM toks WHERE w <> ''
+), wc AS (
+  SELECT w, COUNT(*) AS c FROM toks_ne GROUP BY w
+), tot AS (
+  SELECT COUNT(*) AS n FROM toks_ne
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(-ln(CAST(wc.c AS DOUBLE) / tot.n)), 6) AS surprisal
+FROM toks_ne JOIN wc USING (w) CROSS JOIN tot
+GROUP BY doc_id
 """,
 }

@@ -30,6 +30,7 @@ _MODULES: list[str] = [
     "hive_2_spark.streaming.windows",
     "hive_2_spark.streaming.stateful",
     "hive_2_spark.streaming.joins",
+    "hive_2_spark.streaming.cdc",
     "hive_2_spark.llm.dedup",
     "hive_2_spark.llm.similarity",
     "hive_2_spark.core.events",
@@ -53,6 +54,7 @@ _MODULES: list[str] = [
     "hive_2_spark.core.layout",
     "hive_2_spark.core.timeseries",
     "hive_2_spark.core.cdc",
+    "hive_2_spark.core.graph",
     "hive_2_spark.core.profile",
     "hive_2_spark.core.setops",
     "hive_2_spark.flagship",

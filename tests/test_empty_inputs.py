@@ -64,6 +64,11 @@ KEYS = [
     "bm25_topk",
     "keyword_search_and",
     "shuffle_train_order",
+    "catalog_dpp_join",
+    "graph_pagerank",
+    "stream_upsert_state",
+    "quality_lm_score",
+    "dedup_keep_best",
 ]
 
 

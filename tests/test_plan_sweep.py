@@ -27,6 +27,7 @@ CARTESIAN_OK = {
                             # plan a scalar subquery compiles to
     "bm25_topk",            # 1-row broadcast (N, avgdl) corpus stats —
                             # same scalar-subquery shape as tfidf
+    "quality_lm_score",     # 1-row broadcast corpus-total scalar
 }
 PYTHON_OK = {
     "udf_scalar",

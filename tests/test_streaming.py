@@ -173,6 +173,24 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     assert spark.read.parquet(out).count() == before
 
 
+def test_stream_upsert_sink_matches_batch_state(spark, tmp_path):
+    """foreachBatch CDC-apply: after draining the stream, the keyed
+    target must equal the batch latest-state face exactly; re-running
+    against the same checkpoint must not change it (idempotent merge)."""
+    from hive_2_spark.streaming import cdc as scdc
+
+    target, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    scdc.run_upsert_stream(spark, SF_DIR, target, ckpt)
+    got = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    want = sorted(
+        tuple(r) for r in scdc.latest_state_batch(spark, SF_DIR).collect()
+    )
+    assert len(got) > 0
+    assert got == want
+    scdc.run_upsert_stream(spark, SF_DIR, target, ckpt)
+    assert sorted(tuple(r) for r in spark.read.parquet(target).collect()) == want
+
+
 def test_stream_static_join(spark):
     from hive_2_spark.streaming import joins as sj
 

@@ -73,7 +73,8 @@ BRIEF_EXTRAS = [
     # llm/retrieval.py)
     "quality_repetition", "quality_dup_ngram_corpus",
     "bm25_topk", "keyword_search_and", "shuffle_train_order",
-    "catalog_dpp_join",
+    "catalog_dpp_join", "graph_pagerank", "stream_upsert_state",
+    "quality_lm_score", "dedup_keep_best",
 ]
 
 
