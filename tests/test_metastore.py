@@ -88,6 +88,27 @@ def test_partitioned_ddl_prunes_partitions(spark):
     assert n1 == src.filter("o_orderstatus IN ('F','O')").count()
 
 
+def test_analyze_table_feeds_cbo_stats(spark):
+    """ANALYZE TABLE ... FOR ALL COLUMNS must land row/size stats in the
+    catalog (DESCRIBE EXTENDED) and per-column distinct counts — the
+    inputs Spark's cost-based optimizer uses for join reordering and
+    broadcast decisions on managed tables."""
+    from hive_2_spark.core.metastore import create_managed
+
+    create_managed(spark, SF_DIR, "nation")
+    spark.sql(f"ANALYZE TABLE {DB}.nation COMPUTE STATISTICS FOR ALL COLUMNS")
+    desc = spark.sql(f"DESCRIBE EXTENDED {DB}.nation").collect()
+    stats = [r for r in desc if r.col_name == "Statistics"]
+    assert stats, "no Statistics row in DESCRIBE EXTENDED"
+    assert "rows" in stats[0].data_type  # e.g. '... bytes, 25 rows'
+    cdesc = spark.sql(
+        f"DESCRIBE EXTENDED {DB}.nation n_nationkey"
+    ).collect()
+    meta = {r.info_name: r.info_value for r in cdesc}
+    assert meta.get("distinct_count", "NULL") != "NULL"
+    assert meta.get("max") == "24"  # 25 nations, keys 0..24
+
+
 def test_dpp_join_prunes_at_runtime(spark):
     """The dim-side filter must become a DYNAMIC partition-pruning
     subquery on the fact scan — the runtime analogue of the static
