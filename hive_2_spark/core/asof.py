@@ -254,10 +254,73 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of (pandas ``merge_asof(direction='nearest')``):
+    each purchase matched to the temporally CLOSEST click either side;
+    ties (equal gap) prefer the prior click, then the larger click id.
+
+    One shuffle on the key, two in-partition window passes (forward =
+    the same carry over reversed time) — the exchange is reused between
+    the two sorts, so nearest costs one extra sort, not a second
+    shuffle or a range join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col("event_id").alias("__r_id"),
+    )
+    l_tagged = purchases.withColumn("__side", F.lit(1)).withColumn(
+        "__ts", F.col("ts")
+    )
+    u = l_tagged.unionByName(clicks, allowMissingColumns=True)
+    # third sort key pins tie order among same-ts clicks: last() then
+    # deterministically carries the LARGEST click id (mirrored in SQL)
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__r_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), F.col("__r_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_ts = F.when(F.col("__side") == 0, F.col("__ts"))
+    u = (
+        u.withColumn("prev_id", F.last("__r_id", ignorenulls=True).over(wb))
+        .withColumn("prev_ts", F.last(click_ts, ignorenulls=True).over(wb))
+        .withColumn("next_id", F.last("__r_id", ignorenulls=True).over(wf))
+        .withColumn("next_ts", F.last(click_ts, ignorenulls=True).over(wf))
+    )
+    res = u.filter(F.col("__side") == 1)
+    prev_gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    next_gap = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    use_prev = F.col("next_id").isNull() | (
+        F.col("prev_id").isNotNull() & (prev_gap <= next_gap)
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.when(use_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("nearest_click_id"),
+        F.when(use_prev, prev_gap)
+        .otherwise(next_gap)
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+
+
 QUERIES = {
     "join_asof": join_asof,
     "join_asof_forward": join_asof_forward,
     "join_asof_tolerance": join_asof_tolerance,
+    "join_asof_nearest": join_asof_nearest,
     "join_interval_binned": join_interval_binned,
 }
 
@@ -296,6 +359,25 @@ ORACLES = {
         "ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events "
         "      WHERE event_type = 'purchase') p "
         "ON c.user_id = p.user_id AND c.ts <= p.ts"
+    ),
+    # Correlated LATERAL argmin-|gap| — the semantic spec the one-shuffle
+    # two-window rewrite must reproduce, including both tie rules
+    # (equal gap -> prior side; equal ts same side -> larger click id).
+    "join_asof_nearest": (
+        "WITH p AS (SELECT event_id, user_id, ts FROM events "
+        "           WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id, user_id, ts FROM events "
+        "      WHERE event_type = 'click') "
+        "SELECT p.event_id, p.user_id, n.nearest_click_id, n.gap_us "
+        "FROM p LEFT JOIN LATERAL ("
+        "  SELECT c.event_id AS nearest_click_id, "
+        "         CAST(abs(epoch_us(c.ts) - epoch_us(p.ts)) AS BIGINT) "
+        "           AS gap_us "
+        "  FROM c WHERE c.user_id = p.user_id "
+        "  ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC, "
+        "           (CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END) ASC, "
+        "           c.event_id DESC "
+        "  LIMIT 1) n ON TRUE"
     ),
     "join_asof_tolerance": (
         "SELECT p.event_id, p.user_id, p.ts, "

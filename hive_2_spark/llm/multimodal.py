@@ -305,11 +305,70 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 64-bit average-hash over REAL decoded PNG pixels.
+
+    The corpus is the PNG slice of the media table plus planted exact
+    twins (media_id + 1,000,000 carries the BASE id's payload), so the
+    dedup downstream has ground truth. Generate→decode→hash runs in ONE
+    mapInPandas pass: the payload never leaves the task, only the
+    8-byte hash is emitted — at 100 TB of images the shuffle carries
+    64 bits per image."""
+    base = (
+        media_table(spark, sf_dir)
+        .filter(F.col("mime") == "image/png")
+        .select("media_id")
+    )
+    twins = base.filter(F.col("media_id") % 7 == 0).select(
+        (F.col("media_id") + 1_000_000).alias("media_id")
+    )
+    ids = base.unionAll(twins)
+
+    def hash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for mid in pdf["media_id"]:
+                seed = int(mid) % 1_000_000
+                payload = codec.encode_png(seed % 24 + 8, seed % 16 + 8, seed)
+                w, h, px = codec.decode_png(payload)
+                small = codec.resample_gray(px, w, h, 8, 8)
+                mean = sum(small) / 64.0
+                bits = 0
+                for i, p in enumerate(small):
+                    if p > mean:
+                        bits |= 1 << i
+                # to signed 64-bit so it fits LongType
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                hashes.append(bits)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": hashes}
+            )
+
+    return ids.mapInPandas(hash_batch, schema="media_id long, phash long")
+
+
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup on the perceptual hash: groups with n_copies and the
+    kept (minimum) id — the visual-content analogue of `dedup_exact`.
+    Rows-only check (PNG encode/decode is not SQL-expressible); planted
+    twin recall is gated in tests/test_multimodal.py."""
+    return (
+        media_phash(spark, sf_dir)
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("media_id").alias("keep_id"),
+        )
+    )
+
+
 QUERIES = {
     "media_features": media_features,  # rows-only (Pandas-UDF stub decode)
     "media_stats": media_stats,
     "media_resize": media_resize,
     "media_frame_sample": media_frame_sample,
+    "media_phash_dedup": media_phash_dedup,  # rows-only (real PNG decode)
 }
 
 ORACLES = {

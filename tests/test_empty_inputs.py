@@ -69,6 +69,8 @@ KEYS = [
     "stream_upsert_state",
     "quality_lm_score",
     "dedup_keep_best",
+    "media_phash_dedup",
+    "join_asof_nearest",
 ]
 
 

@@ -145,3 +145,24 @@ def test_media_frame_sample_stride(spark):
     for mid, idxs in by_media.items():
         n_frames = mid % 300 + 30
         assert sorted(idxs) == list(range(0, n_frames, 10))
+
+
+def test_media_phash_dedup_finds_planted_twins(spark):
+    """Every planted twin (media_id + 1M carries the base payload) must
+    share its base's perceptual hash; distinct images should rarely
+    collide at 64 bits over 8x8 means."""
+    from hive_2_spark.llm.multimodal import media_phash, media_phash_dedup
+
+    ph = {r.media_id: r.phash for r in media_phash(spark, SF_DIR).collect()}
+    base_ids = [m for m in ph if m < 1_000_000]
+    twin_ids = [m for m in ph if m >= 1_000_000]
+    assert twin_ids, "no planted twins"
+    for t in twin_ids:
+        assert ph[t] == ph[t - 1_000_000]  # exact payload copy -> same hash
+    groups = media_phash_dedup(spark, SF_DIR).collect()
+    assert sum(g.n_copies for g in groups) == len(ph)
+    # every twin's group kept the base (minimum) id
+    twin_groups = [g for g in groups if g.n_copies >= 2]
+    assert len(twin_groups) >= len(twin_ids) // 2  # collisions may merge
+    for g in twin_groups:
+        assert g.keep_id < 1_000_000

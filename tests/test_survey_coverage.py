@@ -61,6 +61,7 @@ BRIEF_EXTRAS = [
     "emb_normalize", "emb_quantize_int8",
     # as-of join variants (core/asof.py)
     "join_asof", "join_asof_forward", "join_asof_tolerance",
+    "join_asof_nearest",
     "dedup_minhash_portable", "quality_expectations", "compact_small_files",
     # round-2 scale-pattern additions
     "ts_interpolate", "win_distinct_rolling", "agg_bitmap_distinct",
@@ -74,7 +75,7 @@ BRIEF_EXTRAS = [
     "quality_repetition", "quality_dup_ngram_corpus",
     "bm25_topk", "keyword_search_and", "shuffle_train_order",
     "catalog_dpp_join", "graph_pagerank", "stream_upsert_state",
-    "quality_lm_score", "dedup_keep_best",
+    "quality_lm_score", "dedup_keep_best", "media_phash_dedup",
 ]
 
 
