@@ -283,6 +283,39 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the PORTABLE MinHash-LSH candidate
+    pairs — the 100 TB dedup path end-to-end (banded-hash candidate
+    generation, no pairwise blocks), unlike `dedup_clusters` whose
+    Jaccard-block edge set is O(block²). The edge list is
+    localCheckpoint'ed once so the 6 label-propagation rounds reread
+    cached pairs instead of re-running the signature pipeline."""
+    from hive_2_spark.llm.dedup import dedup_minhash_portable
+
+    pairs = dedup_minhash_portable(spark, sf_dir).localCheckpoint()
+    edges = pairs.unionByName(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    )
+    labels = edges.select(F.col("a_id").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(6):
+        neigh = (
+            edges.join(labels, edges.b_id == labels.node, "inner")
+            .groupBy("a_id")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = labels.join(neigh, labels.node == neigh.a_id, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster")
+    )
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-representative selection — the step AFTER clustering:
     keep each near-dup cluster's longest member (tie: smallest doc_id).
@@ -319,6 +352,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "dedup_levenshtein": dedup_levenshtein,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_clusters_lsh": dedup_clusters_lsh,
 }
 
 _DK_VEC = "list_transform({c}, x -> CAST(x AS DOUBLE))"
@@ -432,6 +466,8 @@ ORACLES = {
         "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn "
         "FROM documents) t WHERE (rn - 1) % 10 = 0"
     ),
+    # "dedup_clusters_lsh" is assigned after the dict literal (module
+    # tail) — its SQL nests dedup's portable-LSH pair oracle as a CTE.
     "dedup_keep_best": (
         f"{_DK_PAIRS}, "
         "edges AS (SELECT a_id, b_id FROM p UNION SELECT b_id, a_id FROM p), "
@@ -458,3 +494,21 @@ ORACLES = {
         "                GROUP BY cluster) cnt USING (cluster)"
     ),
 }
+
+
+def _lsh_clusters_sql() -> str:
+    from hive_2_spark.llm import dedup as _D
+
+    pairs_sql = _D.ORACLES["dedup_minhash_portable"]
+    return (
+        f"WITH RECURSIVE p AS ({pairs_sql}), "
+        "edges AS (SELECT a_id, b_id FROM p UNION SELECT b_id, a_id FROM p), "
+        "nodes AS (SELECT DISTINCT a_id AS node FROM edges), "
+        "reach AS (SELECT node, node AS r FROM nodes "
+        "          UNION SELECT e.a_id, r.r FROM edges e JOIN reach r "
+        "          ON e.b_id = r.node) "
+        "SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node"
+    )
+
+
+ORACLES["dedup_clusters_lsh"] = _lsh_clusters_sql()

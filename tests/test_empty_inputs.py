@@ -71,6 +71,7 @@ KEYS = [
     "dedup_keep_best",
     "media_phash_dedup",
     "join_asof_nearest",
+    "dedup_clusters_lsh",
 ]
 
 
