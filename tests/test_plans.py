@@ -196,3 +196,28 @@ def test_emb_ops_have_no_shuffle(spark):
 
     for fn in (emb_normalize, emb_quantize_int8):
         assert "Exchange" not in plan_of(fn(spark, SF_DIR))
+
+
+def test_pagerank_iterations_read_cached_edges(spark):
+    """Each PageRank step must read the materialized edge list (Scan
+    ExistingRDD — lineage truncated), broadcast the node-sized ranks,
+    and never fall back to a sort-merge join or re-run the
+    lineitem⋈orders pipeline inside the loop."""
+    from hive_2_spark.core.graph import graph_pagerank
+
+    plan = plan_of(graph_pagerank(spark, SF_DIR))
+    assert "Scan ExistingRDD" in plan       # localCheckpoint'ed edges
+    assert "SortMergeJoin" not in plan
+    # the edge-build happens BEFORE the checkpoint, so the iteration
+    # plan contains no parquet scan of lineitem/orders at all
+    assert "lineitem" not in plan and "orders" not in plan
+
+
+def test_bm25_stats_broadcast_and_postings_filtered(spark):
+    """Corpus stats/idf ride broadcasts; the token explode is filtered
+    to query terms BEFORE any exchange."""
+    from hive_2_spark.llm.retrieval import bm25_topk
+
+    plan = plan_of(bm25_topk(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
