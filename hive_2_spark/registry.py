@@ -48,6 +48,7 @@ _MODULES: list[str] = [
     "hive_2_spark.core.scalarfns3",
     "hive_2_spark.core.udfs",
     "hive_2_spark.core.io",
+    "hive_2_spark.core.pysource",
     "hive_2_spark.core.asof",
     "hive_2_spark.core.reshape",
     "hive_2_spark.core.skew",
