@@ -253,8 +253,26 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax/argmin (MAX_BY/MIN_BY semantics): the
+    customer holding the extreme acctbal per segment. Raw max_by is
+    non-deterministic on value ties, so the ordering key is the
+    composite struct (acctbal, custkey) — tie-free because custkey is
+    unique, and struct comparison is lexicographic in both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    key = F.struct(
+        F.col("c_acctbal").alias("b"), F.col("c_custkey").alias("k")
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.max(key)["k"].alias("top_cust"),
+        F.min(key)["k"].alias("bottom_cust"),
+        F.round(F.max("c_acctbal"), 2).alias("top_bal"),
+    )
+
+
 QUERIES = {
     "agg_groupby": agg_groupby,
+    "agg_argmax": agg_argmax,
     "agg_mode": agg_mode,
     "agg_sketch_merge": agg_sketch_merge,
     "agg_bitwise": agg_bitwise,
@@ -272,6 +290,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_argmax": (
+        "SELECT c_mktsegment, "
+        "(max(struct_pack(b := c_acctbal, k := c_custkey))).k AS top_cust, "
+        "(min(struct_pack(b := c_acctbal, k := c_custkey))).k AS bottom_cust, "
+        "ROUND(MAX(c_acctbal), 2) AS top_bal "
+        "FROM customer GROUP BY c_mktsegment"
+    ),
     "agg_bitmap_distinct": (
         "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts "
         "FROM lineitem GROUP BY l_returnflag"

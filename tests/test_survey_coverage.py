@@ -76,7 +76,7 @@ BRIEF_EXTRAS = [
     "bm25_topk", "keyword_search_and", "shuffle_train_order",
     "catalog_dpp_join", "graph_pagerank", "stream_upsert_state",
     "quality_lm_score", "dedup_keep_best", "media_phash_dedup",
-    "dedup_clusters_lsh", "read_python_datasource",
+    "dedup_clusters_lsh", "read_python_datasource", "agg_argmax",
 ]
 
 
