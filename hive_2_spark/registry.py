@@ -16,27 +16,17 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Module order controls registry insertion order, which is the order the
-# driver consumes keys in. Round 1 verified the first 50 keys (flagship,
-# relational, joins, aggregates, windows, set_union); round 2 front-loads the
-# families the r1 verdict's done-criterion names (writes, metastore,
-# streaming faces, dedup/similarity, event_sessionize, the TPC-H SQL suite)
-# so a 50-key window covers writes -> ... -> analytics2. Round 3 rotation:
-# whatever CORRECTNESS_r02 did NOT cover (expected: text, curation,
-# advanced, multimodal, scalarfns, udfs, io, asof, profile) moves to the
-# front next. Already-driver-green families sit at the tail.
+# driver consumes keys in (the per-round correctness window is the FIRST 50
+# keys). Round 1 verified the relational/joins/aggs/windows prefix; round 2
+# verified writes/metastore/streaming/dedup/similarity/events/TPC-H. Round 3
+# front-loads the families neither window touched: text, curation, quality,
+# retrieval, advanced, multimodal, scalarfns{,2,3} — 56 never-driver-checked
+# keys, so the 50-key window lands entirely on fresh ones. Behind them sit
+# the remaining uncovered modules (udfs, io, pysource, asof, reshape, skew,
+# layout, timeseries, cdc, graph, profile, analytics3, setops, analytics2,
+# aggregates, windows) for the round-4 rotation; fully driver-green families
+# are at the tail.
 _MODULES: list[str] = [
-    "hive_2_spark.core.writes",
-    "hive_2_spark.core.metastore",
-    "hive_2_spark.streaming.windows",
-    "hive_2_spark.streaming.stateful",
-    "hive_2_spark.streaming.joins",
-    "hive_2_spark.streaming.cdc",
-    "hive_2_spark.llm.dedup",
-    "hive_2_spark.llm.similarity",
-    "hive_2_spark.core.events",
-    "hive_2_spark.core.analytics",
-    "hive_2_spark.core.analytics2",
-    "hive_2_spark.core.analytics3",
     "hive_2_spark.llm.text",
     "hive_2_spark.llm.curation",
     "hive_2_spark.llm.quality",
@@ -57,12 +47,24 @@ _MODULES: list[str] = [
     "hive_2_spark.core.cdc",
     "hive_2_spark.core.graph",
     "hive_2_spark.core.profile",
+    "hive_2_spark.core.analytics3",
     "hive_2_spark.core.setops",
+    "hive_2_spark.core.analytics2",
+    "hive_2_spark.core.aggregates",
+    "hive_2_spark.core.windows",
+    "hive_2_spark.core.writes",
+    "hive_2_spark.core.metastore",
+    "hive_2_spark.streaming.windows",
+    "hive_2_spark.streaming.stateful",
+    "hive_2_spark.streaming.joins",
+    "hive_2_spark.streaming.cdc",
+    "hive_2_spark.llm.dedup",
+    "hive_2_spark.llm.similarity",
+    "hive_2_spark.core.events",
+    "hive_2_spark.core.analytics",
     "hive_2_spark.flagship",
     "hive_2_spark.core.relational",
     "hive_2_spark.core.joins",
-    "hive_2_spark.core.aggregates",
-    "hive_2_spark.core.windows",
 ]
 
 
