@@ -85,10 +85,17 @@ def _normalize_ts(dtype, F):
         # drifts by ±1 microsecond.
         return F.timestamp_micros(F.expr("ts div 1000"))
     if isinstance(dtype, TimestampNTZType):
-        # Naive micros: interpret the wall-clock value as UTC so the
-        # epoch (and every unix_micros/window computation downstream) is
-        # session-timezone independent, exactly as the nanos path was.
-        return F.to_utc_timestamp(F.col("ts"), "UTC")
+        # Naive micros: interpret the wall-clock value as UTC. A plain
+        # cast to TimestampType applies the SESSION timezone offset (and
+        # to_utc_timestamp(x, 'UTC') is then a no-op), so the epoch would
+        # shift per deployment timezone; from_utc_timestamp(cast, tz) can
+        # still be off by an hour across DST transitions. Rebuild the
+        # epoch arithmetically from the timezone-free date/time fields
+        # instead — exact under any session timezone.
+        day = F.unix_date(F.col("ts").cast("date")).cast("long")
+        secs = F.hour("ts").cast("long") * 3600 + F.minute("ts").cast("long") * 60
+        micros = (F.expr("extract(SECOND FROM ts)") * 1000000).cast("long")
+        return F.timestamp_micros((day * 86400 + secs) * 1000000 + micros)
     return F.col("ts")  # already TimestampType
 
 

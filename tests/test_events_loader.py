@@ -55,3 +55,44 @@ def test_load_events_normalizes_all_encodings(spark, tmp_path, encoding):
     # UTC session (conftest) -> collected naive datetimes equal the
     # original wall-clock values regardless of the physical encoding
     assert got == sorted(_TS)
+
+
+@pytest.mark.parametrize("encoding", ["nanos", "micros_naive"])
+def test_load_events_epoch_is_session_timezone_independent(
+    spark, tmp_path, encoding
+):
+    """The NTZ branch must NOT bake the session timezone into the epoch:
+    a plain NTZ->Timestamp cast applies the session offset (under
+    America/New_York, 2024-01-01T00:00:11 would load as 05:00:11 UTC).
+    The loaded epoch micros must be identical under any session tz."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / encoding)
+    os.makedirs(d)
+    arr = pa.array(
+        _TS, pa.timestamp("ns" if encoding == "nanos" else "us")
+    )
+    _write_events(d, arr)
+
+    def epochs() -> list[int]:
+        return sorted(
+            r["e"]
+            for r in _load_events(spark, d)
+            .select(F.unix_micros("ts").alias("e"))
+            .collect()
+        )
+
+    utc_epochs = epochs()
+    orig_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny_epochs = epochs()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig_tz)
+    assert ny_epochs == utc_epochs
+    # and the epoch is the naive wall clock read as UTC, exactly
+    expect = sorted(
+        int(t.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        for t in _TS
+    )
+    assert utc_epochs == expect
