@@ -42,11 +42,17 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    # bigrams via HOF — per-row, no shuffle; docs with <2 words have none
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i, 2), " "),
-    )
+    # bigrams via HOF — per-row, no shuffle. Docs with <2 words must be
+    # guarded: sequence(1, 0) is the DESCENDING array [1, 0] in Spark, so
+    # the transform would call slice(ws, 0, 2) and throw
+    # INVALID_PARAMETER_VALUE.START instead of yielding no bigrams.
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     per_doc = d.select(
         "doc_id",
         F.size(words).alias("n_words"),

@@ -57,6 +57,29 @@ def test_repetition_metrics_exact(spark, synth_dir):
     assert rows[2]["repetitive"] is False
 
 
+def test_repetition_survives_short_docs(spark, tmp_path):
+    """Docs with <2 words must yield zero bigrams, not crash: unguarded
+    sequence(1, size-1) evaluates sequence(1, 0) = [1, 0] (descending!)
+    and the transform then calls slice(ws, 0, 2) -> INVALID_PARAMETER_VALUE."""
+    d = str(tmp_path / "short")
+    os.makedirs(d)
+    docs = [(1, "solo"), (2, ""), (3, "two words")]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+            "text": [r[1] for r in docs],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    rows = {r["doc_id"]: r for r in quality_repetition(spark, d).collect()}
+    assert rows[1]["dup_bigram_frac"] == 0.0
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[3]["n_words"] == 2 and rows[3]["dup_bigram_frac"] == 0.0
+
+
 def test_dup_ngram_corpus_exact(spark, synth_dir):
     rows = {
         r["doc_id"]: r for r in quality_dup_ngram_corpus(spark, synth_dir).collect()
