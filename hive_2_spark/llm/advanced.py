@@ -177,36 +177,80 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over near-dup pairs: min-label propagation.
+_CC_MAX_ROUNDS = 50  # safety cap; raises rather than return unconverged labels
 
-    Iterates label = min(label of neighbors ∪ self) until fixpoint —
-    the standard shuffle-bounded CC loop (converges in O(diameter)
-    rounds; duplicate clusters have tiny diameters).
+
+def _cc_converge(
+    edges: DataFrame, max_rounds: int = _CC_MAX_ROUNDS, strict: bool = True
+) -> tuple[DataFrame, int, bool]:
+    """Min-label propagation to FIXPOINT over a bidirectional edge list.
+
+    Iterates label = min(label of self ∪ neighbors) until a round changes
+    no label — NOT a fixed unroll: a fixed k-round unroll silently
+    under-merges any component whose min-id node eccentricity exceeds k
+    (LSH candidate chains can be arbitrarily long). Each round
+    ``localCheckpoint``s the label frame, truncating lineage so round N
+    rereads materialized labels instead of replaying rounds 1..N-1 — the
+    same discipline as ``core.graph.pagerank`` — and the per-round
+    changed-count the stop condition needs is a cheap count over that
+    already-materialized frame. Converges in (min-node eccentricity)
+    rounds ≤ component diameter; with ``strict`` raises at the cap
+    instead of returning unconverged labels.
+
+    Returns (labels(node, label), rounds_used, converged).
     """
-    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
-
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
-    edges = pairs.unionByName(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    labels = (
+        edges.select(F.col("a_id").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
-    nodes = edges.select(F.col("a_id").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node"))
-    for _ in range(6):  # diameter bound for near-dup clusters
+    for rnd in range(1, max_rounds + 1):
         neigh = (
             edges.join(labels, edges.b_id == labels.node, "inner")
             .groupBy("a_id")
             .agg(F.min("label").alias("nlabel"))
         )
-        labels = (
+        nxt = (
             labels.join(neigh, labels.node == neigh.a_id, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")
+                ).alias("changed"),
             )
+            .localCheckpoint()
         )
+        n_changed = nxt.filter(F.col("changed")).count()
+        labels = nxt.drop("changed")
+        if n_changed == 0:
+            return labels, rnd, True
+    if strict:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds"
+        )
+    return labels, max_rounds, False
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs: min-label propagation.
+
+    Iterates label = min(label of neighbors ∪ self) until fixpoint —
+    the standard shuffle-bounded CC loop. Convergence-stopped (see
+    ``_cc_converge``), so the result equals exact connected components
+    (each node labeled with its component's min doc_id) for ANY chain
+    length — matching the recursive-CTE oracle by construction.
+    """
+    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).localCheckpoint()
+    labels, _, _ = _cc_converge(edges)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 
@@ -288,29 +332,17 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — the 100 TB dedup path end-to-end (banded-hash candidate
     generation, no pairwise blocks), unlike `dedup_clusters` whose
     Jaccard-block edge set is O(block²). The edge list is
-    localCheckpoint'ed once so the 6 label-propagation rounds reread
-    cached pairs instead of re-running the signature pipeline."""
+    localCheckpoint'ed once so every label-propagation round rereads
+    cached pairs instead of re-running the signature pipeline; the loop
+    runs to FIXPOINT (``_cc_converge``) so LSH chains longer than any
+    fixed unroll still agree with the exact-CC recursive-CTE oracle."""
     from hive_2_spark.llm.dedup import dedup_minhash_portable
 
     pairs = dedup_minhash_portable(spark, sf_dir).localCheckpoint()
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    )
-    labels = edges.select(F.col("a_id").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    for _ in range(6):
-        neigh = (
-            edges.join(labels, edges.b_id == labels.node, "inner")
-            .groupBy("a_id")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        labels = labels.join(neigh, labels.node == neigh.a_id, "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-            ).alias("label"),
-        )
+    ).localCheckpoint()
+    labels, _, _ = _cc_converge(edges)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster")
     )
