@@ -59,6 +59,21 @@ def latest_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _latest_per_user(load_table(spark, sf_dir, "events"))
 
 
+def _recover_target(target_dir: str) -> None:
+    """Adopt a leftover ``.bak`` when a prior swap crashed mid-rename.
+
+    The swap sequence (rename target->bak, rename swap->target, rmtree
+    bak) has one non-atomic window: a failure between the two renames
+    leaves no target but a complete ``.bak``. Without adoption, the
+    retried micro-batch would take the no-target branch and rebuild the
+    serving table from the batch alone — silently discarding all prior
+    keyed state. Single-writer assumption (one streaming query per
+    target), same as the swap itself."""
+    bak = f"{target_dir}.bak"
+    if not os.path.isdir(target_dir) and os.path.isdir(bak):
+        os.rename(bak, target_dir)
+
+
 def run_upsert_stream(
     spark: SparkSession, sf_dir: str, target_dir: str, checkpoint_dir: str
 ) -> None:
@@ -68,6 +83,7 @@ def run_upsert_stream(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
+        _recover_target(target_dir)
         batch_latest = _latest_per_user(batch_df)
         if os.path.isdir(target_dir):
             merged_src = sp.read.parquet(target_dir).select(
@@ -89,11 +105,18 @@ def run_upsert_stream(
             merged = _latest_per_user(both)
         else:
             merged = batch_latest
-        # swap-dir rename: never overwrite the directory being read
+        # swap-dir rename: never overwrite the directory being read.
+        # Crash-safety: the only window where `target` is missing is
+        # between the two renames, and then `.bak` holds the full prior
+        # state — `_recover_target` (run at every batch start) adopts it,
+        # so a retried micro-batch merges against prior state instead of
+        # silently rebuilding the serving table from the batch alone.
         swap = f"{target_dir}.swap-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(swap)
         if os.path.isdir(target_dir):
             bak = f"{target_dir}.bak"
+            if os.path.isdir(bak):  # crash after a completed prior swap
+                shutil.rmtree(bak)
             os.rename(target_dir, bak)
             os.rename(swap, target_dir)
             shutil.rmtree(bak)

@@ -108,8 +108,14 @@ def _read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(tempfile.gettempdir(), f"hive2spark_events_{tag}")
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(table_path(sf_dir, "events"), link)
+    target = table_path(sf_dir, "events")
+    # lexists, not exists: a symlink whose old target was deleted (same
+    # basename, regenerated fixture dir) reports exists()=False but still
+    # blocks os.symlink with FileExistsError — replace it.
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
     stream = (
         spark.readStream.schema(static.schema).format("parquet").load(src_dir)
     )
