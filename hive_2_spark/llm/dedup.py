@@ -61,11 +61,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Degenerate-prefix guard: a block bigger than this many docs is dropped
-# before pairing, so the pair space is O(CAP^2 * n_blocks) — never O(n^2)
-# even if the corpus contains a boilerplate prefix shared by millions of
-# docs. Real pipelines route such mega-blocks to MinHash banding instead
-# (dedup_minhash_lsh).
+# Degenerate-prefix guard: a block bigger than this many docs never enters
+# the all-pairs join, so the pair space is O(CAP^2 * n_blocks) — never
+# O(n^2) even if the corpus contains a boilerplate prefix shared by
+# millions of docs. Mega-blocks are ROUTED (not dropped): their docs go
+# through portable-MinHash banded candidate generation (collisions, not
+# pairs), then the same Jaccard >= 0.8 verification as the small leg.
 _BLOCK_CAP = 100
 
 
@@ -77,7 +78,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     real near-dups collide regardless of their ids — unlike id-derived
     blocking, which only ever finds dups whose ids happen to align.
     Per-block size is computed with a window (one shuffle, no extra
-    join) and blocks above ``_BLOCK_CAP`` docs are excluded.
+    join). Blocks up to ``_BLOCK_CAP`` docs take the exact all-pairs leg;
+    bigger blocks (boilerplate prefixes) take the MinHash leg — banded
+    signature collisions generate candidates (O(collisions), not
+    O(block²)), which are then verified with the SAME Jaccard bar, so a
+    shared 32-char prefix over a million docs costs band-bucket joins
+    instead of a quadratic blowup. The legs partition the corpus by
+    block, so their pair sets are disjoint by construction.
     """
     from pyspark.sql.window import Window
 
@@ -89,27 +96,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "blk_n", F.count(F.lit(1)).over(Window.partitionBy("blk", "lang"))
         )
-        .filter(F.col("blk_n") <= _BLOCK_CAP)
     )
-    a = c.select(
-        F.col("blk"), F.col("lang"),
-        F.col("doc_id").alias("a_id"), F.col("words").alias("a_words"),
-    )
-    b = c.select(
-        F.col("blk"), F.col("lang"),
-        F.col("doc_id").alias("b_id"), F.col("words").alias("b_words"),
-    )
-    pairs = a.join(b, on=["blk", "lang"], how="inner").filter(
-        F.col("a_id") < F.col("b_id")
-    )
+    small = c.filter(F.col("blk_n") <= _BLOCK_CAP)
+    mega = c.filter(F.col("blk_n") > _BLOCK_CAP)
+
     jac = F.size(F.array_intersect("a_words", "b_words")) / F.size(
         F.array_union("a_words", "b_words")
     )
-    return (
-        pairs.withColumn("jac", F.round(jac, 4))
+
+    a = small.select(
+        F.col("blk"), F.col("lang"),
+        F.col("doc_id").alias("a_id"), F.col("words").alias("a_words"),
+    )
+    b = small.select(
+        F.col("blk"), F.col("lang"),
+        F.col("doc_id").alias("b_id"), F.col("words").alias("b_words"),
+    )
+    small_pairs = (
+        a.join(b, on=["blk", "lang"], how="inner")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("jac", F.round(jac, 4))
         .filter(F.col("jac") >= 0.8)
         .select("a_id", "b_id", "jac")
     )
+
+    # Mega leg: banded MinHash collisions inside the (blk, lang) group
+    # generate candidates, then exact Jaccard verifies. Only hashes and
+    # candidate id pairs shuffle.
+    mb = _minhash_bands(mega.select("doc_id", "norm", "blk", "lang"), "blk", "lang")
+    x, y = mb.alias("x"), mb.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    mw = mega.select("doc_id", "words")
+    mega_pairs = (
+        cand.join(
+            mw.select(
+                F.col("doc_id").alias("a_id"), F.col("words").alias("a_words")
+            ),
+            "a_id",
+        )
+        .join(
+            mw.select(
+                F.col("doc_id").alias("b_id"), F.col("words").alias("b_words")
+            ),
+            "b_id",
+        )
+        .withColumn("jac", F.round(jac, 4))
+        .filter(F.col("jac") >= 0.8)
+        .select("a_id", "b_id", "jac")
+    )
+    return small_pairs.unionByName(mega_pairs)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,6 +238,43 @@ _MH_BAND = 2
 _MH_SHINGLE = 3
 
 
+def _minhash_bands(df: DataFrame, *extra_keys: str) -> DataFrame:
+    """(doc_id, *extra_keys, band_idx, band_key) — portable MinHash bands.
+
+    Signature slot i = MIN(md5(i || 3-gram shingle)) over the ``norm``
+    column's word shingles; ``_MH_K`` slots banded ``_MH_BAND`` per band.
+    All JVM codegen (split/slice/md5) + one groupBy shuffle; only 32-char
+    hashes cross the wire, never documents. Docs shorter than one shingle
+    are excluded (they cannot near-dup under the shingle measure).
+    """
+    words = F.split(F.col("norm"), " ")
+    starts = F.sequence(F.lit(1), F.size(words) - (_MH_SHINGLE - 1))
+    grams = F.transform(
+        starts, lambda i: F.array_join(F.slice(words, i, _MH_SHINGLE), " ")
+    )
+    keys = ["doc_id", *extra_keys]
+    g = df.filter(F.size(words) >= _MH_SHINGLE).select(
+        *keys, F.explode(grams).alias("gram")
+    )
+    sigs = g.groupBy(*keys).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i)), F.col("gram")))).alias(f"h{i}")
+            for i in range(_MH_K)
+        ]
+    )
+    band_arr = F.array(
+        *[
+            F.concat(
+                *[F.col(f"h{b * _MH_BAND + j}") for j in range(_MH_BAND)]
+            )
+            for b in range(_MH_K // _MH_BAND)
+        ]
+    )
+    return sigs.select(
+        *keys, F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+
+
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidate pairs with ENGINE-PORTABLE hashes —
     unlike ``dedup_minhash_lsh`` (pyspark.ml, engine-internal seeds,
@@ -205,32 +290,10 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     front of the self-join (mega-buckets route to verification directly)
     — the cap is omitted here so the oracle stays a pure join.
     """
-    c = corpus_with_dups(spark, sf_dir)
-    words = F.split(_NORM(F.col("text")), " ")
-    starts = F.sequence(F.lit(1), F.size(words) - (_MH_SHINGLE - 1))
-    grams = F.transform(
-        starts, lambda i: F.array_join(F.slice(words, i, _MH_SHINGLE), " ")
+    c = corpus_with_dups(spark, sf_dir).withColumn(
+        "norm", _NORM(F.col("text"))
     )
-    g = c.filter(F.size(words) >= _MH_SHINGLE).select(
-        "doc_id", F.explode(grams).alias("gram")
-    )
-    sigs = g.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(str(i)), F.col("gram")))).alias(f"h{i}")
-            for i in range(_MH_K)
-        ]
-    )
-    band_arr = F.array(
-        *[
-            F.concat(
-                *[F.col(f"h{b * _MH_BAND + j}") for j in range(_MH_BAND)]
-            )
-            for b in range(_MH_K // _MH_BAND)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_key")
-    )
+    bands = _minhash_bands(c)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -294,20 +357,49 @@ ORACLES = {
         "FROM bd x JOIN bd y ON x.band_idx = y.band_idx "
         "AND x.band_key = y.band_key AND x.doc_id < y.doc_id"
     ),
+    # Two legs mirroring the Spark plan: exact all-pairs inside blocks
+    # <= 100 docs; MinHash-banded candidates + same Jaccard bar for
+    # mega-blocks (legs partition the corpus by block, so UNION ALL).
     "dedup_ngram_jaccard": (
         "WITH c0 AS (SELECT doc_id, lang, "
         f"{_DK_NORM.format(c='text')} AS norm FROM ({_DK_CORPUS})), "
-        "c1 AS (SELECT doc_id, lang, md5(substr(norm, 1, 32)) AS blk, "
+        "c1 AS (SELECT doc_id, lang, norm, md5(substr(norm, 1, 32)) AS blk, "
         "list_distinct(string_split(norm, ' ')) AS words FROM c0), "
         "c AS (SELECT *, COUNT(*) OVER (PARTITION BY blk, lang) AS blk_n "
-        "FROM c1) "
-        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "FROM c1), "
+        "spairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
         "ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / "
         "len(list_distinct(list_concat(a.words, b.words))), 4) AS jac "
         "FROM c a JOIN c b ON a.blk = b.blk AND a.lang = b.lang "
         "AND a.doc_id < b.doc_id "
         "WHERE a.blk_n <= 100 AND b.blk_n <= 100 "
         "AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / "
-        "len(list_distinct(list_concat(a.words, b.words))) >= 0.8"
+        "len(list_distinct(list_concat(a.words, b.words))) >= 0.8), "
+        "mw AS (SELECT doc_id, lang, blk, string_split(norm, ' ') AS ws "
+        "FROM c WHERE blk_n > 100), "
+        "mg AS (SELECT doc_id, lang, blk, "
+        "unnest(list_transform(range(1, len(ws) - 1), "
+        "i -> array_to_string(ws[i:i+2], ' '))) AS gram "
+        "FROM mw WHERE len(ws) >= 3), "
+        "ms AS (SELECT doc_id, lang, blk, "
+        + ", ".join(f"MIN(md5('{i}' || gram)) AS h{i}" for i in range(8))
+        + " FROM mg GROUP BY doc_id, lang, blk), "
+        "mbd AS ("
+        "  SELECT doc_id, lang, blk, 0 AS band_idx, h0 || h1 AS band_key FROM ms"
+        "  UNION ALL SELECT doc_id, lang, blk, 1, h2 || h3 FROM ms"
+        "  UNION ALL SELECT doc_id, lang, blk, 2, h4 || h5 FROM ms"
+        "  UNION ALL SELECT doc_id, lang, blk, 3, h6 || h7 FROM ms), "
+        "mcand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id "
+        "FROM mbd x JOIN mbd y ON x.band_idx = y.band_idx "
+        "AND x.band_key = y.band_key AND x.blk = y.blk AND x.lang = y.lang "
+        "AND x.doc_id < y.doc_id), "
+        "mpairs AS (SELECT mc.a_id, mc.b_id, "
+        "ROUND(CAST(len(list_intersect(wa.words, wb.words)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(wa.words, wb.words))), 4) AS jac "
+        "FROM mcand mc JOIN c wa ON wa.doc_id = mc.a_id "
+        "JOIN c wb ON wb.doc_id = mc.b_id "
+        "WHERE CAST(len(list_intersect(wa.words, wb.words)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(wa.words, wb.words))) >= 0.8) "
+        "SELECT * FROM spairs UNION ALL SELECT * FROM mpairs"
     ),
 }

@@ -11,12 +11,9 @@ from hive_2_spark.parity import compare, duckdb_connect
 q, o = e.queries(), e.oracle_sql()
 con = duckdb_connect("/root/testdata/sf0.1")
 bad = 0
-# O(block^2) at sf0.1: minutes, covered at sf<=0.01 (keep_best composes
-# the clusters op and inherits the bound)
-skip = {"dedup_ngram_jaccard", "dedup_clusters", "dedup_keep_best"}
+# No skips: mega-blocks route through MinHash banding (llm/dedup.py), so
+# the former quadratic keys check at sf0.1 in seconds too.
 for key in sorted(o):
-    if key in skip:
-        print(key, "SKIPPED (quadratic at this sf; checked at sf0.01)"); continue
     try:
         p = compare(q[key](spark, "/root/testdata/sf0.1"), con, o[key])
     except Exception as ex:
