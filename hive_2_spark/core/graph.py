@@ -29,6 +29,14 @@ _DAMPING = 0.85
 _ITERS = 3
 _TOPK = 20
 
+# Broadcast the rank vector only while it plausibly fits executor memory
+# (~16 bytes/node -> ~160 MB at the cap). Above it, each iteration joins
+# ranks against src-pre-partitioned edges instead: the groupBy("dst")
+# output is already hash-partitioned on the (renamed) join key, so the
+# per-iteration join reuses both sides' partitioning — the flip costs one
+# extra edge repartition up front, not a broadcast per round.
+_BROADCAST_NODE_CAP = 10_000_000
+
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected bipartite customer–supplier edges, one edge per
@@ -72,14 +80,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", (1.0 / F.col("deg")).alias("w"))
         .localCheckpoint()
     )
+    # Gate on the EDGE count: it's a free count over the just-
+    # materialized checkpoint (no shuffle, unlike counting distinct
+    # nodes) and an upper bound on the node count, so it can only err
+    # toward the safe (shuffle-join) side on hub-heavy graphs.
+    broadcast_ranks = edges_w.count() <= _BROADCAST_NODE_CAP
+    if not broadcast_ranks:
+        edges_w = edges_w.repartition("src").localCheckpoint()
     ranks = edges_w.select("src").distinct().withColumn("rank", F.lit(1.0))
     for _ in range(_ITERS):
         # ranks is node-sized (orders of magnitude below the edge list)
-        # -> broadcast it so the cached edges never re-shuffle; only the
-        # dst-keyed aggregation exchanges data. With billions of nodes
-        # this flips to a shuffle join against src-pre-partitioned edges.
+        # -> broadcast it while it fits, so the cached edges never
+        # re-shuffle; only the dst-keyed aggregation exchanges data.
+        # Past _BROADCAST_NODE_CAP nodes, shuffle-join against the
+        # src-pre-partitioned edges instead (see cap comment above).
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            edges_w.join(F.broadcast(ranks), "src")
+            edges_w.join(rank_side, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
         )

@@ -213,6 +213,20 @@ def test_pagerank_iterations_read_cached_edges(spark):
     assert "lineitem" not in plan and "orders" not in plan
 
 
+def test_pagerank_rank_broadcast_is_size_gated(spark, monkeypatch):
+    """Above _BROADCAST_NODE_CAP nodes, the per-iteration rank broadcast
+    must flip to a shuffle join against src-pre-partitioned edges — no
+    BroadcastExchange in the loop — and produce the identical top-k."""
+    import hive_2_spark.core.graph as G
+
+    below = sorted(tuple(r) for r in G.graph_pagerank(spark, SF_DIR).collect())
+    monkeypatch.setattr(G, "_BROADCAST_NODE_CAP", 0)
+    big_df = G.graph_pagerank(spark, SF_DIR)
+    plan = plan_of(big_df)
+    assert "BroadcastExchange" not in plan
+    assert sorted(tuple(r) for r in big_df.collect()) == below
+
+
 def test_bm25_stats_broadcast_and_postings_filtered(spark):
     """Corpus stats/idf ride broadcasts; the token explode is filtered
     to query terms BEFORE any exchange."""
