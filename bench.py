@@ -83,17 +83,47 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
+
+    # Scale column: when the 10x blowup fixture exists (tools/scale10.py
+    # build), time every headline query there too and report the scaling
+    # exponent log10(t10/t1) — the empirical check that no headline plan
+    # hides a super-linear term. Skipped silently when the fixture is
+    # absent so the default bench contract is unchanged.
+    payload: dict = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    x10_dir = os.environ.get(
+        "SPARK_GRAFT_X10_DIR", os.path.join(REPO, ".scale10", "sf1.0")
     )
+    if sf_val == 0.1 and os.path.exists(os.path.join(x10_dir, "_SCALE10_OK")):
+        import math
+
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.read.parquet(os.path.join(x10_dir, "lineitem.parquet")).count()
+        x10: dict[str, float] = {}
+        expo: dict[str, float] = {}
+        for key in keys:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qmap[key](spark, x10_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            x10[key] = round(best, 4)
+            expo[key] = round(
+                math.log(max(best, 1e-4) / max(timings[key], 1e-4))
+                / math.log(10),
+                2,
+            )
+        payload["queries_x10"] = x10
+        payload["x10_total_sec"] = round(sum(x10.values()), 4)
+        payload["scale_exponent"] = expo
+    print(json.dumps(payload))
     # Append to the per-round trend log (BENCH_TREND.jsonl) so regressions
     # are mechanically diffable (tools/bench_trend.py) instead of eyeballed.
     # stdout stays exactly one JSON line; trend-write failure never fails

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Build a ~10x blowup of sf0.1 (union-with-shifted-keys) and measure
+per-query scaling exponents for the headline bench queries.
+
+The blowup keeps every distribution the bench depends on:
+- fact/dim keys shift by i*OFF per copy, so joins align WITHIN a copy
+  and never fan out across copies (join selectivity is scale-invariant);
+- dimensions (region/nation) stay fixed, like a real star schema;
+- document text gets a per-copy leading marker so content-derived
+  dedup blocks stay copy-local (block sizes, and thus candidate-pair
+  counts, scale linearly instead of quadratically);
+- events keep their timestamps (10x users, same session structure).
+
+Usage:
+    python tools/scale10.py build    # materialize .scale10/sf1.0 (~170 MB)
+    python tools/scale10.py bench    # time headline queries at 1x and 10x,
+                                     # print exponents, rewrite SCALING.md
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF1 = "/root/testdata/sf0.1"
+X10_DIR = os.path.join(REPO, ".scale10", "sf1.0")
+COPIES = 10
+OFF = 10_000_000_000  # >> the 10M/20M twin offsets corpus_with_dups adds
+
+# key columns to shift per copy; tables absent here are copied verbatim
+_SHIFT: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build(force: bool = False) -> str:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hive_2_spark.catalog import TABLES
+
+    marker = os.path.join(X10_DIR, "_SCALE10_OK")
+    if os.path.exists(marker) and not force:
+        return X10_DIR
+    os.makedirs(X10_DIR, exist_ok=True)
+    for t in TABLES:
+        src = pq.read_table(os.path.join(SF1, f"{t}.parquet"))
+        if t not in _SHIFT:  # dimensions stay fixed
+            out = src
+        else:
+            chunks = []
+            for i in range(COPIES):
+                tbl = src
+                for col in _SHIFT[t]:
+                    idx = tbl.schema.get_field_index(col)
+                    shifted = pc.add(tbl.column(col), pa.scalar(i * OFF))
+                    tbl = tbl.set_column(idx, tbl.field(idx), shifted)
+                if t == "documents" and i > 0:
+                    # copy-local prefix -> content blocks stay copy-local
+                    idx = tbl.schema.get_field_index("text")
+                    txt = pc.binary_join_element_wise(
+                        pa.scalar(f"copymark{i}"), tbl.column(col := "text"), " "
+                    )
+                    tbl = tbl.set_column(idx, tbl.field(idx), txt)
+                chunks.append(tbl)
+            out = pa.concat_tables(chunks)
+        pq.write_table(out, os.path.join(X10_DIR, f"{t}.parquet"))
+    with open(marker, "w") as f:
+        f.write(f"copies={COPIES} off={OFF} src={SF1}\n")
+    return X10_DIR
+
+
+def bench() -> None:
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+    from hive_2_spark.session import get_spark
+
+    build()
+    spark = get_spark("hive_2_spark_scale10")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entrymod.queries()
+    keys = [k for k in HEADLINE if k in qmap]
+    results: dict[str, dict] = {}
+    for sf_dir, tag, parts in ((SF1, "t1", "8"), (X10_DIR, "t10", "32")):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        for key in keys:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qmap[key](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(key, {})[tag] = round(best, 3)
+            print(f"{key:28s} {tag} {best:7.3f}s", file=sys.stderr)
+    for key, r in results.items():
+        r["exponent"] = round(math.log(r["t10"] / r["t1"]) / math.log(10), 2)
+    print(json.dumps(results))
+    _write_md(results)
+    spark.stop()
+
+
+_MD_BEGIN = "<!-- scale10:begin -->"
+_MD_END = "<!-- scale10:end -->"
+
+
+def _write_md(results: dict[str, dict]) -> None:
+    """Splice the measured table into SCALING.md between markers,
+    preserving the hand-written design ledger around it."""
+    lines = [
+        _MD_BEGIN,
+        "## Measured: 1x vs 10x (sf0.1 vs synthetic sf1.0)",
+        "",
+        "10x fixture: `tools/scale10.py build` (union-with-shifted-keys of",
+        "sf0.1 into `.scale10/sf1.0`; dims fixed, joins copy-local, dedup",
+        "blocks copy-local). Exponent = log10(t10/t1): 1.0 = linear, <1 =",
+        "dominated by fixed overhead (startup/stage latency) at this scale,",
+        ">1 = super-linear term — investigate before it eats a 100 TB run.",
+        "Best-of-2 wall-clock on local[32]; single-digit-second queries",
+        "carry noise of ~+-0.1 in the exponent.",
+        "",
+        "| query | 1x sec | 10x sec | exponent |",
+        "|---|---|---|---|",
+    ]
+    for key, r in sorted(results.items(), key=lambda kv: -kv[1]["exponent"]):
+        lines.append(
+            f"| {key} | {r['t1']:.3f} | {r['t10']:.3f} | {r['exponent']:.2f} |"
+        )
+    worst = [k for k, r in results.items() if r["exponent"] > 1.15]
+    lines += [
+        "",
+        (
+            "Super-linear (>1.15): " + ", ".join(sorted(worst))
+            if worst
+            else "Super-linear (>1.15): none."
+        ),
+        _MD_END,
+    ]
+    block = "\n".join(lines)
+    path = os.path.join(REPO, "SCALING.md")
+    text = open(path).read() if os.path.exists(path) else ""
+    if _MD_BEGIN in text and _MD_END in text:
+        pre = text.split(_MD_BEGIN)[0]
+        post = text.split(_MD_END, 1)[1]
+        text = pre + block + post
+    else:
+        text = text.rstrip("\n") + "\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "bench"
+    if cmd == "build":
+        print(build(force="--force" in sys.argv))
+    elif cmd == "bench":
+        bench()
+    else:
+        raise SystemExit(f"unknown command {cmd!r}; use build|bench")
