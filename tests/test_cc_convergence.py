@@ -44,6 +44,47 @@ def test_strict_cap_raises_instead_of_returning_unconverged(spark):
         _cc_converge(_chain_edges(spark, 15), max_rounds=3, strict=True)
 
 
+def test_random_graphs_match_union_find(spark):
+    """Property check: on arbitrary graphs, the distributed fixpoint
+    loop must equal a plain union-find computing min-id components.
+    Deterministic seed sweep (hypothesis's process-global DB does not
+    mix well with a shared SparkSession, so seeds are explicit)."""
+    import random
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        n = rng.randint(2, 30)
+        m = rng.randint(1, 60)
+        pairs = [
+            (rng.randint(1, n), rng.randint(1, n)) for _ in range(m)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        # reference: union-find, components labeled by min member
+        parent = {i: i for ab in pairs for i in ab}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+
+        df = spark.createDataFrame(pairs, "a_id: long, b_id: long")
+        edges = df.unionByName(
+            df.selectExpr("b_id as a_id", "a_id as b_id")
+        ).localCheckpoint()
+        labels, _, converged = _cc_converge(edges)
+        got = {r["node"]: r["label"] for r in labels.collect()}
+        assert converged and got == want, f"seed={seed}"
+
+
 def test_two_components_stay_separate(spark):
     a = _chain_edges(spark, 4)  # component {1..4}
     b = (

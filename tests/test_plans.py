@@ -227,6 +227,28 @@ def test_pagerank_rank_broadcast_is_size_gated(spark, monkeypatch):
     assert sorted(tuple(r) for r in big_df.collect()) == below
 
 
+def test_funnel_broadcasts_eval_grams_and_joins_on_keys(spark):
+    """The funnel's only broadcast-worthy side is the eval gram set;
+    document text must never be a shuffle key (joins ride doc_id/hash
+    keys), and no stage degenerates into a cartesian product."""
+    from hive_2_spark.llm.pipeline import curation_funnel
+
+    plan = plan_of(curation_funnel(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan  # eval grams ride a broadcast
+
+
+def test_semantic_clusters_read_checkpointed_edges(spark):
+    """The fixpoint loop's final plan must read materialized edges
+    (lineage truncated), not replay the LSH candidate pipeline."""
+    from hive_2_spark.llm.pipeline import dedup_clusters_semantic
+
+    plan = plan_of(dedup_clusters_semantic(spark, SF_DIR))
+    assert "Scan ExistingRDD" in plan
+    assert "embeddings" not in plan  # signature pipeline not replayed
+
+
 def test_bm25_stats_broadcast_and_postings_filtered(spark):
     """Corpus stats/idf ride broadcasts; the token explode is filtered
     to query terms BEFORE any exchange."""
