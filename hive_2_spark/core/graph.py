@@ -66,25 +66,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 nodes by PageRank after 3 fixed iterations (d=0.85,
     rank0=1.0). Ties broken by node id on the ROUNDED rank so the
     top-k cut is engine-independent."""
-    # Fold the out-degree into a per-edge weight ONCE, materialize, and
-    # truncate lineage (localCheckpoint) — every iteration then reads
-    # the cached weighted edges instead of re-running the
-    # lineitem⋈orders⋈distinct pipeline and a second deg join per step
-    # (measured 6.5s -> ~2s at sf0.1). Blocks are freed by the
-    # ContextCleaner when the returned DataFrame is dereferenced. The
-    # cluster-scale equivalent is persist() + checkpoint() per N rounds.
-    edges = _edges(spark, sf_dir)
+    # Materialize the raw edge list ONCE (localCheckpoint truncates the
+    # lineitem⋈orders⋈distinct lineage), then fold the out-degree into a
+    # per-edge weight with a BROADCAST join: deg is node-sized, so the
+    # 10x-bigger edge list never shuffles for the weight join — without
+    # this, the edge pipeline ran twice (deg agg + join probe) and the
+    # join sort-merge-shuffled every edge (measured 6.5s -> ~2s at
+    # sf0.1 for the checkpoint; the broadcast deg cut the 10x fixture's
+    # build again). Blocks are freed by the ContextCleaner when the
+    # returned DataFrame is dereferenced. The cluster-scale equivalent
+    # is persist() + checkpoint() per N rounds.
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    # Free count over the just-materialized checkpoint (no shuffle,
+    # unlike counting distinct nodes); an upper bound on the node count,
+    # so the gate only errs toward the safe (shuffle-join) side.
+    broadcast_ranks = edges.count() <= _BROADCAST_NODE_CAP
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg_side = F.broadcast(deg) if broadcast_ranks else deg
     edges_w = (
-        edges.join(deg, "src")
+        edges.join(deg_side, "src")
         .select("src", "dst", (1.0 / F.col("deg")).alias("w"))
         .localCheckpoint()
     )
-    # Gate on the EDGE count: it's a free count over the just-
-    # materialized checkpoint (no shuffle, unlike counting distinct
-    # nodes) and an upper bound on the node count, so it can only err
-    # toward the safe (shuffle-join) side on hub-heavy graphs.
-    broadcast_ranks = edges_w.count() <= _BROADCAST_NODE_CAP
     if not broadcast_ranks:
         edges_w = edges_w.repartition("src").localCheckpoint()
     ranks = edges_w.select("src").distinct().withColumn("rank", F.lit(1.0))
