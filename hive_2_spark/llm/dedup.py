@@ -309,12 +309,124 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthesized "incoming batch" offsets (existing corpus ids stay < 10M)
+_NB_EXACT = 30_000_000
+_NB_NEAR = 40_000_000
+_NB_NOVEL = 50_000_000
+
+
+def _new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic incoming batch for incremental dedup: every 7th doc
+    arrives again verbatim (exact dup), the next residue class arrives
+    with an appended edit (near dup), the one after is replaced by
+    md5-derived gibberish sharing no vocabulary with the corpus (novel).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _NB_EXACT).alias("new_id"), "text", "lang"
+    )
+    near = d.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + _NB_NEAR).alias("new_id"),
+        F.concat(F.col("text"), F.lit(" appended extra tokens here")).alias(
+            "text"
+        ),
+        "lang",
+    )
+    novel = d.filter(F.col("doc_id") % 7 == 2).select(
+        (F.col("doc_id") + _NB_NOVEL).alias("new_id"),
+        F.concat(
+            F.lit("novel "),
+            F.md5("text"), F.lit(" "),
+            F.md5(F.concat(F.col("text"), F.lit("x"))), F.lit(" "),
+            F.md5(F.concat(F.col("text"), F.lit("y"))), F.lit(" "),
+            F.md5(F.concat(F.col("text"), F.lit("z"))), F.lit(" "),
+            F.md5(F.concat(F.col("text"), F.lit("w"))),
+        ).alias("text"),
+        "lang",
+    )
+    return exact.unionByName(near).unionByName(novel)
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify an incoming batch against the EXISTING corpus — the
+    production dedup shape: at 100 TB you never re-dedup the corpus, you
+    dedup the delta against it.
+
+    - ``exact``: normalized-content md5 already present (one hash
+      anti-join-shaped lookup; only 16-byte fingerprints shuffle).
+    - ``near``: some portable-MinHash band collides with an existing
+      doc's AND the distinct-word Jaccard verifies >= 0.8. The band join
+      is new-batch x existing (asymmetric) — cost scales with the DELTA,
+      not the corpus pair space.
+    - ``novel``: neither. match_id = the smallest matching existing doc
+      (null for novel).
+
+    Output: new_id, verdict, match_id.
+    """
+    ex = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _NORM(F.col("text")).alias("norm")
+    )
+    nb = _new_batch(spark, sf_dir).select(
+        "new_id", _NORM(F.col("text")).alias("norm")
+    )
+    exact_min = (
+        ex.groupBy(F.md5("norm").alias("fp"))
+        .agg(F.min("doc_id").alias("exact_id"))
+    )
+    with_exact = nb.withColumn("fp", F.md5("norm")).join(
+        exact_min, "fp", "left"
+    )
+
+    bands_ex = _minhash_bands(ex)
+    bands_nb = _minhash_bands(
+        nb.select(F.col("new_id").alias("doc_id"), "norm")
+    ).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_key"
+    )
+    cand = (
+        bands_nb.join(bands_ex, ["band_idx", "band_key"])
+        .select("new_id", F.col("doc_id").alias("ex_id"))
+        .distinct()
+    )
+    ex_words = ex.select(
+        F.col("doc_id").alias("ex_id"),
+        F.array_distinct(F.split("norm", " ")).alias("ex_words"),
+    )
+    nb_words = nb.select(
+        "new_id", F.array_distinct(F.split("norm", " ")).alias("nb_words")
+    )
+    jac = F.size(F.array_intersect("nb_words", "ex_words")) / F.size(
+        F.array_union("nb_words", "ex_words")
+    )
+    near_min = (
+        cand.join(nb_words, "new_id")
+        .join(ex_words, "ex_id")
+        .filter(jac >= 0.8)
+        .groupBy("new_id")
+        .agg(F.min("ex_id").alias("near_id"))
+    )
+    verdict = (
+        F.when(F.col("exact_id").isNotNull(), "exact")
+        .when(F.col("near_id").isNotNull(), "near")
+        .otherwise("novel")
+    )
+    return (
+        with_exact.join(near_min, "new_id", "left")
+        .select(
+            "new_id",
+            verdict.alias("verdict"),
+            F.coalesce("exact_id", "near_id").cast("bigint").alias("match_id"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,  # rows-only (engine hash seeds)
     "dedup_minhash_portable": dedup_minhash_portable,  # oracle-checked
     "dedup_simhash": dedup_simhash,  # rows-only (xxhash64 is Spark-side)
+    "dedup_incremental": dedup_incremental,
 }
 
 _DK_NORM = (
@@ -330,7 +442,71 @@ _DK_CORPUS = (
     "WHERE doc_id % 10 = 0"
 )
 
+def _dk_sig8(src: str, key: str) -> str:
+    """8-slot portable MinHash signature CTE body over 3-gram shingles
+    of a (key, norm) relation — the SQL twin of ``_minhash_bands``."""
+    return (
+        f"SELECT {key}, "
+        + ", ".join(f"MIN(md5('{i}' || gram)) AS h{i}" for i in range(8))
+        + f" FROM (SELECT {key}, "
+        "unnest(list_transform(range(1, len(ws) - 1), "
+        "i -> array_to_string(ws[i:i+2], ' '))) AS gram "
+        f"FROM (SELECT {key}, string_split(norm, ' ') AS ws FROM {src}) "
+        "WHERE len(ws) >= 3) GROUP BY 1"
+    )
+
+
+def _dk_bands(sig: str, key: str) -> str:
+    return (
+        f"SELECT {key}, 0 AS band_idx, h0 || h1 AS band_key FROM {sig} "
+        f"UNION ALL SELECT {key}, 1, h2 || h3 FROM {sig} "
+        f"UNION ALL SELECT {key}, 2, h4 || h5 FROM {sig} "
+        f"UNION ALL SELECT {key}, 3, h6 || h7 FROM {sig}"
+    )
+
+
+_DK_INCREMENTAL = (
+    "WITH nb0 AS ("
+    "SELECT doc_id + 30000000 AS new_id, text FROM documents "
+    "WHERE doc_id % 7 = 0 "
+    "UNION ALL SELECT doc_id + 40000000, "
+    "text || ' appended extra tokens here' FROM documents "
+    "WHERE doc_id % 7 = 1 "
+    "UNION ALL SELECT doc_id + 50000000, "
+    "'novel ' || md5(text) || ' ' || md5(text || 'x') || ' ' || "
+    "md5(text || 'y') || ' ' || md5(text || 'z') || ' ' || "
+    "md5(text || 'w') FROM documents WHERE doc_id % 7 = 2), "
+    f"ex AS (SELECT doc_id, {_DK_NORM.format(c='text')} AS norm "
+    "FROM documents), "
+    f"nb AS (SELECT new_id, {_DK_NORM.format(c='text')} AS norm FROM nb0), "
+    "exact_min AS (SELECT md5(norm) AS fp, MIN(doc_id) AS exact_id "
+    "FROM ex GROUP BY 1), "
+    "we AS (SELECT nb.new_id, nb.norm, exact_min.exact_id FROM nb "
+    "LEFT JOIN exact_min ON md5(nb.norm) = exact_min.fp), "
+    f"exs AS ({_dk_sig8('ex', 'doc_id')}), "
+    f"nbs AS ({_dk_sig8('nb', 'new_id')}), "
+    f"exb AS ({_dk_bands('exs', 'doc_id')}), "
+    f"nbb AS ({_dk_bands('nbs', 'new_id')}), "
+    "cand AS (SELECT DISTINCT n.new_id, e.doc_id AS ex_id "
+    "FROM nbb n JOIN exb e USING (band_idx, band_key)), "
+    "exw AS (SELECT doc_id AS ex_id, "
+    "list_distinct(string_split(norm, ' ')) AS ew FROM ex), "
+    "nbw AS (SELECT new_id, "
+    "list_distinct(string_split(norm, ' ')) AS nw FROM nb), "
+    "nearm AS (SELECT c.new_id, MIN(c.ex_id) AS near_id "
+    "FROM cand c JOIN nbw USING (new_id) JOIN exw USING (ex_id) "
+    "WHERE CAST(len(list_intersect(nw, ew)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(nw, ew))) >= 0.8 GROUP BY c.new_id) "
+    "SELECT we.new_id, "
+    "CASE WHEN exact_id IS NOT NULL THEN 'exact' "
+    "WHEN near_id IS NOT NULL THEN 'near' ELSE 'novel' END AS verdict, "
+    "CAST(COALESCE(exact_id, near_id) AS BIGINT) AS match_id "
+    "FROM we LEFT JOIN nearm ON we.new_id = nearm.new_id"
+)
+
+
 ORACLES = {
+    "dedup_incremental": _DK_INCREMENTAL,
     "dedup_exact": (
         f"SELECT md5({_DK_NORM.format(c='text')}) AS fp, "
         "MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
