@@ -48,7 +48,7 @@ def test_streaming_reader_offsets_and_content(spark, tmp_path):
             .start()
         )
         try:
-            deadline = time.time() + 150  # generous: box may be under load
+            deadline = time.time() + 300  # generous: box may be under load
             while time.time() < deadline:
                 try:
                     if spark.read.parquet(out).count() >= min_rows:

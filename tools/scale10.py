@@ -32,6 +32,7 @@ if REPO not in sys.path:
 
 SF1 = "/root/testdata/sf0.1"
 X10_DIR = os.path.join(REPO, ".scale10", "sf1.0")
+X100_DIR = os.path.join(REPO, ".scale10", "sf10")
 COPIES = 10
 OFF = 10_000_000_000  # >> the 10M/20M twin offsets corpus_with_dups adds
 
@@ -48,24 +49,26 @@ _SHIFT: dict[str, list[str]] = {
 }
 
 
-def build(force: bool = False) -> str:
+def build(force: bool = False, copies: int = COPIES, out_dir: str = X10_DIR) -> str:
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from hive_2_spark.catalog import TABLES
 
-    marker = os.path.join(X10_DIR, "_SCALE10_OK")
+    marker = os.path.join(out_dir, "_SCALE10_OK")
     if os.path.exists(marker) and not force:
-        return X10_DIR
-    os.makedirs(X10_DIR, exist_ok=True)
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
         src = pq.read_table(os.path.join(SF1, f"{t}.parquet"))
+        dst = os.path.join(out_dir, f"{t}.parquet")
         if t not in _SHIFT:  # dimensions stay fixed
-            out = src
-        else:
-            chunks = []
-            for i in range(COPIES):
+            pq.write_table(src, dst)
+            continue
+        # one row-group batch per copy, streamed — memory stays ~1 copy
+        with pq.ParquetWriter(dst, src.schema) as w:
+            for i in range(copies):
                 tbl = src
                 for col in _SHIFT[t]:
                     idx = tbl.schema.get_field_index(col)
@@ -75,15 +78,13 @@ def build(force: bool = False) -> str:
                     # copy-local prefix -> content blocks stay copy-local
                     idx = tbl.schema.get_field_index("text")
                     txt = pc.binary_join_element_wise(
-                        pa.scalar(f"copymark{i}"), tbl.column(col := "text"), " "
+                        pa.scalar(f"copymark{i}"), tbl.column("text"), " "
                     )
                     tbl = tbl.set_column(idx, tbl.field(idx), txt)
-                chunks.append(tbl)
-            out = pa.concat_tables(chunks)
-        pq.write_table(out, os.path.join(X10_DIR, f"{t}.parquet"))
+                w.write_table(tbl.combine_chunks())
     with open(marker, "w") as f:
-        f.write(f"copies={COPIES} off={OFF} src={SF1}\n")
-    return X10_DIR
+        f.write(f"copies={copies} off={OFF} src={SF1}\n")
+    return out_dir
 
 
 def bench() -> None:
@@ -115,6 +116,96 @@ def bench() -> None:
     print(json.dumps(results))
     _write_md(results)
     spark.stop()
+
+
+# 10x -> 100x leg: fixed overhead is already amortized at 10x, so this
+# exponent is the asymptotic signal. Subset keeps the 100x run bounded.
+_X100_KEYS = [
+    "pricing_summary",
+    "join_range",
+    "win_running_sum",
+    "stream_session",
+    "dedup_exact",
+    "text_stats",
+    "sql_q3_shipping_priority",
+    "contamination_ngram",
+]
+
+
+def bench100() -> None:
+    import __spark_entry__ as entrymod
+    from hive_2_spark.session import get_spark
+
+    build()
+    build(copies=100, out_dir=X100_DIR)
+    spark = get_spark("hive_2_spark_scale100")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entrymod.queries()
+    results: dict[str, dict] = {}
+    for sf_dir, tag, parts in ((X10_DIR, "t10", "32"), (X100_DIR, "t100", "64")):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        for key in _X100_KEYS:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qmap[key](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(key, {})[tag] = round(best, 3)
+            print(f"{key:28s} {tag} {best:7.3f}s", file=sys.stderr)
+    for key, r in results.items():
+        r["exponent"] = round(
+            math.log(r["t100"] / r["t10"]) / math.log(10), 2
+        )
+    print(json.dumps(results))
+    _write_md100(results)
+    spark.stop()
+
+
+_MD100_BEGIN = "<!-- scale100:begin -->"
+_MD100_END = "<!-- scale100:end -->"
+
+
+def _write_md100(results: dict[str, dict]) -> None:
+    lines = [
+        _MD100_BEGIN,
+        "## Measured: 10x vs 100x (synthetic sf1.0 vs sf10, subset)",
+        "",
+        "Second scaling leg on a 60M-row-lineitem blowup: fixed stage",
+        "overhead is amortized at 10x, so log10(t100/t10) is the",
+        "asymptotic exponent. Subset of 8 headline shapes (scan+agg,",
+        "joins, windows, sessionization, dedup, text, contamination).",
+        "",
+        "| query | 10x sec | 100x sec | exponent |",
+        "|---|---|---|---|",
+    ]
+    for key, r in sorted(results.items(), key=lambda kv: -kv[1]["exponent"]):
+        lines.append(
+            f"| {key} | {r['t10']:.3f} | {r['t100']:.3f} | {r['exponent']:.2f} |"
+        )
+    worst = [k for k, r in results.items() if r["exponent"] > 1.15]
+    lines += [
+        "",
+        (
+            "Super-linear (>1.15): " + ", ".join(sorted(worst))
+            if worst
+            else "Super-linear (>1.15): none."
+        ),
+        _MD100_END,
+    ]
+    block = "\n".join(lines)
+    path = os.path.join(REPO, "SCALING.md")
+    text = open(path).read() if os.path.exists(path) else ""
+    if _MD100_BEGIN in text and _MD100_END in text:
+        pre = text.split(_MD100_BEGIN)[0]
+        post = text.split(_MD100_END, 1)[1]
+        text = pre + block + post
+    else:
+        text = text.rstrip("\n") + "\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(text)
 
 
 _MD_BEGIN = "<!-- scale10:begin -->"
@@ -172,5 +263,7 @@ if __name__ == "__main__":
         print(build(force="--force" in sys.argv))
     elif cmd == "bench":
         bench()
+    elif cmd == "bench100":
+        bench100()
     else:
-        raise SystemExit(f"unknown command {cmd!r}; use build|bench")
+        raise SystemExit(f"unknown command {cmd!r}; use build|bench|bench100")
