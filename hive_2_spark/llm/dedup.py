@@ -420,6 +420,141 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stopword-gram guard for the containment self-join: a shingle present
+# in more docs than this is boilerplate and generates no candidates, so
+# the pair space is sum_g min(df_g, CAP)^2 — linear in the corpus with a
+# bounded constant, never all-pairs.
+_GRAM_DOC_CAP = 200
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: A is "contained in" B when
+    >= 90% of A's distinct 5-word shingles also occur in B.
+
+    Catches quote/excerpt/superset relationships that symmetric Jaccard
+    misses — a doc embedded verbatim in a 2x-longer doc has Jaccard
+    ~0.5 (below any near-dup bar) but containment ~1.0. The corpus is
+    ``documents`` plus synthesized excerpts: for every doc_id % 10 == 5
+    the first half of its normalized words becomes doc_id + 30_000_000.
+
+    Scale: candidates come from a gram-keyed self-join over (doc_id,
+    md5(gram)) postings — only 32-char hashes shuffle, never text — and
+    grams in more than ``_GRAM_DOC_CAP`` docs are dropped first. The
+    verify step is a grouped count (intersection size), not an array
+    comparison, so no document content crosses the wire after the
+    shingle explode.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select("doc_id", _NORM(F.col("text")).alias("norm"))
+    ws = F.split(F.col("norm"), " ")
+    half = F.greatest((F.size(ws) / F.lit(2)).cast("int"), F.lit(5))
+    excerpts = base.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.array_join(F.slice(ws, F.lit(1), half), " ").alias("norm"),
+    )
+    c = base.unionByName(excerpts)
+    words = F.split(F.col("norm"), " ")
+    starts = F.sequence(F.lit(1), F.size(words) - 4)
+    grams_arr = F.transform(
+        starts, lambda i: F.array_join(F.slice(words, i, 5), " ")
+    )
+    grams = (
+        c.filter(F.size(words) >= 5)
+        .select("doc_id", F.explode(grams_arr).alias("gram"))
+        .select("doc_id", F.md5("gram").alias("g"))
+        .distinct()
+    )
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _GRAM_DOC_CAP)
+        .select("g")
+    )
+    kept = grams.join(rare, "g")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = kept.select(F.col("doc_id").alias("a_id"), "g")
+    b = kept.select(F.col("doc_id").alias("b_id"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("a_id"),
+                F.col("n_grams").alias("a_grams"),
+            ),
+            "a_id",
+        )
+        .withColumn(
+            "containment", F.round(F.col("inter") / F.col("a_grams"), 4)
+        )
+        .filter((F.col("containment") >= 0.9) & (F.col("a_grams") >= 5))
+        .select("a_id", "b_id", "a_grams", "containment")
+    )
+
+
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring report: per doc, the fraction of its 32-char
+    content windows that occur verbatim elsewhere in the corpus.
+
+    The winnowing-style surrogate for suffix-array substring dedup
+    (RefinedWeb/CCNet-style repeated-span removal): normalized text is
+    cut into NON-overlapping 32-char windows, each window keyed by md5,
+    and a window is "duplicated" when >= 2 docs contain it. Docs whose
+    duplicated-window fraction reaches 0.5 are near-verbatim copies at
+    the substring level even when word-level shingles drift.
+
+    Scale: one scan + explode produces len/32 hashes per doc (16-byte
+    keys on the wire, never text); corpus-wide window frequency is one
+    hash aggregation; the per-doc rollup is a second. No self-join, no
+    pair space at all — this is the cheapest corpus-level dup signal in
+    the family.
+    """
+    c = corpus_with_dups(spark, sf_dir).select(
+        "doc_id", _NORM(F.col("text")).alias("norm")
+    )
+    n_win = (F.length("norm") / F.lit(32)).cast("int")
+    wins = (
+        c.withColumn("n_win", n_win)
+        .filter(F.col("n_win") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_win") - 1),
+                    lambda i: F.md5(
+                        F.substring(F.col("norm"), i * 32 + 1, 32)
+                    ),
+                )
+            ).alias("win"),
+        )
+        .distinct()
+    )
+    nd = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_wins = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("win")
+    )
+    ndup = (
+        wins.join(dup_wins, "win")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        nd.join(ndup, "doc_id")
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup") / F.col("n_windows"), 4)
+        )
+        .filter(F.col("n_dup") / F.col("n_windows") >= 0.5)
+        .select("doc_id", "n_windows", "n_dup", "dup_frac")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -427,6 +562,8 @@ QUERIES = {
     "dedup_minhash_portable": dedup_minhash_portable,  # oracle-checked
     "dedup_simhash": dedup_simhash,  # rows-only (xxhash64 is Spark-side)
     "dedup_incremental": dedup_incremental,
+    "dedup_containment": dedup_containment,
+    "dedup_substring_windows": dedup_substring_windows,
 }
 
 _DK_NORM = (
@@ -577,5 +714,49 @@ ORACLES = {
         "WHERE CAST(len(list_intersect(wa.words, wb.words)) AS DOUBLE) / "
         "len(list_distinct(list_concat(wa.words, wb.words))) >= 0.8) "
         "SELECT * FROM spairs UNION ALL SELECT * FROM mpairs"
+    ),
+    # Mirrors dedup_containment leg by leg: same excerpt synthesis,
+    # same 5-gram shingles, same md5 gram keys, same df cap, same
+    # post-cap per-doc sizes.
+    "dedup_containment": (
+        "WITH base AS (SELECT doc_id, "
+        f"{_DK_NORM.format(c='text')} AS norm FROM documents), "
+        "exc AS (SELECT doc_id + 30000000 AS doc_id, "
+        "array_to_string(ws[1:GREATEST(len(ws)//2, 5)], ' ') AS norm "
+        "FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM base "
+        "WHERE doc_id % 10 = 5)), "
+        "c AS (SELECT * FROM base UNION ALL SELECT * FROM exc), "
+        "w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM c), "
+        "g AS (SELECT DISTINCT doc_id, md5(gram) AS g FROM "
+        "(SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3), "
+        "i -> array_to_string(ws[i:i+4], ' '))) AS gram "
+        "FROM w WHERE len(ws) >= 5)), "
+        "rare AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) <= 200), "
+        "k AS (SELECT g.doc_id, g.g FROM g JOIN rare USING (g)), "
+        "s AS (SELECT doc_id, COUNT(*) AS n_grams FROM k GROUP BY 1), "
+        "i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "COUNT(*) AS inter FROM k a JOIN k b "
+        "ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
+        "SELECT a_id, b_id, a_grams, containment FROM "
+        "(SELECT i.a_id, i.b_id, s.n_grams AS a_grams, "
+        "ROUND(CAST(i.inter AS DOUBLE) / s.n_grams, 4) AS containment "
+        "FROM i JOIN s ON s.doc_id = i.a_id) "
+        "WHERE containment >= 0.9 AND a_grams >= 5"
+    ),
+    "dedup_substring_windows": (
+        f"WITH c AS (SELECT doc_id, {_DK_NORM.format(c='text')} AS norm "
+        f"FROM ({_DK_CORPUS})), "
+        "wins AS (SELECT DISTINCT doc_id, "
+        "md5(substring(norm, i * 32 + 1, 32)) AS win FROM "
+        "(SELECT doc_id, norm, unnest(range(0, LENGTH(norm) // 32)) AS i "
+        "FROM c WHERE LENGTH(norm) >= 32)), "
+        "nd AS (SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY 1), "
+        "dupw AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2), "
+        "ndup AS (SELECT doc_id, COUNT(*) AS n_dup "
+        "FROM wins JOIN dupw USING (win) GROUP BY 1) "
+        "SELECT nd.doc_id, nd.n_windows, ndup.n_dup, "
+        "ROUND(CAST(n_dup AS DOUBLE) / n_windows, 4) AS dup_frac "
+        "FROM nd JOIN ndup USING (doc_id) "
+        "WHERE CAST(n_dup AS DOUBLE) / n_windows >= 0.5"
     ),
 }

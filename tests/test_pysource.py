@@ -50,6 +50,9 @@ def test_streaming_reader_offsets_and_content(spark, tmp_path):
         try:
             deadline = time.time() + 300  # generous: box may be under load
             while time.time() < deadline:
+                if q.exception() is not None:
+                    # fail loudly, not via a 300 s stall + count mismatch
+                    raise AssertionError(f"query died: {q.exception()}")
                 try:
                     if spark.read.parquet(out).count() >= min_rows:
                         break
