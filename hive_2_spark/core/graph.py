@@ -118,7 +118,49 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(_TOPK)
 
 
-QUERIES = {"graph_pagerank": graph_pagerank}
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle census of the near-dup document graph.
+
+    Edges are the word-shingle Jaccard pairs (``llm.dedup.
+    dedup_ngram_jaccard``, already a < b): a seed with both an exact
+    and a near twin yields a 3-clique, so transitive duplicate groups
+    show up as triangle-dense nodes — the clustering-coefficient signal
+    that distinguishes a dup CLUSTER from a dup CHAIN before running
+    full connected components.
+
+    Classic two-join triangle counting: wedges e1(x,y)+e2(y,z) close
+    against e3(x,z); because every stored edge has u < v, each triangle
+    is produced exactly once as x < y < z (no /6 correction, no
+    orientation step). Scale: the edge list is the (blocked, capped)
+    near-dup pair set — orders of magnitude smaller than the corpus —
+    and the joins shuffle only 8-byte ids. localCheckpoint materializes
+    the edges once so the pair pipeline doesn't run three times. For
+    general graphs with hubs, orient wedges from the lower-degree
+    endpoint first; the dup graph's block cap already bounds degree.
+    """
+    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("a_id", "b_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = edges.select(F.col("a_id").alias("x"), F.col("b_id").alias("y"))
+    e2 = edges.select(F.col("a_id").alias("y"), F.col("b_id").alias("z"))
+    e3 = edges.select(F.col("a_id").alias("x"), F.col("b_id").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+QUERIES = {
+    "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
+}
 
 # mirrors the Spark side exactly: precomputed per-edge weight 1.0/deg,
 # mass = SUM(rank * w) — same IEEE ops, drift only from summation order
@@ -164,4 +206,21 @@ SELECT node, rank FROM (
 """
 
 
-ORACLES = {"graph_pagerank": _pagerank_sql()}
+def _triangles_sql() -> str:
+    from hive_2_spark.llm.dedup import ORACLES as _DEDUP_ORACLES
+
+    pairs = _DEDUP_ORACLES["dedup_ngram_jaccard"]
+    return (
+        f"WITH e AS (SELECT DISTINCT a_id, b_id FROM ({pairs})), "
+        "t AS (SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z "
+        "FROM e e1 JOIN e e2 ON e1.b_id = e2.a_id "
+        "JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id) "
+        "SELECT doc_id, COUNT(*) AS n_triangles FROM "
+        "(SELECT unnest([x, y, z]) AS doc_id FROM t) GROUP BY doc_id"
+    )
+
+
+ORACLES = {
+    "graph_pagerank": _pagerank_sql(),
+    "graph_triangles": _triangles_sql(),
+}

@@ -131,10 +131,57 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# EWMA smoothing factor. 0.3/0.7 are written as LITERALS on both
+# engines (never `1 - alpha` at runtime): the fold must execute the
+# bit-identical IEEE sequence `0.3*x + 0.7*acc` in Spark and DuckDB
+# for hash parity.
+_EWMA_A = 0.3
+_EWMA_B = 0.7
+
+
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values.
+
+    ewma_1 = v_1; ewma_i = a*v_i + (1-a)*ewma_{i-1} over the user's
+    events in (ts, event_id) order — the classic smoothing recurrence,
+    which no fixed-frame window can express (every prior row
+    contributes, geometrically damped).
+
+    Implementation: one hash aggregation collects each user's ordered
+    (ts, event_id, value) sequence, then a JVM ``aggregate`` lambda
+    folds it left — identical op order to DuckDB's ``list_reduce``, so
+    doubles match bit-for-bit. Scale: one shuffle keyed by user_id;
+    per-user state is that user's event list (panel data: thousands of
+    rows/user at most, far under executor memory) — the same
+    sessionization-shaped distribution ``core.events`` relies on. No
+    global sort, no Python.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    g = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq")
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(_EWMA_A) * x + F.lit(_EWMA_B) * acc,
+    )
+    return g.select(
+        "user_id",
+        F.size("seq").cast("bigint").alias("n_events"),
+        F.round(ewma, 4).alias("ewma"),
+    )
+
+
 QUERIES = {
     "ts_resample": ts_resample,
     "ts_interpolate": ts_interpolate,
     "agg_histogram": agg_histogram,
+    "ts_ewma": ts_ewma,
 }
 
 _GRID_CTE = (
@@ -193,5 +240,15 @@ ORACLES = {
         "WHEN o_totalprice >= 500000.0 THEN 21 "
         "ELSE CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) + 1 END AS bin, "
         "COUNT(*) AS n FROM orders GROUP BY bin"
+    ),
+    # list_reduce seeds the fold with the first element — the same
+    # init as the Spark side's aggregate(slice(.., 2, ..), first, ..)
+    "ts_ewma": (
+        "WITH s AS (SELECT user_id, "
+        "list(value ORDER BY ts, event_id) AS vals "
+        "FROM events GROUP BY user_id) "
+        "SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events, "
+        "ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 4) "
+        "AS ewma FROM s"
     ),
 }

@@ -1,0 +1,59 @@
+"""Ground-truth tests for ts_ewma (pure-Python fold replay) and
+graph_triangles (brute-force triangle census over the collected edge
+list — exact, the graph is tiny at sf0.001)."""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import combinations
+
+from tests.conftest import SF_DIR
+
+
+def test_ewma_matches_python_fold(spark):
+    import pyarrow.parquet as pq
+
+    from hive_2_spark.core.timeseries import _EWMA_A, _EWMA_B, ts_ewma
+
+    got = {r.user_id: r for r in ts_ewma(spark, SF_DIR).collect()}
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    ).to_pylist()
+    by_user: dict[int, list] = {}
+    for r in t:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(got) == set(by_user)
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        acc = rows[0]["value"]
+        for r in rows[1:]:
+            acc = _EWMA_A * r["value"] + _EWMA_B * acc
+        assert got[uid].n_events == len(rows)
+        assert abs(got[uid].ewma - round(acc, 4)) < 1e-9, uid
+
+
+def test_triangles_match_bruteforce(spark):
+    from hive_2_spark.core.graph import graph_triangles
+    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+
+    edges = {
+        (r.a_id, r.b_id)
+        for r in dedup_ngram_jaccard(spark, SF_DIR)
+        .select("a_id", "b_id")
+        .distinct()
+        .collect()
+    }
+    nodes = sorted({n for e in edges for n in e})
+    expect: Counter = Counter()
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    for n in nodes:
+        for u, v in combinations(sorted(adj[n]), 2):
+            if v in adj[u]:
+                expect[n] += 1  # counted once per participating node
+    got = {r.doc_id: r.n_triangles for r in graph_triangles(spark, SF_DIR).collect()}
+    assert got == {n: c for n, c in expect.items() if c > 0}
+    # the synthesized twin triples guarantee a non-vacuous census
+    assert got, "fixture must produce at least one triangle"
