@@ -47,6 +47,8 @@ HEADLINE = [
     "bm25_topk",            # posting-filtered explode + broadcast idf + top-k
     "quality_lm_score",     # token explode + vocab join + doc rollup
     "graph_pagerank",       # 3 iterations x (join + dst agg) over 1.2M edges
+    "ts_ewma",              # per-user ordered fold (collect_list + aggregate)
+    "dedup_substring_windows",  # 2 hash aggs over 32-char window hashes
 ]
 
 

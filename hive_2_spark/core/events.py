@@ -152,14 +152,75 @@ GROUP BY cohort_week, week_offset
 """
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped Markov transition matrix over event types.
+
+    For each consecutive event pair within a session: count and
+    row-normalized probability per (src_type, dst_type) — the "what do
+    users do next" product-analytics staple, and the input to
+    Markov-chain attribution. Reuses the shared ``sessionized`` core,
+    so the transition boundary (session gap, tie order) cannot drift
+    from the sessionize faces. Scale: the lag window rides the same
+    user_id hash partitioning as sessionization (one Exchange); the
+    output is |event_types|^2 rows — the rollup is map-side tiny.
+    """
+    e = sessionized(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    t = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    counts = t.groupBy(
+        F.col("prev").alias("src_type"),
+        F.col("event_type").alias("dst_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_src = Window.partitionBy("src_type")
+    return counts.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(per_src), 4)
+    )
+
+
+_TRANSITIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), numbered AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_s) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+), paired AS (
+  SELECT lag(event_type) OVER
+           (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS src_type,
+         event_type AS dst_type
+  FROM numbered
+), counts AS (
+  SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM paired WHERE src_type IS NOT NULL GROUP BY src_type, dst_type
+)
+SELECT src_type, dst_type, n,
+       ROUND(CAST(n AS DOUBLE) /
+             SUM(n) OVER (PARTITION BY src_type), 4) AS p
+FROM counts
+"""
+
+
 QUERIES = {
     "event_sessionize": event_sessionize,
     "event_funnel": event_funnel,
     "event_retention": event_retention,
+    "event_transitions": event_transitions,
 }
 
 ORACLES = {
     "event_sessionize": _SESSIONIZE_ORACLE,
     "event_funnel": _FUNNEL,
     "event_retention": _RETENTION_ORACLE,
+    "event_transitions": _TRANSITIONS_ORACLE,
 }

@@ -177,11 +177,44 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outliers: events whose value sits >= 3 population
+    standard deviations from their event_type's mean.
+
+    Two-pass exact anomaly detection: one hash agg computes per-type
+    (mean, stddev_pop) — a handful of rows, auto-broadcast back onto
+    the fact scan — then a single codegen pass flags outliers. Scale:
+    the stats agg is map-side partial + tiny final; the flagging join
+    is a BroadcastHashJoin, so the fact table is scanned once with no
+    fact-sized shuffle at any size. The filter compares the UNROUNDED
+    z on both engines; rounding happens only in the output column.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(stats, "event_type")
+        .filter(F.abs(z) >= 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
 QUERIES = {
     "ts_resample": ts_resample,
     "ts_interpolate": ts_interpolate,
     "agg_histogram": agg_histogram,
     "ts_ewma": ts_ewma,
+    "ts_anomaly_zscore": ts_anomaly_zscore,
 }
 
 _GRID_CTE = (
@@ -250,5 +283,13 @@ ORACLES = {
         "SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events, "
         "ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 4) "
         "AS ewma FROM s"
+    ),
+    "ts_anomaly_zscore": (
+        "WITH stats AS (SELECT event_type, AVG(value) AS mu, "
+        "STDDEV_POP(value) AS sigma FROM events GROUP BY event_type) "
+        "SELECT event_id, e.event_type, value, "
+        "ROUND((value - mu) / sigma, 4) AS z "
+        "FROM events e JOIN stats s ON e.event_type = s.event_type "
+        "WHERE ABS((value - mu) / sigma) >= 3.0"
     ),
 }

@@ -77,6 +77,72 @@ def running_spend_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_OUTPUT = "user_id long, n_events long, ewma double"
+EWMA_STATE = "ewma double, n long"
+
+
+def _update_ewma(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    from hive_2_spark.core.timeseries import _EWMA_A, _EWMA_B
+
+    if state.exists:
+        ewma, n = state.get
+    else:
+        ewma, n = 0.0, 0
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    # within a batch, event-time order is re-established here; across
+    # batches the fold assumes time-ordered ingestion (document/landing
+    # zones deliver per-key order; a late event needs a watermark+buffer
+    # variant, same as any order-sensitive streaming fold)
+    rows = rows.sort_values(["ts", "event_id"])
+    for v in rows["value"]:
+        v = float(v)
+        ewma = v if n == 0 else _EWMA_A * v + _EWMA_B * ewma
+        n += 1
+    state.update((float(ewma), n))
+    if n == 0:
+        yield pd.DataFrame({"user_id": [], "n_events": [], "ewma": []})
+        return
+    # HALF_UP like Spark's round(), NOT python's bankers round()
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "ewma": [math.floor(ewma * 10000.0 + 0.5) / 10000.0],
+        }
+    )
+
+
+def ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of ``core.timeseries.ts_ewma``: per-user EWMA
+    folded across micro-batches in the state store.
+
+    State = (ewma, n) per user — O(distinct users), never O(events);
+    the shuffle is keyed by user_id only. The batch face (``ts_ewma``)
+    is the oracle-verified semantics; tests assert the streaming run
+    emits identical rows (update mode, last emit per key wins).
+    """
+    from hive_2_spark.streaming.windows import _read_stream_events
+
+    events = _read_stream_events(spark, sf_dir)
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ewma,
+            outputStructType=EWMA_OUTPUT,
+            stateStructType=EWMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def tws_supported() -> bool:
     """transformWithStateInPandas streams state through a protobuf-based
     runner; without the google.protobuf package the worker crashes with

@@ -257,3 +257,32 @@ def test_bm25_stats_broadcast_and_postings_filtered(spark):
     plan = plan_of(bm25_topk(spark, SF_DIR))
     assert plan.count("BroadcastExchange") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_zscore_stats_broadcast_no_fact_shuffle_join(spark):
+    """The per-type stats side (a handful of rows) must broadcast back
+    onto the fact scan — an event-sized shuffle for a 5-row join side
+    would be the wrong plan at any scale."""
+    from hive_2_spark.core.timeseries import ts_anomaly_zscore
+
+    plan = plan_of(ts_anomaly_zscore(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_transitions_reuse_sessionize_exchange(spark):
+    """Both windows (session flag + transition lag) and the final agg
+    must ride ONE user_id hash partitioning — a second fact-sized
+    exchange would double the shuffle bill of every run."""
+    from hive_2_spark.core.events import event_transitions
+
+    plan = plan_of(event_transitions(spark, SF_DIR))
+    # formatted mode puts Exchange args on their own line; count the
+    # partitioning spec itself (windows list it per-window, so look at
+    # the Arguments: lines only)
+    fact_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if ln.startswith("Arguments: hashpartitioning(user_id")
+    ]
+    assert len(fact_exchanges) == 1, plan

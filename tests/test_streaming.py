@@ -67,6 +67,29 @@ def test_apply_in_pandas_with_state(spark):
     assert stream_rows == batch_rows
 
 
+def test_ewma_stream_matches_batch_face(spark):
+    """Stateful streaming EWMA == oracle-verified batch ts_ewma,
+    value-for-value (update mode: last emitted row per key wins)."""
+    from hive_2_spark.core.timeseries import ts_ewma
+    from hive_2_spark.streaming import stateful
+
+    n = _run_to_memory(
+        spark, stateful.ewma_stream(spark, SF_DIR), "t_ewma", "update"
+    )
+    assert n > 0
+    stream_rows = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in spark.sql(
+            "SELECT user_id, n_events, ewma FROM t_ewma"
+        ).collect()
+    }
+    batch_rows = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ts_ewma(spark, SF_DIR).collect()
+    }
+    assert stream_rows == batch_rows
+
+
 def test_stream_dedup_stateful(spark):
     n = _run_to_memory(
         spark, sw.stream_dedup_builder(spark, SF_DIR), "t_dedup", "append"

@@ -57,3 +57,43 @@ def test_triangles_match_bruteforce(spark):
     assert got == {n: c for n, c in expect.items() if c > 0}
     # the synthesized twin triples guarantee a non-vacuous census
     assert got, "fixture must produce at least one triangle"
+
+
+def test_transition_matrix_is_row_stochastic(spark):
+    from collections import defaultdict
+
+    from hive_2_spark.core.events import event_transitions
+
+    rows = event_transitions(spark, SF_DIR).collect()
+    assert rows
+    by_src = defaultdict(float)
+    for r in rows:
+        assert r.n > 0
+        by_src[r.src_type] += r.p
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-3, (src, total)  # rounded-4 p's
+
+
+def test_zscore_outliers_are_actually_extreme(spark):
+    import statistics
+
+    import pyarrow.parquet as pq
+
+    from hive_2_spark.core.timeseries import ts_anomaly_zscore
+
+    got = {r.event_id: r for r in ts_anomaly_zscore(spark, SF_DIR).collect()}
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["event_id", "event_type", "value"]
+    ).to_pylist()
+    by_type: dict[str, list] = {}
+    for r in t:
+        by_type.setdefault(r["event_type"], []).append(r)
+    expect = set()
+    for rows in by_type.values():
+        vals = [r["value"] for r in rows]
+        mu = statistics.fmean(vals)
+        sigma = statistics.pstdev(vals)
+        for r in rows:
+            if sigma > 0 and abs((r["value"] - mu) / sigma) >= 3.0:
+                expect.add(r["event_id"])
+    assert set(got) == expect
