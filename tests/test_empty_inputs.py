@@ -72,6 +72,18 @@ KEYS = [
     "media_phash_dedup",
     "join_asof_nearest",
     "dedup_clusters_lsh",
+    # round-3 additions
+    "dedup_containment",
+    "dedup_substring_windows",
+    "curriculum_order",
+    "ts_ewma",
+    "ts_anomaly_zscore",
+    "event_transitions",
+    "graph_triangles",
+    "dedup_incremental",
+    # curation_funnel excluded: it is a REPORT (one row per stage with
+    # survivors=0 on empty input), not a row stream — count() != 0 is
+    # its correct empty-input behavior
 ]
 
 
