@@ -49,6 +49,7 @@ HEADLINE = [
     "graph_pagerank",       # 3 iterations x (join + dst agg) over 1.2M edges
     "ts_ewma",              # per-user ordered fold (collect_list + aggregate)
     "dedup_substring_windows",  # 2 hash aggs over 32-char window hashes
+    "cluster_kmeans",       # k-centroid broadcast assignment x2 + recenter
 ]
 
 

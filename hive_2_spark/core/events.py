@@ -211,11 +211,117 @@ FROM counts
 """
 
 
+_PATH_LEN = 3
+_PATH_TOPK = 10
+
+
+def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-step event sequences within a session.
+
+    The path-mining staple behind "what journeys lead to X": two
+    ``lead`` windows over the shared ``sessionized`` ordering build the
+    (e1 > e2 > e3) trigram per row, a hash agg counts paths, and the
+    global top-k compiles to ``TakeOrderedAndProject`` (O(k) memory per
+    task, no global sort) because the count table is |types|^3 rows at
+    most. One user-keyed exchange total — the same one sessionization
+    already pays. Ties break on path text so the cut is deterministic.
+    """
+    e = sessionized(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    t = (
+        e.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    counts = t.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("path").asc()).limit(
+        _PATH_TOPK
+    )
+
+
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: purchases credited to the user's first-
+    ever event type.
+
+    Marketing attribution's simplest defensible model: the credit
+    channel is ``first_value`` over each user's full history (one
+    user-keyed exchange, computed once per user and carried on every
+    row), then purchases roll up by credited channel with count and
+    revenue. Scale: the window and the rollup share the user_id
+    partitioning; the output is |event_types| rows. Multi-touch models
+    (linear, time-decay) change only the credit expression, not the
+    plan shape.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    credited = e.withColumn(
+        "first_touch", F.first("event_type").over(w)
+    ).filter(F.col("event_type") == "purchase")
+    return credited.groupBy("first_touch").agg(
+        F.count(F.lit(1)).alias("purchases"),
+        F.countDistinct("user_id").alias("buyers"),
+        F.round(F.sum("value"), 2).alias("revenue"),
+    )
+
+
+_PATHS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), numbered AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_s) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+), tri AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM numbered
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+)
+SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tri WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10
+"""
+
+_ATTRIBUTION_ORACLE = """
+WITH credited AS (
+  SELECT user_id, event_type, value,
+         FIRST_VALUE(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS first_touch
+  FROM events
+)
+SELECT first_touch,
+       CAST(COUNT(*) AS BIGINT) AS purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS buyers,
+       ROUND(SUM(value), 2) AS revenue
+FROM credited WHERE event_type = 'purchase'
+GROUP BY first_touch
+"""
+
+
 QUERIES = {
     "event_sessionize": event_sessionize,
     "event_funnel": event_funnel,
     "event_retention": event_retention,
     "event_transitions": event_transitions,
+    "event_paths": event_paths,
+    "event_attribution": event_attribution,
 }
 
 ORACLES = {
@@ -223,4 +329,6 @@ ORACLES = {
     "event_funnel": _FUNNEL,
     "event_retention": _RETENTION_ORACLE,
     "event_transitions": _TRANSITIONS_ORACLE,
+    "event_paths": _PATHS_ORACLE,
+    "event_attribution": _ATTRIBUTION_ORACLE,
 }

@@ -209,12 +209,79 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of event value over time (least squares).
+
+    ``regr_slope`` / ``regr_intercept`` / ``regr_r2`` over
+    (value, days-since-epoch) — the built-in OLS aggregates, so the fit
+    is one partial+final hash aggregation: each map task accumulates
+    (n, sum_x, sum_y, sum_xx, sum_xy, sum_yy) moments and the shuffle
+    carries one 6-tuple per (task x type). The same mergeable-moments
+    trick scales to any fact volume — no sort, no window, no second
+    pass. x is epoch DAYS (not micros) so the slope magnitude survives
+    rounding on both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    x = (F.unix_micros(F.col("ts")) / F.lit(86400000000.0)).alias("x")
+    return (
+        e.select("event_type", F.col("value").alias("y"), x)
+        .groupBy("event_type")
+        .agg(
+            F.regr_count("y", "x").cast("bigint").alias("n"),
+            F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 2).alias("icept"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        )
+    )
+
+
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup computed FROM hourly partials (hypertable cascade).
+
+    The hourly layer keeps mergeable state only (count/sum/min/max);
+    the daily layer re-aggregates the partials — ``sum(n)``,
+    ``sum(sum)``, ``min(min)``, ``max(max)`` — and derives avg at read
+    time. This is the continuous-aggregate / materialized-rollup
+    pattern: each coarser resolution costs O(finer-layer rows), never a
+    rescan of the raw facts, and late data patches one hourly bucket +
+    its single daily parent. The oracle aggregates the raw table
+    directly, proving the cascade is lossless.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "h").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("s"), 2).alias("sum_value"),
+        F.round(F.min("mn"), 2).alias("min_value"),
+        F.round(F.max("mx"), 2).alias("max_value"),
+    )
+    # avg derives from the ALREADY-ROUNDED sum so both engines divide
+    # identical doubles — a raw-sum avg can flip at a round-4 boundary
+    # when partial-agg order differs.
+    return daily.withColumn(
+        "avg_value",
+        F.floor(F.col("sum_value") / F.col("n") * 10000 + F.lit(0.5))
+        / F.lit(10000.0),
+    )
+
+
 QUERIES = {
     "ts_resample": ts_resample,
     "ts_interpolate": ts_interpolate,
     "agg_histogram": agg_histogram,
     "ts_ewma": ts_ewma,
     "ts_anomaly_zscore": ts_anomaly_zscore,
+    "ts_trend": ts_trend,
+    "ts_rollup_cascade": ts_rollup_cascade,
 }
 
 _GRID_CTE = (
@@ -283,6 +350,24 @@ ORACLES = {
         "SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events, "
         "ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 4) "
         "AS ewma FROM s"
+    ),
+    "ts_trend": (
+        "SELECT event_type, CAST(regr_count(y, x) AS BIGINT) AS n, "
+        "ROUND(regr_slope(y, x), 6) AS slope, "
+        "ROUND(regr_intercept(y, x), 2) AS icept, "
+        "ROUND(regr_r2(y, x), 6) AS r2 FROM ("
+        "  SELECT event_type, value AS y, "
+        "  epoch_us(ts) / 86400000000.0 AS x FROM events"
+        ") GROUP BY event_type"
+    ),
+    "ts_rollup_cascade": (
+        "SELECT date_trunc('day', ts) AS day, event_type, "
+        "COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value, "
+        "ROUND(MIN(value), 2) AS min_value, "
+        "ROUND(MAX(value), 2) AS max_value, "
+        "FLOOR(ROUND(SUM(value), 2) / COUNT(*) * 10000 + 0.5) / 10000.0 "
+        "  AS avg_value "
+        "FROM events GROUP BY 1, 2"
     ),
     "ts_anomaly_zscore": (
         "WITH stats AS (SELECT event_type, AVG(value) AS mu, "

@@ -218,7 +218,29 @@ def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance-quartile per customer within market segment (NTILE).
+
+    The equal-height-bucket assignment behind cohorting and tiered
+    pricing. NTILE needs a total order per partition: ties on acctbal
+    break on custkey, so bucket membership is deterministic across
+    engines and partial reruns. One segment-keyed exchange + in-
+    partition sort, same cost envelope as every other window here.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
 QUERIES = {
+    "win_ntile": win_ntile,
     "win_ignore_nulls": win_ignore_nulls,
     "win_range_time": win_range_time,
     "topk_nulls_last": topk_nulls_last,
@@ -242,6 +264,12 @@ _W_PCT = (
 )
 
 ORACLES = {
+    "win_ntile": (
+        "SELECT c_custkey, c_mktsegment, c_acctbal, "
+        "CAST(NTILE(4) OVER (PARTITION BY c_mktsegment "
+        "ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS quartile "
+        "FROM customer"
+    ),
     "win_ignore_nulls": (
         "SELECT o_custkey, o_orderkey, "
         "LAST_VALUE(x IGNORE NULLS) OVER (PARTITION BY o_custkey "

@@ -1,0 +1,161 @@
+"""Embedding clustering for corpus organization / data mixing (extends
+the similarity family of SURVEY.md §2B op 44; reference analogue: the
+Hive ORM groups rows only by SQL keys — clustering is the
+embedding-space generalization a training-data pipeline needs).
+
+- ``cluster_kmeans``: deterministic Lloyd's k-means over the
+  ``embeddings`` table — k=8 seeds chosen by id (``vec_id % 64 == 0``),
+  exactly ``_ITERATIONS`` assignment/recenter rounds, squared-L2
+  assignment with lowest-centroid-id tie-break. Deterministic seeding +
+  a fixed iteration count make the whole algorithm expressible as
+  unrolled SQL, so the DuckDB oracle checks every assignment AND the
+  learned geometry (d2 is computed against the final centroids).
+- ``cluster_mix_report``: the data-mixing view of the same model —
+  per (cluster, label) document counts and within-cluster shares, the
+  table a curriculum/mixing stage consumes to rebalance sources.
+
+Scale: each iteration is (1) a broadcast of the k x dim centroid table
+against the corpus scan (BroadcastNestedLoopJoin over k=8 rows — the
+corpus never shuffles for assignment; per-row cost is k dot products in
+whole-stage codegen), and (2) a recenter aggregation that shuffles
+(cluster, dim, partial-sum) triples — k x dim rows after map-side
+partial agg, independent of corpus size. At a billion vectors the only
+fact-sized cost is ``_ITERATIONS + 1`` corpus scans; production would
+``persist()`` the projected vectors once, which changes no plan shape.
+No Python row path anywhere: the distance fold is a JVM ``aggregate``
+lambda, identical accumulation order to DuckDB's ``list_sum`` so
+doubles agree bit-for-bit before the final ROUND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hive_2_spark.catalog import load_table
+from hive_2_spark.llm.similarity import _as_double
+
+_SEED_MOD = 64  # vec_id % 64 == 0 -> 8 deterministic seed centroids
+_ITERATIONS = 2  # fixed unroll => oracle-expressible; prod loops to eps
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
+    )
+
+
+def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: (vec_id, label, vec, cluster, d2)."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("c_vec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_id").asc())
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", "vec", F.col("c_id").alias("cluster"), "d2")
+    )
+
+
+def _recenter(assign: DataFrame) -> DataFrame:
+    """Cluster means, elementwise: (c_id, c_vec). k x dim rows total."""
+    ex = assign.select("cluster", F.posexplode("vec").alias("dim", "elem"))
+    means = ex.groupBy("cluster", "dim").agg(F.avg("elem").alias("avg_e"))
+    return means.groupBy(F.col("cluster").alias("c_id")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "avg_e"))),
+            lambda s: s["avg_e"],
+        ).alias("c_vec")
+    )
+
+
+def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vectors(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") % _SEED_MOD == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    )
+    assign = _assign(e, cents)
+    for _ in range(_ITERATIONS - 1):
+        assign = _assign(e, _recenter(assign))
+    return assign
+
+
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cluster id + squared distance to its final centroid."""
+    a = _final_assignment(spark, sf_dir)
+    return a.select(
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.round("d2", 4).alias("d2"),
+    )
+
+
+def cluster_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (cluster, label) counts and within-cluster share — the
+    mixing table a rebalancing stage consumes."""
+    a = _final_assignment(spark, sf_dir)
+    counts = a.groupBy(
+        F.col("cluster").cast("bigint").alias("cluster"), "label"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_cluster = W.partitionBy("cluster")
+    return counts.withColumn(
+        "share", F.round(F.col("n") / F.sum("n").over(per_cluster), 4)
+    )
+
+
+QUERIES = {
+    "cluster_kmeans": cluster_kmeans,
+    "cluster_mix_report": cluster_mix_report,
+}
+
+# The oracle unrolls the same seeding + 2 Lloyd rounds in SQL. list_zip
+# pairs are indexed numerically (p[1], p[2]) — DuckDB's zipped structs
+# are unnamed; list_sum matches the Spark-side aggregate fold order.
+_KMEANS_CTE = (
+    "v AS (SELECT vec_id, label, "
+    "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+    "  FROM embeddings), "
+    "c0 AS (SELECT vec_id AS c_id, vec AS c_vec FROM v "
+    f"  WHERE vec_id % {_SEED_MOD} = 0), "
+    "d0 AS (SELECT v.vec_id, c0.c_id, "
+    "  list_sum(list_transform(list_zip(v.vec, c0.c_vec), "
+    "    p -> (p[1]-p[2])**2)) AS d2 "
+    "  FROM v CROSS JOIN c0), "
+    "a1 AS (SELECT vec_id, c_id AS cluster FROM d0 "
+    "  QUALIFY ROW_NUMBER() OVER "
+    "    (PARTITION BY vec_id ORDER BY d2, c_id) = 1), "
+    "ex AS (SELECT vec_id, UNNEST(vec) AS elem, "
+    "  generate_subscripts(vec, 1) AS dim FROM v), "
+    "c1 AS (SELECT cluster AS c_id, list(avg_e ORDER BY dim) AS c_vec "
+    "  FROM (SELECT a1.cluster, ex.dim, AVG(ex.elem) AS avg_e "
+    "        FROM a1 JOIN ex USING (vec_id) GROUP BY 1, 2) "
+    "  GROUP BY cluster), "
+    "d1 AS (SELECT v.vec_id, v.label, c1.c_id, "
+    "  list_sum(list_transform(list_zip(v.vec, c1.c_vec), "
+    "    p -> (p[1]-p[2])**2)) AS d2 "
+    "  FROM v CROSS JOIN c1), "
+    "a2 AS (SELECT vec_id, label, c_id AS cluster, d2 FROM d1 "
+    "  QUALIFY ROW_NUMBER() OVER "
+    "    (PARTITION BY vec_id ORDER BY d2, c_id) = 1)"
+)
+
+ORACLES = {
+    "cluster_kmeans": (
+        f"WITH {_KMEANS_CTE} "
+        "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, "
+        "ROUND(d2, 4) AS d2 FROM a2"
+    ),
+    "cluster_mix_report": (
+        f"WITH {_KMEANS_CTE}, "
+        "counts AS (SELECT CAST(cluster AS BIGINT) AS cluster, label, "
+        "  COUNT(*) AS n FROM a2 GROUP BY 1, 2) "
+        "SELECT cluster, label, n, "
+        "ROUND(n / SUM(n) OVER (PARTITION BY cluster), 4) AS share "
+        "FROM counts"
+    ),
+}
