@@ -38,6 +38,7 @@ _MODULES: list[str] = [
     "hive_2_spark.core.scalarfns3",
     "hive_2_spark.llm.pipeline",
     "hive_2_spark.llm.clustering",
+    "hive_2_spark.llm.insights",
     "hive_2_spark.core.udfs",
     "hive_2_spark.core.io",
     "hive_2_spark.core.pysource",

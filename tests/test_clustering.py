@@ -78,3 +78,51 @@ def test_trend_matches_numpy_lstsq(spark):
         assert got[et].n == len(pts)
         np.testing.assert_allclose(got[et].slope, round(slope, 6), atol=2e-6)
         np.testing.assert_allclose(got[et].icept, round(icept, 2), atol=0.02)
+
+
+def test_pca_power_matches_numpy(spark):
+    import pyarrow.parquet as pq
+
+    from hive_2_spark.llm.insights import emb_pca_power
+
+    got = (
+        emb_pca_power(spark, SF_DIR)
+        .orderBy("dim")
+        .collect()
+    )
+    t = pq.read_table(SF_DIR + "/embeddings.parquet").to_pydict()
+    a = np.array([list(map(float, v)) for v in t["embedding"]])
+    v = a[t["vec_id"].index(0)].astype(float)
+    v /= np.linalg.norm(v)
+    for _ in range(2):
+        w = a.T @ (a @ v)
+        v = w / np.linalg.norm(w)
+    if v[0] < 0:
+        v = -v
+    assert [r.dim for r in got] == list(range(1, a.shape[1] + 1))
+    np.testing.assert_allclose(
+        [r.loading for r in got], np.round(v, 6), atol=2e-6
+    )
+
+
+def test_entropy_matches_python(spark):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from hive_2_spark.llm.insights import quality_entropy
+
+    got = {r.doc_id: r for r in quality_entropy(spark, SF_DIR).collect()}
+    t = pq.read_table(
+        SF_DIR + "/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    for r in t:
+        words = r["text"].split(" ")
+        n = len(words)
+        from collections import Counter
+
+        h = -sum(
+            (c / n) * math.log2(c / n) for c in Counter(words).values()
+        )
+        assert got[r["doc_id"]].n_words == n
+        assert abs(got[r["doc_id"]].entropy_bits - round(h, 4)) < 2e-4

@@ -81,6 +81,17 @@ KEYS = [
     "event_transitions",
     "graph_triangles",
     "dedup_incremental",
+    # round-3 later-session additions
+    "cluster_kmeans",
+    "cluster_mix_report",
+    "quality_entropy",
+    "emb_pca_power",
+    "emb_whiten",
+    "ts_trend",
+    "ts_rollup_cascade",
+    "event_paths",
+    "event_attribution",
+    "win_ntile",
     # curation_funnel excluded: it is a REPORT (one row per stage with
     # survivors=0 on empty input), not a row stream — count() != 0 is
     # its correct empty-input behavior

@@ -16,9 +16,6 @@ CARTESIAN_OK = {
     "sim_cosine_topk",      # bounded 3-query broadcast cross join
     "sim_cosine_lsh",
     "sim_ivf_topk",         # centroid cross join (10 centroids)
-    "cluster_kmeans",       # k=8 centroid broadcast vs corpus scan —
-                            # assignment IS a k-row nested loop by design
-    "cluster_mix_report",   # same k-means core
     "sim_pairwise_label",   # sampled pair set
     "insert_rows",          # 2-row literal cross join with max-key
     "cdc_changes",          # 50-row literal x 1-row max-key (bounded)
@@ -31,6 +28,8 @@ CARTESIAN_OK = {
     "bm25_topk",            # 1-row broadcast (N, avgdl) corpus stats —
                             # same scalar-subquery shape as tfidf
     "quality_lm_score",     # 1-row broadcast corpus-total scalar
+    "emb_pca_power",        # 1-row broadcast direction vector per step
+    "emb_whiten",           # same 1-row direction broadcast
 }
 PYTHON_OK = {
     "udf_scalar",
