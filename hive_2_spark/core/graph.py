@@ -157,9 +157,53 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BFS_SOURCE = -1  # supplier 1 (sign-encoded)
+_BFS_ROUNDS = 3
+
+
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-hop distance from supplier 1 to every node within 3
+    hops — iterative frontier expansion (BFS), the third iterative-
+    graph shape next to PageRank and label propagation.
+
+    Each round: expand every known node one hop (join the node-sized
+    distance table against the cached edges — distance side broadcast,
+    same size-gate rationale as PageRank's rank vector), then
+    min-merge. ``localCheckpoint`` per round truncates lineage so round
+    N rereads materialized distances. The fixed 3-round unroll mirrors
+    a depth-capped recursive-CTE oracle (DuckDB's UNION-recursive
+    dedups (node, dist) states, so neither side enumerates paths — on
+    this dense bipartite graph path counting would be combinatorial,
+    state counting is |nodes| x 4).
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    dist = spark.range(1).select(
+        F.lit(_BFS_SOURCE).cast("bigint").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    )
+    for _ in range(_BFS_ROUNDS):
+        hop = (
+            edges.join(
+                F.broadcast(dist), edges.src == dist.node, "inner"
+            )
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(hop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    label = F.when(
+        F.col("node") >= 0, F.concat(F.lit("c"), F.col("node").cast("string"))
+    ).otherwise(F.concat(F.lit("s"), (-F.col("node")).cast("string")))
+    return dist.select(label.alias("node"), "dist")
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
+    "graph_bfs_distance": graph_bfs_distance,
 }
 
 # mirrors the Spark side exactly: precomputed per-edge weight 1.0/deg,
@@ -220,7 +264,30 @@ def _triangles_sql() -> str:
     )
 
 
+_BFS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cnode,
+                  CAST(-l_suppkey AS BIGINT) AS snode
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM pairs
+), bfs AS (
+  SELECT CAST({_BFS_SOURCE} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+  UNION
+  SELECT e.dst, bfs.dist + 1
+  FROM bfs JOIN edges e ON e.src = bfs.node
+  WHERE bfs.dist < {_BFS_ROUNDS}
+)
+SELECT CASE WHEN node >= 0 THEN 'c' || CAST(node AS VARCHAR)
+       ELSE 's' || CAST(-node AS VARCHAR) END AS node,
+       MIN(dist) AS dist
+FROM bfs GROUP BY 1
+"""
+
 ORACLES = {
     "graph_pagerank": _pagerank_sql(),
     "graph_triangles": _triangles_sql(),
+    "graph_bfs_distance": _BFS_SQL,
 }

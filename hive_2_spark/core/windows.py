@@ -218,6 +218,39 @@ def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact MEDIAN over a trailing 10-row frame.
+
+    Spark has no MEDIAN() OVER; the bounded-frame rewrite is
+    sort_array(collect_list() OVER frame) + middle element(s) — state
+    is O(frame) per row like the rolling-distinct op, and the
+    even-count interpolation (mean of the two middles) matches
+    DuckDB's windowed MEDIAN exactly. An UNBOUNDED frame would be the
+    anti-pattern (per-row state grows with the partition); bounded
+    frames are the contract.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-9, W.currentRow)
+    )
+    s = F.sort_array(F.collect_list("o_totalprice").over(w))
+    n = F.size(s)
+    lo = F.element_at(s, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(s, ((n + 2) / 2).cast("int"))
+    # floor(x*100+0.5)/100, not ROUND: the interpolated midpoint lands
+    # on exact half-cents, where Spark's and DuckDB's ROUND disagree;
+    # this form is the same IEEE ops on both engines.
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.floor((lo + hi) / 2.0 * 100 + F.lit(0.5)) / F.lit(100.0)).alias(
+            "median_price_10"
+        ),
+    )
+
+
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balance-quartile per customer within market segment (NTILE).
 
@@ -241,6 +274,7 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "win_ntile": win_ntile,
+    "win_median_rolling": win_median_rolling,
     "win_ignore_nulls": win_ignore_nulls,
     "win_range_time": win_range_time,
     "topk_nulls_last": topk_nulls_last,
@@ -264,6 +298,21 @@ _W_PCT = (
 )
 
 ORACLES = {
+    # NOT native MEDIAN() OVER: its even-count midpoint differs in the
+    # last ulp, flipping ROUND at exact half-cent boundaries. The list
+    # replay makes the arithmetic identical to the Spark side. FLOOR
+    # before CAST: DuckDB's double->INT cast ROUNDS, Spark's truncates.
+    "win_median_rolling": (
+        "SELECT o_orderkey, o_orderpriority, "
+        "FLOOR((s[CAST(FLOOR((len(s)+1)/2) AS INT)] + "
+        "s[CAST(FLOOR((len(s)+2)/2) AS INT)]) / 2.0 * 100 + 0.5) / 100.0 "
+        "AS median_price_10 "
+        "FROM (SELECT o_orderkey, o_orderpriority, "
+        "  list_sort(list(o_totalprice) OVER (PARTITION BY o_orderpriority "
+        "    ORDER BY o_orderdate ASC, o_orderkey ASC "
+        "    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS s "
+        "  FROM orders)"
+    ),
     "win_ntile": (
         "SELECT c_custkey, c_mktsegment, c_acctbal, "
         "CAST(NTILE(4) OVER (PARTITION BY c_mktsegment "

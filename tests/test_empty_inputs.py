@@ -92,6 +92,10 @@ KEYS = [
     "event_paths",
     "event_attribution",
     "win_ntile",
+    "win_median_rolling",
+    "stream_cluster_monitor",
+    # graph_bfs_distance excluded: the source node's literal (dist 0)
+    # row survives an empty edge list — 1 row is its correct output
     # curation_funnel excluded: it is a REPORT (one row per stage with
     # survivors=0 on empty input), not a row stream — count() != 0 is
     # its correct empty-input behavior

@@ -151,6 +151,16 @@ _EQUIV_CASES = {
             "user_id", "session_start AS ss", "CAST(n_events AS BIGINT) AS n_events"
         ),
     },
+    "cluster_monitor": {
+        "builder": lambda s: __import__(
+            "hive_2_spark.streaming.serving", fromlist=["serving"]
+        ).stream_cluster_monitor_builder(s, SF_DIR),
+        "mode": "complete",
+        "stream_sql": "SELECT cluster, n, avg_d2 FROM {t}",
+        "batch": lambda s: __import__(
+            "hive_2_spark.streaming.serving", fromlist=["serving"]
+        ).stream_cluster_monitor(s, SF_DIR),
+    },
     "dedup": {
         "builder": lambda s: sw.stream_dedup_builder(s, SF_DIR),
         "mode": "append",
