@@ -121,6 +121,55 @@ def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign
 
 
+_CONVERGE_CAP = 25  # safety cap; raises rather than return unconverged
+
+
+def kmeans_converged(
+    e: DataFrame, cents: DataFrame, max_rounds: int = _CONVERGE_CAP
+) -> tuple[DataFrame, int]:
+    """Lloyd's to FIXPOINT: iterate assign/recenter until no vector
+    changes cluster; returns (assignment, rounds_used).
+
+    The fixed-unroll ``cluster_kmeans`` exists for the SQL oracle; this
+    is the production face — k-means on real data rarely settles in 2
+    rounds, and an unconverged model misplaces boundary vectors. Same
+    discipline as ``llm.advanced._cc_converge``: ``localCheckpoint``
+    each round's assignment so round N rereads materialized clusters
+    instead of replaying rounds 1..N-1, and the changed-count stop
+    condition is a cheap join over the two materialized frames. Raises
+    at the cap instead of silently returning an unconverged model.
+    """
+    assign = _assign(e, cents).localCheckpoint()
+    for rounds in range(1, max_rounds + 1):
+        nxt = _assign(e, _recenter(assign)).localCheckpoint()
+        changed = (
+            assign.select("vec_id", F.col("cluster").alias("prev"))
+            .join(nxt.select("vec_id", "cluster"), "vec_id")
+            .filter(F.col("prev") != F.col("cluster"))
+            .count()
+        )
+        assign = nxt
+        if changed == 0:
+            return assign, rounds
+    raise RuntimeError(
+        f"k-means did not converge within {max_rounds} rounds"
+    )
+
+
+def cluster_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixpoint k-means assignments (rows-only: the round count the
+    data needs is not expressible as a fixed SQL unroll — that is the
+    point of the key; accuracy is gated by tests instead)."""
+    e = _vectors(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") % _SEED_MOD == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    )
+    assign, _rounds = kmeans_converged(e, cents)
+    return assign.select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster")
+    )
+
+
 def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector cluster id + squared distance to its final centroid."""
     a = _final_assignment(spark, sf_dir)
@@ -147,6 +196,7 @@ def cluster_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cluster_kmeans": cluster_kmeans,
     "cluster_mix_report": cluster_mix_report,
+    "cluster_kmeans_converged": cluster_kmeans_converged,
 }
 
 # The oracle unrolls the same seeding + 2 Lloyd rounds in SQL. list_zip

@@ -126,3 +126,31 @@ def test_entropy_matches_python(spark):
         )
         assert got[r["doc_id"]].n_words == n
         assert abs(got[r["doc_id"]].entropy_bits - round(h, 4)) < 2e-4
+
+
+def test_kmeans_converged_blobs_and_fixture(spark):
+    from pyspark.sql import functions as F2
+
+    from hive_2_spark.llm.clustering import (
+        _SEED_MOD,
+        _vectors,
+        kmeans_converged,
+    )
+
+    # planted blobs: fixpoint must recover the exact partition
+    e = _blob_df(spark)
+    cents = e.filter(F2.col("vec_id") % 20 == 0).select(
+        F2.col("vec_id").alias("c_id"), F2.col("vec").alias("c_vec")
+    )
+    assign, rounds = kmeans_converged(e, cents)
+    assert rounds >= 1
+    for r in assign.collect():
+        assert r.cluster == (r.vec_id // 20) * 20
+    # real fixture: converges under the cap, assignments are total
+    ef = _vectors(spark, SF_DIR)
+    cf = ef.filter(F2.col("vec_id") % _SEED_MOD == 0).select(
+        F2.col("vec_id").alias("c_id"), F2.col("vec").alias("c_vec")
+    )
+    af, rf = kmeans_converged(ef, cf)
+    assert af.count() == ef.count()
+    assert 1 <= rf <= 25

@@ -94,6 +94,7 @@ KEYS = [
     "win_ntile",
     "win_median_rolling",
     "stream_cluster_monitor",
+    "cluster_kmeans_converged",
     # graph_bfs_distance excluded: the source node's literal (dist 0)
     # row survives an empty edge list — 1 row is its correct output
     # curation_funnel excluded: it is a REPORT (one row per stage with
