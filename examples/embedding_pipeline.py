@@ -25,7 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from hive_2_spark.llm.clustering import (
-    _SEED_MOD,
+    _seeds,
     _vectors,
     cluster_mix_report,
     kmeans_converged,
@@ -49,10 +49,7 @@ def main() -> None:
 
     # 2. fixpoint clustering + mixing report
     e = _vectors(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") % _SEED_MOD == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
-    )
-    assign, rounds = kmeans_converged(e, cents)
+    assign, rounds = kmeans_converged(e, _seeds(e))
     print(f"k-means converged in {rounds} rounds")
     mix = cluster_mix_report(spark, sf_dir)
     print("most label-skewed clusters:")

@@ -274,6 +274,46 @@ def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FORECAST_DAYS = 7
+
+
+def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day-ahead linear forecast per event type: the ``ts_trend``
+    OLS line evaluated at max(observed day) + 1..7.
+
+    The simplest defensible forecast, and the one every dashboard
+    ships first. Cost = the trend fit (one moments aggregation, see
+    ``ts_trend``) + a 7-row-per-type explode — the forecast itself is
+    metadata-sized at any fact volume. Coefficients stay UNROUNDED
+    through the projection (rounding them first would compound across
+    the horizon); only the forecast value rounds.
+    """
+    e = load_table(spark, sf_dir, "events")
+    x = (F.unix_micros(F.col("ts")) / F.lit(86400000000.0)).alias("x")
+    fit = (
+        e.select("event_type", F.col("value").alias("y"), x)
+        .groupBy("event_type")
+        .agg(
+            F.regr_slope("y", "x").alias("sl"),
+            F.regr_intercept("y", "x").alias("ic"),
+            F.max("x").alias("mx"),
+        )
+    )
+    return fit.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(_FORECAST_DAYS))).alias("d"),
+        "sl",
+        "ic",
+        "mx",
+    ).select(
+        "event_type",
+        F.col("d").cast("bigint").alias("ahead"),
+        F.round(
+            F.col("ic") + F.col("sl") * (F.col("mx") + F.col("d")), 4
+        ).alias("forecast"),
+    )
+
+
 QUERIES = {
     "ts_resample": ts_resample,
     "ts_interpolate": ts_interpolate,
@@ -282,6 +322,7 @@ QUERIES = {
     "ts_anomaly_zscore": ts_anomaly_zscore,
     "ts_trend": ts_trend,
     "ts_rollup_cascade": ts_rollup_cascade,
+    "ts_forecast_linear": ts_forecast_linear,
 }
 
 _GRID_CTE = (
@@ -368,6 +409,17 @@ ORACLES = {
         "FLOOR(ROUND(SUM(value), 2) / COUNT(*) * 10000 + 0.5) / 10000.0 "
         "  AS avg_value "
         "FROM events GROUP BY 1, 2"
+    ),
+    "ts_forecast_linear": (
+        "WITH fit AS (SELECT event_type, regr_slope(y, x) AS sl, "
+        "  regr_intercept(y, x) AS ic, MAX(x) AS mx FROM ("
+        "  SELECT event_type, value AS y, "
+        "  epoch_us(ts) / 86400000000.0 AS x FROM events"
+        ") GROUP BY event_type) "
+        "SELECT event_type, CAST(d AS BIGINT) AS ahead, "
+        "ROUND(ic + sl * (mx + d), 4) AS forecast "
+        "FROM fit CROSS JOIN "
+        "(SELECT UNNEST(generate_series(1, 7)) AS d)"
     ),
     "ts_anomaly_zscore": (
         "WITH stats AS (SELECT event_type, AVG(value) AS mu, "

@@ -4,7 +4,7 @@ Hive ORM groups rows only by SQL keys — clustering is the
 embedding-space generalization a training-data pipeline needs).
 
 - ``cluster_kmeans``: deterministic Lloyd's k-means over the
-  ``embeddings`` table — k=8 seeds chosen by id (``vec_id % 64 == 0``),
+  ``embeddings`` table — k=8 seeds chosen by id (multiples of 64 below 512 — fixed k at ANY corpus size),
   exactly ``_ITERATIONS`` assignment/recenter rounds, squared-L2
   assignment with lowest-centroid-id tie-break. Deterministic seeding +
   a fixed iteration count make the whole algorithm expressible as
@@ -38,8 +38,25 @@ from pyspark.sql import functions as F
 from hive_2_spark.catalog import load_table
 from hive_2_spark.llm.similarity import _as_double
 
-_SEED_MOD = 64  # vec_id % 64 == 0 -> 8 deterministic seed centroids
+_SEED_MOD = 64  # seed ids are multiples of 64 ...
+_SEED_CAP = _SEED_MOD * 8  # ... below 512 -> EXACTLY k=8 at ANY scale
 _ITERATIONS = 2  # fixed unroll => oracle-expressible; prod loops to eps
+
+
+def _seeds(e: DataFrame) -> DataFrame:
+    """k=8 deterministic seed centroids: vec_ids 0, 64, ..., 448.
+
+    The cap is load-bearing for scale: an uncapped ``vec_id % 64 == 0``
+    predicate makes k GROW with the corpus (k = n/64), turning total
+    assignment work into O(n^2/64) — observed as an exponent-1.45 leg
+    and an 87s 100x run on the scale harness. A clustering model's k is
+    a property of the model, not the corpus; capping the seed-id range
+    keeps it so (and is identity on the sf0.001/sf0.01 oracle fixtures,
+    whose ids all sit below the cap).
+    """
+    return e.filter(
+        (F.col("vec_id") % _SEED_MOD == 0) & (F.col("vec_id") < _SEED_CAP)
+    ).select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"))
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,7 +97,19 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
                 }
             )
         x = np.vstack(vec.to_numpy()).astype(np.float64)
-        d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        # ||x-c||^2 = ||x||^2 + ||c||^2 - 2<x,c> via matmul: peak memory
+        # is the n x k result, NOT an n x k x dim difference tensor —
+        # the tensor form allocates batch*k*dim doubles and crashes
+        # workers when k grows (observed at the 100x fixture, where the
+        # id-shift made every copy contribute seeds => k=800 => ~40 GB
+        # per batch). Cancellation error ~1e-13 on O(1) distances, far
+        # inside the round-4 output grain; clamp the tiny negatives.
+        d2 = np.maximum(
+            (x * x).sum(axis=1)[:, None]
+            + (cmat * cmat).sum(axis=1)[None, :]
+            - 2.0 * (x @ cmat.T),
+            0.0,
+        )
         idx = d2.argmin(axis=1)
         return pd.DataFrame(
             {
@@ -112,9 +141,7 @@ def _recenter(assign: DataFrame) -> DataFrame:
 
 def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") % _SEED_MOD == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
-    )
+    cents = _seeds(e)
     assign = _assign(e, cents)
     for _ in range(_ITERATIONS - 1):
         assign = _assign(e, _recenter(assign))
@@ -161,10 +188,7 @@ def cluster_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     data needs is not expressible as a fixed SQL unroll — that is the
     point of the key; accuracy is gated by tests instead)."""
     e = _vectors(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") % _SEED_MOD == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
-    )
-    assign, _rounds = kmeans_converged(e, cents)
+    assign, _rounds = kmeans_converged(e, _seeds(e))
     return assign.select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster")
     )
@@ -207,7 +231,7 @@ _KMEANS_CTE = (
     "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
     "  FROM embeddings), "
     "c0 AS (SELECT vec_id AS c_id, vec AS c_vec FROM v "
-    f"  WHERE vec_id % {_SEED_MOD} = 0), "
+    f"  WHERE vec_id % {_SEED_MOD} = 0 AND vec_id < {_SEED_CAP}), "
     "d0 AS (SELECT v.vec_id, c0.c_id, "
     "  list_sum(list_transform(list_zip(v.vec, c0.c_vec), "
     "    p -> (p[1]-p[2])**2)) AS d2 "

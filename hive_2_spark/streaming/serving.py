@@ -30,10 +30,10 @@ from pyspark.sql import functions as F
 from hive_2_spark.catalog import table_path
 from hive_2_spark.llm.clustering import (
     _KMEANS_CTE,
-    _SEED_MOD,
     _assign,
     _final_assignment,
     _recenter,
+    _seeds,
     _vectors,
 )
 from hive_2_spark.llm.similarity import _as_double
@@ -71,10 +71,7 @@ def stream_cluster_monitor_builder(
     """Streaming face: fit on the static table at plan build, score the
     stream with the same Arrow kernel, aggregate in complete mode."""
     e_static = _vectors(spark, sf_dir)
-    seeds = e_static.filter(F.col("vec_id") % _SEED_MOD == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
-    )
-    trained = _recenter(_assign(e_static, seeds))
+    trained = _recenter(_assign(e_static, _seeds(e_static)))
     stream = _read_stream_embeddings(spark, sf_dir).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
     )

@@ -132,7 +132,7 @@ def test_kmeans_converged_blobs_and_fixture(spark):
     from pyspark.sql import functions as F2
 
     from hive_2_spark.llm.clustering import (
-        _SEED_MOD,
+        _seeds,
         _vectors,
         kmeans_converged,
     )
@@ -148,9 +148,6 @@ def test_kmeans_converged_blobs_and_fixture(spark):
         assert r.cluster == (r.vec_id // 20) * 20
     # real fixture: converges under the cap, assignments are total
     ef = _vectors(spark, SF_DIR)
-    cf = ef.filter(F2.col("vec_id") % _SEED_MOD == 0).select(
-        F2.col("vec_id").alias("c_id"), F2.col("vec").alias("c_vec")
-    )
-    af, rf = kmeans_converged(ef, cf)
+    af, rf = kmeans_converged(ef, _seeds(ef))
     assert af.count() == ef.count()
     assert 1 <= rf <= 25

@@ -121,6 +121,7 @@ def bench() -> None:
 # 10x -> 100x leg: fixed overhead is already amortized at 10x, so this
 # exponent is the asymptotic signal. Subset keeps the 100x run bounded.
 _X100_KEYS = [
+    "cluster_kmeans",
     "pricing_summary",
     "join_range",
     "win_running_sum",
