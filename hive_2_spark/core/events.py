@@ -152,6 +152,63 @@ GROUP BY cohort_week, week_offset
 """
 
 
+def event_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per signup cohort over time (LTV triangle).
+
+    The revenue twin of ``event_retention`` — same first-seen-epoch-week
+    cohorting (shared arithmetic, so the two triangles always align),
+    but the cell is CUMULATIVE purchase revenue per cohort through each
+    week offset: the curve whose asymptote is the cohort's lifetime
+    value. The cumulative sum runs over the cohort-week-keyed rollup
+    (|cohorts| x |offsets| rows), so the window is metadata-sized; the
+    fact table pays one user_id exchange for the cohort join (the same
+    one retention pays) and one (cohort, offset) hash agg.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("wk", F.expr(f"unix_micros(ts) div {WEEK_US}"))
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    weekly = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.sum("value").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weekly.select(
+        "cohort_week",
+        "week_offset",
+        F.round(F.sum("rev").over(w), 2).alias("cum_revenue"),
+    )
+
+
+_COHORT_LTV_ORACLE = """
+WITH wk AS (
+  SELECT user_id, event_type, value,
+         epoch_us(ts) // 604800000000 AS wk FROM events
+), first AS (
+  SELECT user_id, MIN(wk) AS cohort_week FROM wk GROUP BY user_id
+), weekly AS (
+  SELECT cohort_week, wk.wk - cohort_week AS week_offset,
+         SUM(value) AS rev
+  FROM wk JOIN first ON wk.user_id = first.user_id
+  WHERE event_type = 'purchase'
+  GROUP BY cohort_week, week_offset
+)
+SELECT cohort_week, week_offset,
+       ROUND(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS cum_revenue
+FROM weekly
+"""
+
+
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-scoped Markov transition matrix over event types.
 
@@ -322,6 +379,7 @@ QUERIES = {
     "event_transitions": event_transitions,
     "event_paths": event_paths,
     "event_attribution": event_attribution,
+    "event_cohort_ltv": event_cohort_ltv,
 }
 
 ORACLES = {
@@ -331,4 +389,5 @@ ORACLES = {
     "event_transitions": _TRANSITIONS_ORACLE,
     "event_paths": _PATHS_ORACLE,
     "event_attribution": _ATTRIBUTION_ORACLE,
+    "event_cohort_ltv": _COHORT_LTV_ORACLE,
 }

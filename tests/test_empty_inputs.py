@@ -96,6 +96,7 @@ KEYS = [
     "stream_cluster_monitor",
     "cluster_kmeans_converged",
     "ts_forecast_linear",
+    "event_cohort_ltv",
     # graph_bfs_distance excluded: the source node's literal (dist 0)
     # row survives an empty edge list — 1 row is its correct output
     # curation_funnel excluded: it is a REPORT (one row per stage with
