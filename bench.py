@@ -50,6 +50,8 @@ HEADLINE = [
     "ts_ewma",              # per-user ordered fold (collect_list + aggregate)
     "dedup_substring_windows",  # 2 hash aggs over 32-char window hashes
     "cluster_kmeans",       # k-centroid broadcast assignment x2 + recenter
+    "dedup_url_canonical",  # parse_url canonicalization + hash agg (r4)
+    "win_global_cumsum",    # two-phase global running total (r4)
 ]
 
 

@@ -272,6 +272,69 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_global_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL running total over all orders — without the naive plan's
+    single-partition window.
+
+    ``SUM() OVER (ORDER BY ...)`` with no PARTITION BY forces Spark to
+    move the whole table into ONE partition — the classic global-cumsum
+    bottleneck (fine at 15k rows, fatal at 100 TB). Two-phase instead,
+    with a DATA-DERIVED range id (calendar month of the sort key):
+
+    1. per-month local cumsum — windows PARTITIONED by month run in
+       parallel across the cluster;
+    2. per-month totals (calendar-sized: one row per month, ~84 for
+       TPC-H's 7 years) get EXCLUSIVE prefix offsets via a window over
+       that tiny table — its single-partition sort is bounded by the
+       calendar, never by the data;
+    3. broadcast-join offsets back: global running = local + offset.
+
+    The range id must come from the DATA, not the partitioner:
+    ``repartitionByRange`` + ``spark_partition_id`` re-samples
+    boundaries per job, so two actions over the same plan can disagree
+    on row->partition assignment (measured: ~0.5%% value drift). A
+    month id is reproducible everywhere; for keys with no natural
+    bucketing column, materialize the range stage (persist/
+    localCheckpoint) before branching.
+
+    Money math in DECIMAL end-to-end: two-phase regrouping of doubles
+    would drift in the last ULP vs the oracle's sequential fold;
+    decimal addition is associative, so the hash match is exact by
+    construction. The final value is emitted as double (exact — two
+    decimals, far below 2^53).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("bid"),
+    )
+    wloc = (
+        W.partitionBy("bid")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = o.withColumn("local", F.sum("price").over(wloc))
+    totals = o.groupBy("bid").agg(F.sum("price").alias("bsum"))
+    woff = (
+        W.orderBy(F.col("bid").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "bid", F.coalesce(F.sum("bsum").over(woff), F.lit(0)).alias("off")
+    )
+    return (
+        local.join(F.broadcast(offs), "bid")
+        .select(
+            "o_orderkey",
+            (F.col("local") + F.col("off"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("running_total"),
+        )
+    )
+
+
 QUERIES = {
     "win_ntile": win_ntile,
     "win_median_rolling": win_median_rolling,
@@ -286,6 +349,7 @@ QUERIES = {
     "win_range_frame": win_range_frame,
     "win_topk_per_group": win_topk_per_group,
     "win_distinct_rolling": win_distinct_rolling,
+    "win_global_cumsum": win_global_cumsum,
 }
 
 _W_RANK = (
@@ -399,6 +463,16 @@ ORACLES = {
         "COUNT(DISTINCT o_orderstatus) OVER (PARTITION BY o_orderpriority "
         "ORDER BY o_orderdate ASC, o_orderkey ASC "
         "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS distinct_status_10 "
+        "FROM orders"
+    ),
+    # The oracle IS the naive single-sequence formulation the two-phase
+    # plan must equal; DECIMAL on both sides makes regrouping exact.
+    "win_global_cumsum": (
+        "SELECT o_orderkey, "
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER ("
+        "ORDER BY o_orderdate ASC, o_orderkey ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS DECIMAL(18,2)) AS DOUBLE) AS running_total "
         "FROM orders"
     ),
 }

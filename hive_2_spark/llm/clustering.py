@@ -82,8 +82,31 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     slower at 50k vectors; the explode-join-agg alternative shuffles
     N x k rows. Dense vector math is exactly the case the brief
     reserves Pandas UDFs for.
+
+    Parity tolerance (documented, accepted): Spark computes d2 via the
+    ||x||^2+||c||^2-2<x,c> expansion while the DuckDB oracle folds
+    (p1-p2)^2 — the two differ by ~1e-13 cancellation error. A
+    near-tie between centroids within that gap, or a d2 within ~1e-13
+    of a ROUND(4) half boundary, could flip assignment/rounding
+    between engines; the lowest-id tie-break only covers EXACT ties.
+    Current fixtures sit far from both boundaries (verified by the
+    oracle hash match); if a future fixture lands on one, quantize d2
+    to 1e-9 on BOTH sides before argmin rather than loosening the
+    compare.
     """
     rows = sorted(cents.collect(), key=lambda r: r.c_id)
+    if not rows and not e.isEmpty():
+        # Empty corpus + empty model is a legitimate empty result (the
+        # UDF's zero-length early-return covers it). A NON-empty corpus
+        # whose vec_ids all miss the seed predicate would otherwise
+        # surface as an opaque Arrow length-mismatch deep in the task —
+        # raise the descriptive error here instead.
+        raise ValueError(
+            "k-means centroid set is empty for a non-empty corpus — no "
+            "vec_id satisfied the seed predicate (vec_id % 64 == 0 AND "
+            "vec_id < _SEED_CAP); check the input id space or widen "
+            "_SEED_CAP"
+        )
     c_ids = np.array([r.c_id for r in rows], dtype=np.int64)
     cmat = np.array([list(r.c_vec) for r in rows], dtype=np.float64)
 

@@ -276,6 +276,33 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-source token budget: "take the best docs first until the source's
+# token cap is hit" — the per-source mixing cap used when rebalancing a
+# corpus. Window partitions by source, so the cumsum parallelizes across
+# sources (contrast win_global_cumsum's two-phase global variant).
+_SOURCE_TOKEN_CAP = 3000
+
+
+def sample_source_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first per-source sampling under a token budget: order each
+    source's docs by a quality proxy (n_chars desc, id-tiebroken), keep
+    the prefix whose cumulative whitespace-token count fits the cap."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn(
+            "toks", F.size(F.split(F.col("text"), " ")).cast("bigint")
+        )
+        .withColumn("cum_toks", F.sum("toks").over(w))
+        .filter(F.col("cum_toks") <= _SOURCE_TOKEN_CAP)
+        .select("source", "doc_id", "toks", "cum_toks")
+    )
+
+
 QUERIES = {
     "pii_redact": pii_redact,
     "doc_split": doc_split,
@@ -284,12 +311,27 @@ QUERIES = {
     "sample_weighted_mix": sample_weighted_mix,
     "shuffle_train_order": shuffle_train_order,
     # curriculum_order is defined here but registered via llm.pipeline:
-    # the round-3 driver window (registry first-50, frozen by
-    # tests/test_registry_window.py) ends inside this module's span, so
-    # new keys must enter the registry BEHIND it.
+    # registry._FRONT pins the driver window explicitly, and keys not in
+    # _FRONT (like this one) enter the registry behind it.
+    "sample_source_token_cap": sample_source_token_cap,
 }
 
 ORACLES = {
+    # DuckDB SUM(BIGINT) in a window is HUGEINT — cast back to BIGINT;
+    # ROWS frame explicit on both sides (ordering is total, but be
+    # boundary-proof).
+    "sample_source_token_cap": (
+        "WITH t AS (SELECT source, doc_id, n_chars, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS toks "
+        "FROM documents), "
+        "c AS (SELECT source, doc_id, toks, "
+        "CAST(SUM(toks) OVER (PARTITION BY source "
+        "ORDER BY n_chars DESC, doc_id ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cum_toks FROM t) "
+        "SELECT source, doc_id, toks, cum_toks FROM c "
+        "WHERE cum_toks <= 3000"
+    ),
     # DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
     # default); regexp_extract_all exists in both.
     "pii_redact": f"""

@@ -200,8 +200,25 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only query key: real binary -> parse -> features pipeline."""
-    return extract_features(media_table_real(spark, sf_dir))
+    """rows-only query key: real binary -> parse -> features pipeline.
+
+    The 8-dim feature vector is emitted as a fixed-format CSV string
+    (`feat_csv`), not `array<double>`: the driver's canonicalizer sorts
+    every output column through pandas, which cannot factorize Python
+    lists (the one red row in CORRECTNESS_r03). Same pattern as
+    `emb_quantize_int8` — and what a feature store would persist anyway.
+    Formatting is JVM-side (`format_string('%.6f')`), deterministic."""
+    feats = extract_features(media_table_real(spark, sf_dir))
+    feat_csv = F.array_join(
+        F.transform(F.col("feat"), lambda x: F.format_string("%.6f", x)), ","
+    )
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "mime",
+        F.when(F.col("decode_ok"), feat_csv).alias("feat_csv"),
+        "decode_ok",
+    )
 
 
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,14 +1,17 @@
 """Similarity search over the `embeddings` table (SURVEY.md §2B op 44).
 
 - ``sim_cosine_topk``: brute-force cosine top-k — the correctness
-  baseline. Query set (3 vectors) is broadcast against the corpus; the
-  dot product runs as a JVM-side ``aggregate`` over zipped arrays (all
-  in whole-stage codegen, no Python). Top-k per query via window.
+  baseline. The query set is model state (3 x 64 doubles) closed over
+  by an Arrow/NumPy Pandas-UDF kernel that scores each batch against
+  all queries at once — the k-means kernel pattern; interpreted
+  ``aggregate``/``zip_with`` HOFs measured ~15x slower per fold at
+  scale. Top-k per query via window over (q_id, vec_id, cos) triples.
 - ``sim_cosine_lsh``: the scale path — random-hyperplane (sign-LSH)
   bucketing: 12 deterministic hyperplanes -> 12-bit bucket; candidates
-  share a bucket, exact cosine re-ranks inside the bucket. At 100 TB the
-  bucket join replaces the full cross product (rows-only: hyperplanes
-  are generated Spark-side).
+  share a bucket, exact cosine re-ranks inside the bucket. Plane dots
+  and query cosines come from the same one-pass Arrow kernel; at
+  100 TB the bucket join replaces the full cross product and carries
+  no vectors (rows-only: hyperplanes are generated engine-side).
 - ``sim_pairwise_label``: average intra- vs inter-label cosine on a
   sampled pair set (oracle-checkable demo of vector math at set scale).
 
@@ -20,6 +23,10 @@ them with division are rounded.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -31,6 +38,43 @@ N_QUERIES = 3  # vec_id 0..2 serve as the query set
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _fold_dot(X: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(n, dim) x (m, dim) -> (n, m) dot products accumulated in ARRAY
+    ORDER: acc += x_i * y_i with i ascending, exactly the left-fold the
+    JVM ``aggregate`` HOF and DuckDB's list fold perform — so values are
+    bit-identical to the SQL oracle. BLAS matmul (``X @ Q.T``) is NOT
+    used on purpose: its pairwise/SIMD summation reorders the additions
+    and can flip a ROUND(6) half boundary between engines."""
+    acc = np.zeros((X.shape[0], Q.shape[0]))
+    for i in range(X.shape[1]):
+        acc += X[:, i : i + 1] * Q[:, i][None, :]
+    return acc
+
+
+def _fold_sq(X: np.ndarray) -> np.ndarray:
+    """Per-row sum of squares in the same ascending-dim fold order."""
+    acc = np.zeros(X.shape[0])
+    for i in range(X.shape[1]):
+        acc += X[:, i] * X[:, i]
+    return acc
+
+
+def _collect_queries(e: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Collect the N_QUERIES query vectors (model-state-sized, like the
+    k-means centroids) and their fold-order norms; row i == q_id i."""
+    rows = sorted(
+        e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "vec").collect(),
+        key=lambda r: r.vec_id,
+    )
+    if [r.vec_id for r in rows] != list(range(N_QUERIES)):
+        raise ValueError(
+            f"query set must be vec_ids 0..{N_QUERIES - 1}, got "
+            f"{[r.vec_id for r in rows]}"
+        )
+    qmat = np.array([list(r.vec) for r in rows], dtype=np.float64)
+    return qmat, np.sqrt(_fold_sq(qmat))
 
 
 def _dot(a, b):
@@ -48,30 +92,50 @@ def _norm(a):
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each of the 3 query vectors.
 
-    Norms are PRECOMPUTED per vector before the pair join — at corpus
-    scale the per-pair work is one dot product, not three (sqrt(dot(a,a))
-    is identical bits whether computed per-row or per-pair, so oracle
-    parity is unaffected).
+    Scoring is the Arrow/NumPy kernel pattern proven on k-means (the
+    memory-flagged 15x interpreted-HOF trap): the query matrix is
+    MODEL STATE — collected once (3 x 64 doubles, like centroids) and
+    closed over by a scalar Pandas UDF that scores each Arrow batch
+    against ALL queries at once. The corpus never joins: each row emits
+    N_QUERIES (q_pos, cos) pairs via posexplode, and only those
+    24-byte triples reach the top-k window. Accumulation uses the
+    ascending-dim fold (`_fold_dot`) so cosines stay bit-identical to
+    the JVM-HOF formulation and the DuckDB oracle.
     """
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .withColumn("vec", _as_double(F.col("embedding")))
-        .withColumn("nrm", _norm(F.col("vec")))
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", _as_double(F.col("embedding"))
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("vec").alias("q_vec"),
-        F.col("nrm").alias("q_nrm"),
+    qmat, qn = _collect_queries(e)
+
+    @F.pandas_udf("array<double>")
+    def cos_all(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(vec.to_numpy()).astype(np.float64)
+        nx = np.sqrt(_fold_sq(x))
+        cos = _fold_dot(x, qmat) / (nx[:, None] * qn[None, :])
+        return pd.Series(list(cos))
+
+    scored = e.select(
+        "vec_id", F.posexplode(cos_all("vec")).alias("q_pos", "cos_raw")
     )
-    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
-    cos = _dot(F.col("vec"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+    # q_pos == q_id because the query set is exactly vec_ids 0..2
+    # (asserted in _collect_queries).
+    pairs = scored.filter(F.col("vec_id") != F.col("q_pos"))
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
-        pairs.withColumn("cos", F.round(cos, 6))
+        pairs.select(
+            F.col("q_pos").cast("long").alias("q_id"),
+            "vec_id",
+            F.round(F.col("cos_raw"), 6).alias("cos"),
+        )
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
         .select("q_id", "vec_id", "cos", "rk")
     )
+
+
+_N_PLANES = 12
 
 
 def sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,31 +143,57 @@ def sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hyperplanes are pseudo-random but deterministic: plane p component i
     = sin(p * 1000 + i) — reproducible across runs without RNG state.
+
+    One Arrow/NumPy pass computes BOTH the 12 plane dots (bucket bits)
+    and the exact cosine against every query (same `_fold_dot` order as
+    `sim_cosine_topk`): previously each plane was a separate interpreted
+    JVM-HOF fold — 12 k x dim folds per row, the measured-15x pattern.
+    The bucket join then carries only (vec_id, bucket, 3 cosines); the
+    64-dim vector never reaches the exchange. np.sin vs Java Math.sin
+    can differ in the last ULP, which could only matter if a plane dot
+    sat within ~1e-15 of zero — recall is gated in test_ann_recall.py.
     """
-    n_planes = 12
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "vec", _as_double(F.col("embedding"))
     )
-    planes = [
-        F.array(*[F.sin(F.lit(float(p * 1000 + i))) for i in range(64)])
-        for p in range(n_planes)
-    ]
-    bucket = None
-    for p, plane in enumerate(planes):
-        bit = F.when(_dot(F.col("vec"), plane) >= 0, 1 << p).otherwise(0)
-        bucket = bit if bucket is None else (bucket + bit)
-    bucketed = e.withColumn("bucket", bucket)
+    qmat, qn = _collect_queries(e)
+    pmat = np.array(
+        [
+            [math.sin(float(p * 1000 + i)) for i in range(64)]
+            for p in range(_N_PLANES)
+        ],
+        dtype=np.float64,
+    )
+    pow2 = (1 << np.arange(_N_PLANES)).astype(np.int64)
+
+    @F.pandas_udf("bucket long, cos_all array<double>")
+    def score(vec: pd.Series) -> pd.DataFrame:
+        if len(vec) == 0:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "cos_all": pd.Series([], dtype=object),
+                }
+            )
+        x = np.vstack(vec.to_numpy()).astype(np.float64)
+        bucket = ((_fold_dot(x, pmat) >= 0.0) * pow2[None, :]).sum(axis=1)
+        nx = np.sqrt(_fold_sq(x))
+        cos = _fold_dot(x, qmat) / (nx[:, None] * qn[None, :])
+        return pd.DataFrame({"bucket": bucket, "cos_all": list(cos)})
+
+    bucketed = e.withColumn("s", score("vec")).select(
+        "vec_id",
+        F.col("s.bucket").alias("bucket"),
+        F.col("s.cos_all").alias("cos_all"),
+    )
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("vec").alias("q_vec"),
-        F.col("bucket").alias("q_bucket"),
+        F.col("vec_id").alias("q_id"), F.col("bucket").alias("q_bucket")
     )
     cands = bucketed.join(
         F.broadcast(q), F.col("bucket") == F.col("q_bucket"), "inner"
     ).filter(F.col("vec_id") != F.col("q_id"))
-    cos = _dot(F.col("vec"), F.col("q_vec")) / (
-        _norm(F.col("vec")) * _norm(F.col("q_vec"))
-    )
+    # element_at is 1-based; q_id is the 0-based row index of qmat.
+    cos = F.element_at(F.col("cos_all"), (F.col("q_id") + 1).cast("int"))
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         cands.withColumn("cos", F.round(cos, 6))

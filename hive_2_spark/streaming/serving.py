@@ -58,10 +58,22 @@ def _read_stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "embeddings.parquet")
     target = table_path(sf_dir, "embeddings")
-    if os.path.islink(link) and os.readlink(link) != target:
+    # A stale NON-symlink at the path (e.g. a leftover copy) must not be
+    # silently streamed instead of the fixture; remove anything that is
+    # not a link to the current target, then link with a race guard —
+    # concurrent runs may create the link between lexists and symlink.
+    if os.path.lexists(link) and (
+        not os.path.islink(link) or os.readlink(link) != target
+    ):
+        if os.path.isdir(link) and not os.path.islink(link):
+            raise RuntimeError(f"refusing to remove directory at {link}")
         os.remove(link)
     if not os.path.lexists(link):
-        os.symlink(target, link)
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            if os.readlink(link) != target:  # lost the race to a stale link
+                raise
     return spark.readStream.schema(static.schema).parquet(src_dir)
 
 

@@ -4,6 +4,8 @@ least-squares on the same points."""
 
 from __future__ import annotations
 
+from datetime import timezone
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -66,8 +68,14 @@ def test_trend_matches_numpy_lstsq(spark):
     ).to_pylist()
     by_type: dict[str, list] = {}
     for r in t:
-        # naive micros-as-UTC epoch, same as catalog._normalize_ts
-        us = int(r["ts"].timestamp() * 1e6) if hasattr(r["ts"], "timestamp") else int(r["ts"])
+        # naive micros-as-UTC epoch, same as catalog._normalize_ts.
+        # replace(tzinfo=utc) first: naive .timestamp() applies the HOST
+        # timezone and would shift x by the UTC offset off-UTC boxes.
+        us = (
+            int(r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1e6)
+            if hasattr(r["ts"], "timestamp")
+            else int(r["ts"])
+        )
         by_type.setdefault(r["event_type"], []).append(
             (us / 86400000000.0, r["value"])
         )

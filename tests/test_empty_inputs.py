@@ -97,6 +97,11 @@ KEYS = [
     "cluster_kmeans_converged",
     "ts_forecast_linear",
     "event_cohort_ltv",
+    # round-4 additions
+    "dedup_url_canonical",
+    "curation_domain_filter",
+    "sample_source_token_cap",
+    "win_global_cumsum",
     # graph_bfs_distance excluded: the source node's literal (dist 0)
     # row survives an empty edge list — 1 row is its correct output
     # curation_funnel excluded: it is a REPORT (one row per stage with

@@ -198,6 +198,30 @@ def test_emb_ops_have_no_shuffle(spark):
         assert "Exchange" not in plan_of(fn(spark, SF_DIR))
 
 
+def test_global_cumsum_fact_window_is_partitioned(spark):
+    """The orders-sized window must run partitioned by the month id;
+    the ONLY SinglePartition exchange allowed is the calendar-sized
+    month-offsets window (~84 rows). A second one would mean the fact
+    table collapsed into one partition — the trap the op exists to
+    avoid."""
+    from hive_2_spark.core.windows import win_global_cumsum
+
+    plan = plan_of(win_global_cumsum(spark, SF_DIR))
+    assert plan.count("SinglePartition") == 1
+    assert "hashpartitioning(bid" in plan  # per-month parallel cumsum
+
+
+def test_url_ops_codegen_and_broadcast_blocklist(spark):
+    """Canonicalization is pure JVM string work (no Python eval); the
+    blocklist filter is a broadcast ANTI-join."""
+    from hive_2_spark.llm.urls import curation_domain_filter, dedup_url_canonical
+
+    p = plan_of(dedup_url_canonical(spark, SF_DIR))
+    assert "EvalPython" not in p and "Exchange" in p
+    p2 = plan_of(curation_domain_filter(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p2 and "LeftAnti" in p2
+
+
 def test_pagerank_iterations_read_cached_edges(spark):
     """Each PageRank step must read the materialized edge list (Scan
     ExistingRDD — lineage truncated), broadcast the node-sized ranks,

@@ -394,3 +394,25 @@ def test_trigger_available_now_bounded_run(spark):
     assert q.awaitTermination(120)  # self-terminates when caught up
     n = spark.sql("SELECT COUNT(*) FROM t_avail_now").collect()[0][0]
     assert n == sw.stream_tumbling(spark, SF_DIR).count() > 0
+
+
+def test_stream_embeddings_link_replaces_stale_nonsymlink(spark):
+    """A stale regular FILE at the symlink path must be replaced, not
+    silently streamed instead of the fixture (round-3 advice: the old
+    lexists-only guard skipped relinking over a non-symlink)."""
+    import tempfile
+
+    from hive_2_spark.catalog import table_path
+    from hive_2_spark.streaming import serving as sv
+
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    src_dir = os.path.join(tempfile.gettempdir(), f"hive2spark_emb_{tag}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "embeddings.parquet")
+    if os.path.lexists(link):
+        os.remove(link)
+    with open(link, "w") as f:
+        f.write("stale non-symlink")
+    sv._read_stream_embeddings(spark, SF_DIR)
+    assert os.path.islink(link)
+    assert os.readlink(link) == table_path(SF_DIR, "embeddings")

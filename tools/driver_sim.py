@@ -28,7 +28,18 @@ bad = 0
 report = {}
 for key in sorted(q):
     if key not in o:
-        n = q[key](spark, "/root/testdata/sf0.01").count()
+        # Mirror the driver's canonicalizer, not just count(): it collects
+        # to pandas and sort_values over ALL columns, which crashes on
+        # list/dict/ndarray cells (the CORRECTNESS_r03 media_features err).
+        out = q[key](spark, "/root/testdata/sf0.01").toPandas()
+        n = len(out)
+        try:
+            out.sort_values(list(out.columns))
+        except Exception as exc:  # unhashable column type etc.
+            bad += 1
+            report[key] = {"check": "rows_only", "rows": n, "ok": False,
+                           "problems": [f"canon: {type(exc).__name__}: {exc}"]}
+            print(key, "ROWS-ONLY CANON-FAIL:", exc); continue
         report[key] = {"check": "rows_only", "rows": n, "ok": True}
         print(key, "ROWS-ONLY count=", n); continue
     problems = compare(q[key](spark, "/root/testdata/sf0.01"), con, o[key])

@@ -148,7 +148,10 @@ def bench100() -> None:
         spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
         for key in _X100_KEYS:
             best = float("inf")
-            for _ in range(2):
+            # n=3, best-of: the 100x legs are page-cache/JIT sensitive
+            # (join_range measured 0.88-1.56 exponents under load; the
+            # round-3 verdict asked for n=3 on a quiet box).
+            for _ in range(3):
                 t0 = time.perf_counter()
                 qmap[key](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
