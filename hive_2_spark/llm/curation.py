@@ -303,6 +303,50 @@ def sample_source_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature-scaled source mixing (the multilingual alpha-sampling
+# rule: sampled share of language l ~ p_l^alpha). With ALPHA = 0.5 the
+# per-language weight is p^(alpha-1) = 1/sqrt(p) — division and sqrt
+# are CORRECTLY-ROUNDED IEEE ops, so the derived thresholds are
+# bit-identical across engines (a general alpha would use pow(), whose
+# last-ULP drift across libms would need threshold quantization).
+_TEMP_HEX_SPACE = 16 ** 5  # keep-decision space: first 5 md5 hex chars
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass temperature sampling: (1) per-language corpus counts ->
+    keep-rates proportional to 1/sqrt(p), normalized so the rarest
+    language keeps everything; (2) deterministic content-hash keep
+    decision (first 5 md5 hex chars as an integer below the language's
+    threshold). Reports per-language totals vs kept.
+
+    Scale: pass 1 aggregates to one row per language (the two windows
+    below run over that LANGUAGE-COUNT-sized table, not the corpus);
+    pass 2 is a broadcast join of the thresholds + a codegen hash
+    compare. Reproducible across runs, shards, and engines — no RNG
+    state, identical docs sample identically."""
+    d = load_table(spark, sf_dir, "documents")
+    wall = Window.partitionBy()  # whole-frame over the tiny counts table
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    p = F.col("n_docs").cast("double") / F.sum("n_docs").over(wall)
+    rates = counts.withColumn("w", F.lit(1.0) / F.sqrt(p)).withColumn(
+        "th",
+        F.floor(
+            F.least(F.lit(1.0), F.col("w") / F.max("w").over(wall))
+            * F.lit(float(_TEMP_HEX_SPACE))
+        ).cast("bigint"),
+    )
+    hashint = F.conv(F.substring(F.md5("text"), 1, 5), 16, 10).cast("bigint")
+    return (
+        d.join(F.broadcast(rates.select("lang", "th")), "lang")
+        .withColumn("kept", (hashint < F.col("th")).cast("bigint"))
+        .groupBy("lang", "th")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 QUERIES = {
     "pii_redact": pii_redact,
     "doc_split": doc_split,
@@ -314,9 +358,40 @@ QUERIES = {
     # registry._FRONT pins the driver window explicitly, and keys not in
     # _FRONT (like this one) enter the registry behind it.
     "sample_source_token_cap": sample_source_token_cap,
+    "sample_temperature": sample_temperature,
 }
 
 ORACLES = {
+    # Thresholds replay the 1/sqrt(p) derivation (correctly-rounded IEEE
+    # ops — bit-identical to Spark); the md5-prefix integer is parsed by
+    # positional hex arithmetic (DuckDB cannot cast hex strings/blobs to
+    # ints). 16.0 ** k is exact in double for k <= 4.
+    "sample_temperature": """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+r AS (
+  SELECT lang, n,
+         1.0 / sqrt(n * 1.0 / (SUM(n * 1.0) OVER ())) AS w
+  FROM c
+),
+s AS (
+  SELECT lang,
+         CAST(FLOOR(LEAST(1.0, w / (MAX(w) OVER ())) * 1048576.0)
+              AS BIGINT) AS th
+  FROM r
+),
+h AS (
+  SELECT d.lang, s.th,
+         CAST(list_sum(list_transform(generate_series(1, 5),
+              i -> (strpos('0123456789abcdef',
+                           substr(substr(md5(d.text), 1, 5),
+                                  CAST(i AS INT), 1)) - 1)
+                   * 16.0 ** (5 - i))) AS BIGINT) AS hi
+  FROM documents d JOIN s USING (lang)
+)
+SELECT lang, th, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN hi < th THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM h GROUP BY lang, th
+""",
     # DuckDB SUM(BIGINT) in a window is HUGEINT — cast back to BIGINT;
     # ROWS frame explicit on both sides (ordering is total, but be
     # boundary-proof).

@@ -148,16 +148,64 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Blocklist filter (the C4-style badword gate, here with fixture-vocab
+# words so the gate is non-vacuous). All-integer outputs: the blocked
+# share is per-mille via integer division, so no float rounding can
+# sit on a cross-engine boundary.
+_BLOCK_WORDS = ("spark", "hash", "stream")
+_BLOCK_PM_MAX = 50  # flag docs with >= 5% blocked tokens
+
+
+def quality_blocklist_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc blocked-word census + flag decision.
+
+    Token membership runs as a per-row higher-order ``filter`` against
+    the literal blocklist (zero shuffle; small per-doc arrays — the
+    regime where interpreted HOFs are fine). A giant blocklist would
+    instead broadcast-join exploded tokens; the decision math is
+    identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    blocked = F.size(F.filter(toks, lambda x: x.isin(*_BLOCK_WORDS)))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            blocked.cast("bigint").alias("n_blocked"),
+        )
+        .withColumn(
+            "blocked_pm",
+            F.expr("CAST(n_blocked * 1000 DIV n_tokens AS BIGINT)"),
+        )
+        .withColumn("flagged", F.col("blocked_pm") >= _BLOCK_PM_MAX)
+    )
+
+
 QUERIES = {
     "quality_repetition": quality_repetition,
     "quality_dup_ngram_corpus": quality_dup_ngram_corpus,
     "quality_lm_score": quality_lm_score,
+    "quality_blocklist_words": quality_blocklist_words,
 }
 
 # DuckDB notes: list indexing is 1-based like Spark's slice/element_at;
 # range(a, b) is stop-exclusive so range(1, len) yields 1..len-1 — one
 # start per bigram. list_distinct mirrors array_distinct.
 ORACLES = {
+    "quality_blocklist_words": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ('spark', 'hash', 'stream'))) AS BIGINT)
+         AS n_blocked,
+       CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ('spark', 'hash', 'stream'))) * 1000
+            // len(string_split(text, ' ')) AS BIGINT) AS blocked_pm,
+       (len(list_filter(string_split(text, ' '),
+                x -> x IN ('spark', 'hash', 'stream'))) * 1000
+            // len(string_split(text, ' '))) >= 50 AS flagged
+FROM documents
+""",
     "quality_repetition": f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents

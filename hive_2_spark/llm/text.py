@@ -228,6 +228,49 @@ def token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_TOP_K = 20  # fixture has ~31 distinct words; K=20 keeps OOV non-vacuous
+
+
+def token_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage report: per-doc out-of-vocabulary token count
+    against the corpus's own top-``_VOCAB_TOP_K`` words — the
+    first-order check before committing to a tokenizer/vocab budget.
+
+    Two passes: (1) vocab = top-K words by corpus frequency via
+    sort+limit — TakeOrderedAndProject, i.e. per-partition top-K then a
+    K-row merge, NOT a single-partition rank window over the whole
+    (vocabulary-sized) word-count table; word-asc tie-break makes the
+    cut deterministic across engines; (2) exploded tokens LEFT-join the
+    vocab — the vocab side is K rows and broadcasts; OOV share is
+    per-mille by integer division (no float boundaries). The only
+    corpus-sized exchange is the doc_id rollup, the same shape every
+    text op here pays."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(_VOCAB_TOP_K)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_pm", F.expr("CAST(n_oov * 1000 DIV n_tokens AS BIGINT)")
+        )
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "token_count": token_count,
@@ -237,6 +280,7 @@ QUERIES = {
     "fingerprint_rolling": fingerprint_rolling,  # rows-only (xxhash64 seed)
     "text_chunk": text_chunk,
     "token_pack": token_pack,
+    "token_oov_rate": token_oov_rate,
 }
 
 
@@ -266,6 +310,25 @@ def _dk_argmax_lang() -> str:
 _DK_BEST, _DK_BEST_SCORE = _dk_argmax_lang()
 
 ORACLES = {
+    "token_oov_rate": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, COUNT(*) AS n FROM toks GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT 20
+  )
+),
+j AS (
+  SELECT t.doc_id, CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v USING (word)
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(oov) * 1000 // COUNT(*) AS BIGINT) AS oov_pm
+FROM j GROUP BY doc_id
+""",
     "text_chunk": (
         "SELECT doc_id, lang, CAST(s AS BIGINT) AS chunk_start, "
         "CAST(len(list_slice(string_split(text, ' '), s + 1, s + 50)) "

@@ -133,6 +133,138 @@ def run_upsert_stream(
     q.awaitTermination()
 
 
+# ------------------------------------------------------------------
+# Versioned-directory sink: removes the swap scheme's brief no-target
+# window entirely. Layout:
+#
+#   root/
+#     v000001/    complete parquet snapshot
+#     v000002/
+#     MANIFEST    text file naming the current version ("v000002")
+#
+# Writers publish a NEW version dir, then flip MANIFEST with an atomic
+# rename; the previous version is kept for one generation so a reader
+# that resolved the old MANIFEST can still finish its scan. Readers
+# (`read_versioned`) resolve MANIFEST -> dir and never observe a
+# missing path: at every instant MANIFEST names a complete snapshot.
+# This is a minimal file-layout transaction log — the same idea
+# Delta/Iceberg implement with real metadata; where those runtimes are
+# deployed (`core/io.py` gates) their commit protocol replaces this.
+
+_MANIFEST = "MANIFEST"
+
+
+def _manifest_version(root: str) -> str | None:
+    try:
+        with open(os.path.join(root, _MANIFEST)) as f:
+            v = f.read().strip()
+        return v or None
+    except FileNotFoundError:
+        return None
+
+
+def current_version_path(root: str) -> str | None:
+    v = _manifest_version(root)
+    return os.path.join(root, v) if v else None
+
+
+def read_versioned(spark: SparkSession, root: str) -> DataFrame:
+    """Reader face: resolve MANIFEST, read that snapshot."""
+    path = current_version_path(root)
+    if path is None:
+        raise FileNotFoundError(f"no MANIFEST in {root} (nothing published)")
+    return spark.read.parquet(path)
+
+
+def _next_version_name(root: str) -> str:
+    cur = _manifest_version(root)
+    n = int(cur[1:]) if cur else 0
+    return f"v{n + 1:06d}"
+
+
+def _flip_manifest(root: str, version: str) -> None:
+    """Atomic publish: write a tmp manifest, rename over MANIFEST.
+    rename(2) is atomic on POSIX, so readers see old-or-new, never a
+    partial file."""
+    tmp = os.path.join(root, f".{_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(version)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(root, _MANIFEST))
+
+
+def _prune_versions(root: str, keep_back: int = 1) -> None:
+    """Remove version dirs older than (current - keep_back), plus any
+    orphan dirs NEWER than current (a crash between snapshot write and
+    manifest flip leaves one; it was never published, so it is dead).
+    Stale tmp manifests are removed too."""
+    cur = _manifest_version(root)
+    if cur is None:
+        return
+    cur_n = int(cur[1:])
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        if name.startswith(f".{_MANIFEST}.tmp-"):
+            os.remove(p)
+        elif name.startswith("v") and name[1:].isdigit() and os.path.isdir(p):
+            n = int(name[1:])
+            if n < cur_n - keep_back or n > cur_n:
+                shutil.rmtree(p)
+
+
+def run_upsert_stream_versioned(
+    spark: SparkSession, sf_dir: str, root: str, checkpoint_dir: str
+) -> None:
+    """Same merge semantics as :func:`run_upsert_stream`, published via
+    the versioned-manifest layout: no reader can ever hit ENOENT, and
+    crash recovery needs no `.bak` adoption — an unflipped snapshot is
+    simply garbage-collected and the retried batch re-merges against
+    the last PUBLISHED version. Single-writer, like the swap sink."""
+    from hive_2_spark.streaming.windows import _read_stream_events
+
+    os.makedirs(root, exist_ok=True)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        _prune_versions(root)  # drop unpublished orphans from crashes
+        batch_latest = _latest_per_user(batch_df)
+        cur = current_version_path(root)
+        if cur is not None:
+            merged_src = sp.read.parquet(cur).select(
+                "user_id",
+                F.col("last_ts").alias("ts"),
+                F.col("last_type").alias("event_type"),
+                F.col("last_value").alias("value"),
+                F.col("last_event_id").alias("event_id"),
+            )
+            both = merged_src.unionByName(
+                batch_latest.select(
+                    "user_id",
+                    F.col("last_ts").alias("ts"),
+                    F.col("last_type").alias("event_type"),
+                    F.col("last_value").alias("value"),
+                    F.col("last_event_id").alias("event_id"),
+                )
+            )
+            merged = _latest_per_user(both)
+        else:
+            merged = batch_latest
+        nxt = _next_version_name(root)
+        merged.write.mode("overwrite").parquet(os.path.join(root, nxt))
+        _flip_manifest(root, nxt)
+        _prune_versions(root)  # keep current + one back for readers
+
+    q = (
+        _read_stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 QUERIES = {"stream_upsert_state": latest_state_batch}
 
 ORACLES = {

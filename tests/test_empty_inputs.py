@@ -102,6 +102,9 @@ KEYS = [
     "curation_domain_filter",
     "sample_source_token_cap",
     "win_global_cumsum",
+    "quality_blocklist_words",
+    "sample_temperature",
+    "token_oov_rate",
     # graph_bfs_distance excluded: the source node's literal (dist 0)
     # row survives an empty edge list — 1 row is its correct output
     # curation_funnel excluded: it is a REPORT (one row per stage with

@@ -416,3 +416,72 @@ def test_stream_embeddings_link_replaces_stale_nonsymlink(spark):
     sv._read_stream_embeddings(spark, SF_DIR)
     assert os.path.islink(link)
     assert os.readlink(link) == table_path(SF_DIR, "embeddings")
+
+
+def test_versioned_upsert_sink_matches_batch_and_reader_never_404(spark, tmp_path):
+    """Versioned-manifest sink (round-3 verdict item 7): after draining,
+    read_versioned equals the batch face; a concurrent reader polling
+    MANIFEST during the run must always resolve an existing, readable
+    snapshot (either v{N-1} or v{N}, never ENOENT); idempotent replay."""
+    import threading
+    import time
+
+    from hive_2_spark.streaming import cdc as scdc
+
+    root, ckpt = str(tmp_path / "vstate"), str(tmp_path / "vckpt")
+    errors: list[str] = []
+    seen_versions: list[str] = []
+    stop = threading.Event()
+
+    def reader_loop():
+        while not stop.is_set():
+            time.sleep(0.01)
+            path = scdc.current_version_path(root)
+            if path is None:
+                continue  # nothing published yet — allowed only at start
+            seen_versions.append(os.path.basename(path))
+            if not os.path.isdir(path):
+                errors.append(f"manifest names missing dir {path}")
+            elif not any(n.endswith(".parquet") for n in os.listdir(path)):
+                errors.append(f"published dir incomplete {path}")
+
+    t = threading.Thread(target=reader_loop, daemon=True)
+    t.start()
+    try:
+        scdc.run_upsert_stream_versioned(spark, SF_DIR, root, ckpt)
+    finally:
+        stop.set()
+        t.join(10)
+    assert not errors, errors[:3]
+    got = sorted(tuple(r) for r in scdc.read_versioned(spark, root).collect())
+    want = sorted(
+        tuple(r) for r in scdc.latest_state_batch(spark, SF_DIR).collect()
+    )
+    assert len(got) > 0 and got == want
+    # versions the reader observed are monotonically non-decreasing
+    assert seen_versions == sorted(seen_versions)
+    # replay against the same checkpoint: no state change
+    scdc.run_upsert_stream_versioned(spark, SF_DIR, root, ckpt)
+    assert sorted(tuple(r) for r in scdc.read_versioned(spark, root).collect()) == want
+
+
+def test_versioned_sink_gc_and_orphan_recovery(spark, tmp_path):
+    """An unpublished (post-crash) orphan snapshot newer than MANIFEST is
+    garbage-collected, old versions beyond keep-back are pruned, and the
+    retried batch re-merges against the last PUBLISHED version."""
+    from hive_2_spark.streaming import cdc as scdc
+
+    root, ckpt = str(tmp_path / "vstate2"), str(tmp_path / "vckpt2")
+    scdc.run_upsert_stream_versioned(spark, SF_DIR, root, ckpt)
+    cur = os.path.basename(scdc.current_version_path(root))
+    # simulate a crash AFTER snapshot write, BEFORE manifest flip
+    orphan = os.path.join(root, f"v{int(cur[1:]) + 1:06d}")
+    os.makedirs(orphan)
+    scdc._prune_versions(root)
+    assert not os.path.isdir(orphan)          # dead snapshot collected
+    assert scdc.current_version_path(root).endswith(cur)  # state intact
+    versions = sorted(
+        n for n in os.listdir(root)
+        if n.startswith("v") and n[1:].isdigit()
+    )
+    assert len(versions) <= 2  # current + at most one back

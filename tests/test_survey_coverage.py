@@ -77,9 +77,10 @@ BRIEF_EXTRAS = [
     "catalog_dpp_join", "graph_pagerank", "stream_upsert_state",
     "quality_lm_score", "dedup_keep_best", "media_phash_dedup",
     "dedup_clusters_lsh", "read_python_datasource", "agg_argmax",
-    # round-4 additions (SURVEY §2B row 67)
+    # round-4 additions (SURVEY §2B rows 67-68)
     "dedup_url_canonical", "curation_domain_filter",
     "sample_source_token_cap", "win_global_cumsum",
+    "sample_temperature", "quality_blocklist_words", "token_oov_rate",
 ]
 
 
