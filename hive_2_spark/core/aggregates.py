@@ -270,6 +270,45 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantity-weighted median price per return flag — by
+    bounded-key histogram, not a per-group row sort.
+
+    The naive plan (cumsum window over rows within each flag) sorts
+    every row of a 3-key-partitioned table — three hot partitions at
+    100 TB. Instead: (1) bucket price to CENTS (prices carry two
+    decimals, so cent buckets are exact, not approximate) and aggregate
+    weight per (flag, cent) — the only corpus-sized exchange, partial-
+    aggregated map-side; (2) cumsum over the CENT table, whose size is
+    bounded by the price DOMAIN (~100k cents), not the data; (3) the
+    weighted median is the first cent whose cumulative weight reaches
+    half the total. Quantities are whole numbers in doubles, so every
+    sum/comparison is exact — no rounding boundary exists."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    hist = (
+        li.select(
+            "l_returnflag", cents.alias("cent"), F.col("l_quantity").alias("w")
+        )
+        .groupBy("l_returnflag", "cent")
+        .agg(F.sum("w").alias("bucket_w"))
+    )
+    wflag = Window.partitionBy("l_returnflag")
+    wcum = wflag.orderBy("cent").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = hist.withColumn("cum_w", F.sum("bucket_w").over(wcum)).withColumn(
+        "total_w", F.sum("bucket_w").over(wflag)
+    )
+    med = ranked.filter(F.col("cum_w") * 2 >= F.col("total_w")).groupBy(
+        "l_returnflag"
+    ).agg(F.min("cent").alias("med_cent"))
+    return med.select(
+        "l_returnflag",
+        (F.col("med_cent").cast("double") / 100.0).alias("weighted_median_price"),
+    )
+
+
 QUERIES = {
     "agg_groupby": agg_groupby,
     "agg_argmax": agg_argmax,
@@ -287,9 +326,29 @@ QUERIES = {
     "agg_approx": agg_approx,  # rows-only: HLL/KLL sketches are engine-specific
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "agg_incremental_merge": agg_incremental_merge,
+    "agg_weighted_median": agg_weighted_median,
 }
 
 ORACLES = {
+    "agg_weighted_median": """
+WITH hist AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cent,
+         SUM(l_quantity) AS bucket_w
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT l_returnflag, cent,
+         SUM(bucket_w) OVER (PARTITION BY l_returnflag ORDER BY cent
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         SUM(bucket_w) OVER (PARTITION BY l_returnflag) AS total_w
+  FROM hist
+)
+SELECT l_returnflag,
+       CAST(MIN(cent) AS DOUBLE) / 100.0 AS weighted_median_price
+FROM r WHERE cum_w * 2 >= total_w
+GROUP BY l_returnflag
+""",
     "agg_argmax": (
         "SELECT c_mktsegment, "
         "(max(struct_pack(b := c_acctbal, k := c_custkey))).k AS top_cust, "

@@ -372,6 +372,46 @@ GROUP BY first_touch
 """
 
 
+def event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation with FIXED
+    band edges — deliberately not quantile bands: a global NTILE over
+    the per-user table is a single-partition sort at billion-user scale,
+    while fixed bands keep the whole op one user-keyed aggregation (the
+    exchange sessionization already pays) plus a broadcast of the single
+    global max-ts row. Bands: recency days-since-last <=7 / <=30 / else;
+    frequency >=10 / >=5 / else; monetary >=150 / >=50 / else (3=best).
+    Segment = r*100 + f*10 + m — all integers, hash-stable."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("anchor_ts"))
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum("value").alias("monetary_raw"),
+    )
+    j = per_user.join(F.broadcast(anchor))
+    rec_days = F.datediff(F.col("anchor_ts"), F.col("last_ts"))
+    r = (
+        F.when(rec_days <= 7, 3).when(rec_days <= 30, 2).otherwise(1)
+    )
+    f_ = (
+        F.when(F.col("frequency") >= 10, 3)
+        .when(F.col("frequency") >= 5, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("monetary_raw") >= 150.0, 3)
+        .when(F.col("monetary_raw") >= 50.0, 2)
+        .otherwise(1)
+    )
+    return j.select(
+        "user_id",
+        rec_days.cast("bigint").alias("recency_days"),
+        "frequency",
+        F.round(F.col("monetary_raw"), 2).alias("monetary"),
+        (r * 100 + f_ * 10 + m).cast("bigint").alias("rfm_segment"),
+    )
+
+
 QUERIES = {
     "event_sessionize": event_sessionize,
     "event_funnel": event_funnel,
@@ -380,9 +420,40 @@ QUERIES = {
     "event_paths": event_paths,
     "event_attribution": event_attribution,
     "event_cohort_ltv": event_cohort_ltv,
+    "event_rfm": event_rfm,
 }
 
 ORACLES = {
+    # DATEDIFF('day', ...) on timestamps truncates to days in DuckDB the
+    # same way Spark datediff(cast-to-date) does ONLY for date inputs —
+    # cast both to DATE explicitly on both... Spark datediff already
+    # date-truncates its args; DuckDB needs the explicit CAST AS DATE.
+    "event_rfm": """
+WITH anchor AS (SELECT MAX(ts) AS anchor_ts FROM events),
+per_user AS (
+  SELECT user_id, MAX(ts) AS last_ts,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(value) AS monetary_raw
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(DATEDIFF('day', CAST(last_ts AS DATE), CAST(anchor_ts AS DATE))
+            AS BIGINT) AS recency_days,
+       frequency,
+       ROUND(monetary_raw, 2) AS monetary,
+       CAST(
+         (CASE WHEN DATEDIFF('day', CAST(last_ts AS DATE),
+                             CAST(anchor_ts AS DATE)) <= 7 THEN 3
+               WHEN DATEDIFF('day', CAST(last_ts AS DATE),
+                             CAST(anchor_ts AS DATE)) <= 30 THEN 2
+               ELSE 1 END) * 100
+         + (CASE WHEN frequency >= 10 THEN 3
+                 WHEN frequency >= 5 THEN 2 ELSE 1 END) * 10
+         + (CASE WHEN monetary_raw >= 150.0 THEN 3
+                 WHEN monetary_raw >= 50.0 THEN 2 ELSE 1 END)
+         AS BIGINT) AS rfm_segment
+FROM per_user, anchor
+""",
     "event_sessionize": _SESSIONIZE_ORACLE,
     "event_funnel": _FUNNEL,
     "event_retention": _RETENTION_ORACLE,

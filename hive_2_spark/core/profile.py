@@ -109,9 +109,26 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("passed", F.col("n_violations") == 0)
 
 
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per source: doc counts, length stats, language
+    spread, and text-content distincts — `profile_orders`' shape turned
+    on the training corpus (the first report a curation run prints).
+    One groupBy(source) pass; lengths/distincts are map-side partials."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+    )
+
+
 QUERIES = {
     "profile_orders": profile_orders,
     "quality_expectations": quality_expectations,
+    "profile_documents": profile_documents,
 }
 
 
@@ -130,6 +147,15 @@ def _dk_col_profile(col: str, numeric: bool) -> str:
 
 
 ORACLES = {
+    "profile_documents": (
+        "SELECT source, COUNT(*) AS n_docs, "
+        "COUNT(DISTINCT lang) AS n_langs, "
+        "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
+        "CAST(MAX(n_chars) AS BIGINT) AS max_chars, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "COUNT(DISTINCT md5(text)) AS n_unique_texts "
+        "FROM documents GROUP BY source"
+    ),
     "profile_orders": " UNION ALL ".join(
         _dk_col_profile(c, c in _NUMERIC) for c in sorted(_NUMERIC | _STRINGY)
     ),

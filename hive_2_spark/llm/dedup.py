@@ -61,6 +61,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort fingerprint dedup (the fuzzywuzzy token_sort_ratio
+    idea made exact): fingerprint = md5 of the SORTED normalized token
+    list, so docs that are word-order permutations of the same bag of
+    words collapse into one group — the reordering class of near-dup
+    that `dedup_exact` misses and Jaccard blocking can miss (a reversed
+    doc has a different content prefix, so it lands in a different
+    block). The corpus adds a REVERSED-word-order twin (doc_id +
+    30,000,000) per seed doc — ground truth this op must collapse and
+    `dedup_exact` must not (asserted in tests/test_dedup.py). Same
+    scale shape as dedup_exact: the sort happens per-row inside
+    codegen; only (16-byte fp, doc_id) crosses the exchange."""
+    c = corpus_with_dups(spark, sf_dir)
+    reversed_twins = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 30_000_000).alias("doc_id"),
+            F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias(
+                "text"
+            ),
+            "lang",
+        )
+    )
+    c = c.unionByName(reversed_twins)
+    fp = F.md5(
+        F.array_join(F.array_sort(F.split(_NORM(F.col("text")), " ")), " ")
+    )
+    return (
+        c.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 # Degenerate-prefix guard: a block bigger than this many docs never enters
 # the all-pairs join, so the pair space is O(CAP^2 * n_blocks) — never
 # O(n^2) even if the corpus contains a boilerplate prefix shared by
@@ -557,6 +596,7 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_token_sort": dedup_token_sort,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,  # rows-only (engine hash seeds)
     "dedup_minhash_portable": dedup_minhash_portable,  # oracle-checked
@@ -644,6 +684,15 @@ _DK_INCREMENTAL = (
 
 ORACLES = {
     "dedup_incremental": _DK_INCREMENTAL,
+    "dedup_token_sort": (
+        "SELECT md5(array_to_string(list_sort(string_split("
+        f"{_DK_NORM.format(c='text')}, ' ')), ' ')) AS fp, "
+        "MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
+        f"FROM ({_DK_CORPUS} "
+        "UNION ALL SELECT doc_id + 30000000, "
+        "array_to_string(list_reverse(string_split(text, ' ')), ' '), lang "
+        "FROM documents WHERE doc_id % 10 = 0) GROUP BY 1"
+    ),
     "dedup_exact": (
         f"SELECT md5({_DK_NORM.format(c='text')}) AS fp, "
         "MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "

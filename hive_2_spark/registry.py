@@ -45,6 +45,7 @@ _MODULES: list[str] = [
     "hive_2_spark.core.layout",
     "hive_2_spark.core.timeseries",
     "hive_2_spark.core.cdc",
+    "hive_2_spark.core.mv",
     "hive_2_spark.core.graph",
     "hive_2_spark.core.profile",
     "hive_2_spark.core.analytics3",

@@ -168,8 +168,24 @@ def current_version_path(root: str) -> str | None:
     return os.path.join(root, v) if v else None
 
 
-def read_versioned(spark: SparkSession, root: str) -> DataFrame:
-    """Reader face: resolve MANIFEST, read that snapshot."""
+def read_versioned(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Reader face: resolve MANIFEST, read that snapshot.
+
+    ``version=N`` time-travels to snapshot v{N} if it is still retained
+    (GC keeps the current version plus ``keep_back`` older ones — the
+    same bounded-retention trade every table format makes; raise
+    ``keep_back`` for deeper history)."""
+    if version is not None:
+        path = os.path.join(root, f"v{version:06d}")
+        if not os.path.isdir(path):
+            cur = _manifest_version(root)
+            raise FileNotFoundError(
+                f"version v{version:06d} not retained in {root} "
+                f"(current is {cur}; older snapshots are GC'd)"
+            )
+        return spark.read.parquet(path)
     path = current_version_path(root)
     if path is None:
         raise FileNotFoundError(f"no MANIFEST in {root} (nothing published)")

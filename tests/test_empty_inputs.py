@@ -105,6 +105,11 @@ KEYS = [
     "quality_blocklist_words",
     "sample_temperature",
     "token_oov_rate",
+    "mv_join_incremental",
+    "profile_documents",
+    "dedup_token_sort",
+    "event_rfm",
+    "agg_weighted_median",
     # graph_bfs_distance excluded: the source node's literal (dist 0)
     # row survives an empty edge list — 1 row is its correct output
     # curation_funnel excluded: it is a REPORT (one row per stage with

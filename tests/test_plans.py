@@ -369,3 +369,15 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mv_incremental_delta_terms_broadcast(spark):
+    """Every delta term of the join-view maintenance keeps the
+    batch-sized delta on the broadcast side; no sort-merge join may
+    appear (a SortMergeJoin would mean a delta term shuffled a full
+    table)."""
+    from hive_2_spark.core.mv import mv_join_incremental
+
+    plan = plan_of(mv_join_incremental(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3

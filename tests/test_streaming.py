@@ -485,3 +485,21 @@ def test_versioned_sink_gc_and_orphan_recovery(spark, tmp_path):
         if n.startswith("v") and n[1:].isdigit()
     )
     assert len(versions) <= 2  # current + at most one back
+
+
+def test_versioned_sink_time_travel(spark, tmp_path):
+    """read_versioned(version=N) reads a retained older snapshot; a
+    GC'd version raises with the retention explanation."""
+    import pytest as _pytest
+
+    from hive_2_spark.streaming import cdc as scdc
+
+    root, ckpt = str(tmp_path / "vstate3"), str(tmp_path / "vckpt3")
+    scdc.run_upsert_stream_versioned(spark, SF_DIR, root, ckpt)
+    cur = int(os.path.basename(scdc.current_version_path(root))[1:])
+    assert scdc.read_versioned(spark, root, version=cur).count() > 0
+    if cur > 1:  # previous snapshot still retained (keep-1-back GC)
+        prev = scdc.read_versioned(spark, root, version=cur - 1)
+        assert prev.count() > 0
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        scdc.read_versioned(spark, root, version=cur + 7)

@@ -81,6 +81,8 @@ BRIEF_EXTRAS = [
     "dedup_url_canonical", "curation_domain_filter",
     "sample_source_token_cap", "win_global_cumsum",
     "sample_temperature", "quality_blocklist_words", "token_oov_rate",
+    "mv_join_incremental", "profile_documents",
+    "dedup_token_sort", "event_rfm", "agg_weighted_median",
 ]
 
 
