@@ -11,10 +11,11 @@ clusters, stratified sampling (SURVEY.md §2B op 44 extensions).
   all mutually distant, so deterministic near-twin vectors are
   synthesized (rotate-and-add perturbation, exact in both engines).
 - ``sim_ivf_topk``: IVF-style ANN — deterministic centroid set (every
-  50th vector), invert the corpus by nearest centroid, probe the 2
-  nearest lists per query, exact re-rank inside. Rows-only (argmin over
-  centroids is deterministic but impractically verbose in portable SQL);
-  recall vs brute force is asserted in tests/test_ann_recall.py.
+  50th vector below a fixed cap, so the index size never grows with the
+  corpus), invert the corpus by nearest centroid, probe the 3 nearest
+  lists per query, exact re-rank inside. Oracle-checked (DuckDB replays
+  the whole deterministic search); recall vs brute force is ALSO
+  asserted in tests/test_ann_recall.py.
 - ``dedup_clusters``: connected components over near-dup pairs by
   iterative min-label propagation (the standard distributed CC loop);
   oracle = DuckDB recursive CTE computing the same components.
@@ -127,20 +128,32 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF seed cap: centroids are vec_id % 50 == 0 BELOW this id — exactly
+# 32 centroids at any corpus size. Uncapped, k = n/50 grows with the
+# corpus and the inversion's n x k centroid scoring becomes O(n^2/50) —
+# the same id-pattern-derived-parameter scale bug the round-3 harness
+# caught in k-means seeding (see llm/clustering._seeds). Index size is
+# a property of the INDEX, not the data.
+_IVF_SEED_CAP = 50 * 32
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: centroid inversion + 3-probe search (rows-only).
+    """IVF ANN: centroid inversion + 3-probe search.
 
     3 probes measured at avg recall ~0.7-0.9 on the (clusterless, random)
     fixture vectors vs 0.5-0.7 at 2 probes; real embedding spaces cluster,
     where fewer probes recover more. n_probe is THE recall/cost dial.
+    Oracle-checked since round 4: index build, probe selection, and
+    re-rank are all deterministic, so DuckDB replays the whole search
+    (fold-order dot products — identical bits, identical rank order).
     """
     n_probe = 3
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "vec", _as_double(F.col("embedding"))
     )
-    cents = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
-    )
+    cents = e.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _IVF_SEED_CAP)
+    ).select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"))
 
     def nearest(df: DataFrame, vec_col: str, id_col: str, keep: int) -> DataFrame:
         """ids of the `keep` nearest centroids per row of df."""
@@ -379,7 +392,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_embedding": dedup_embedding,
-    "sim_ivf_topk": sim_ivf_topk,  # rows-only: recall asserted vs brute force
+    "sim_ivf_topk": sim_ivf_topk,  # recall ALSO asserted vs brute force
     "dedup_clusters": dedup_clusters,
     "sample_stratified": sample_stratified,
     "dedup_levenshtein": dedup_levenshtein,
@@ -443,6 +456,54 @@ _DK_EMB_COS = (
 )
 
 ORACLES = {
+    # Deterministic IVF replay: same id-seeded centroids, same single
+    # nearest-centroid inversion, same 3-probe selection, same exact
+    # re-rank. Unrounded cosine comparisons in the rank windows are
+    # safe: both engines fold dot products in array order, so the
+    # doubles are bit-identical (see llm/similarity._fold_dot).
+    "sim_ivf_topk": """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+           AS vec FROM embeddings),
+cents AS (SELECT vec_id AS c_id, vec AS c_vec FROM e
+          WHERE vec_id % 50 = 0 AND vec_id < 1600),
+inv AS (
+  SELECT vec_id, vec, c_id FROM (
+    SELECT e.vec_id, e.vec, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.vec, c.c_vec) /
+             (SQRT(list_dot_product(e.vec, e.vec)) *
+              SQRT(list_dot_product(c.c_vec, c.c_vec))) DESC,
+             c.c_id ASC) AS c_rk
+    FROM e CROSS JOIN cents c
+  ) WHERE c_rk <= 1
+),
+q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 3),
+probes AS (
+  SELECT q_id, q_vec, c_id FROM (
+    SELECT q.q_id, q.q_vec, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             list_dot_product(q.q_vec, c.c_vec) /
+             (SQRT(list_dot_product(q.q_vec, q.q_vec)) *
+              SQRT(list_dot_product(c.c_vec, c.c_vec))) DESC,
+             c.c_id ASC) AS c_rk
+    FROM q CROSS JOIN cents c
+  ) WHERE c_rk <= 3
+),
+cands AS (
+  SELECT p.q_id, i.vec_id,
+         ROUND(list_dot_product(i.vec, p.q_vec) /
+           (SQRT(list_dot_product(i.vec, i.vec)) *
+            SQRT(list_dot_product(p.q_vec, p.q_vec))), 6) AS cos
+  FROM inv i JOIN probes p USING (c_id)
+  WHERE i.vec_id != p.q_id
+)
+SELECT q_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT q_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM cands
+) WHERE rk <= 5
+""",
     "dedup_levenshtein": (
         "WITH c0 AS (SELECT doc_id, lang, "
         "TRIM(regexp_replace(regexp_replace(lower(text), "

@@ -11,7 +11,8 @@
   share a bucket, exact cosine re-ranks inside the bucket. Plane dots
   and query cosines come from the same one-pass Arrow kernel; at
   100 TB the bucket join replaces the full cross product and carries
-  no vectors (rows-only: hyperplanes are generated engine-side).
+  no vectors. Oracle-checked since round 4: DuckDB replays the
+  sin() hyperplanes (see the tolerance note in ORACLES).
 - ``sim_pairwise_label``: average intra- vs inter-label cosine on a
   sampled pair set (oracle-checkable demo of vector math at set scale).
 
@@ -139,7 +140,7 @@ _N_PLANES = 12
 
 
 def sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN: bucket join + exact re-rank (rows-only).
+    """Sign-LSH bucketed ANN: bucket join + exact re-rank.
 
     Hyperplanes are pseudo-random but deterministic: plane p component i
     = sin(p * 1000 + i) — reproducible across runs without RNG state.
@@ -149,9 +150,11 @@ def sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sim_cosine_topk`): previously each plane was a separate interpreted
     JVM-HOF fold — 12 k x dim folds per row, the measured-15x pattern.
     The bucket join then carries only (vec_id, bucket, 3 cosines); the
-    64-dim vector never reaches the exchange. np.sin vs Java Math.sin
-    can differ in the last ULP, which could only matter if a plane dot
-    sat within ~1e-15 of zero — recall is gated in test_ann_recall.py.
+    64-dim vector never reaches the exchange. np.sin vs libm sin can
+    differ in the last ULP, which could only matter if a plane dot sat
+    within ~1e-15 of zero — recall is gated in test_ann_recall.py, and
+    since round 4 the whole op is DuckDB-oracle-checked (the oracle
+    replays the sin() hyperplanes).
     """
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "vec", _as_double(F.col("embedding"))
@@ -290,7 +293,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
-    "sim_cosine_lsh": sim_cosine_lsh,  # rows-only (Spark-side hyperplane trig)
+    "sim_cosine_lsh": sim_cosine_lsh,
     "sim_pairwise_label": sim_pairwise_label,
     "emb_normalize": emb_normalize,
     "emb_quantize_int8": emb_quantize_int8,
@@ -308,6 +311,32 @@ def _dk_cos(a: str, b: str) -> str:
 
 
 ORACLES = {
+    # sin() exists in DuckDB, so the 12 deterministic hyperplanes are
+    # fully replayable — this key was rows-only until round 4. Accepted
+    # tolerance (documented): np.sin vs libm sin can differ in the last
+    # ULP, which flips a bucket bit only if a plane dot sits within
+    # ~1e-15 of zero (P ~ 1e-9 across the corpus); same class as the
+    # k-means d2 note in llm/clustering.py.
+    "sim_cosine_lsh": (
+        "WITH e AS (SELECT vec_id, "
+        f"{_DK_VEC.format(c='embedding')} AS vec FROM embeddings), "
+        "b AS (SELECT vec_id, vec, CAST(list_sum(list_transform("
+        "  range(0, 12), p -> CASE WHEN list_sum(list_transform("
+        "    range(0, 64), i -> vec[CAST(i + 1 AS INT)]"
+        "      * sin(CAST(p * 1000 + i AS DOUBLE)))) >= 0"
+        "    THEN 2.0 ** p ELSE 0.0 END)) AS BIGINT) AS bucket FROM e), "
+        "q AS (SELECT vec_id AS q_id, vec AS q_vec, bucket AS q_bucket "
+        "FROM b WHERE vec_id < 3), "
+        "cands AS (SELECT b.vec_id, q.q_id, b.bucket, "
+        f"ROUND({_dk_cos('b.vec', 'q.q_vec')}, 6) AS cos "
+        "FROM b JOIN q ON b.bucket = q.q_bucket "
+        "WHERE b.vec_id != q.q_id), "
+        "ranked AS (SELECT q_id, vec_id, cos, bucket, "
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) "
+        "AS rk FROM cands) "
+        "SELECT q_id, vec_id, cos, CAST(rk AS BIGINT) AS rk, bucket "
+        "FROM ranked WHERE rk <= 5"
+    ),
     "sim_cosine_topk": (
         "WITH e AS (SELECT vec_id, "
         f"{_DK_VEC.format(c='embedding')} AS vec FROM embeddings), "

@@ -30,6 +30,8 @@ CARTESIAN_OK = {
     "quality_lm_score",     # 1-row broadcast corpus-total scalar
     "emb_pca_power",        # 1-row broadcast direction vector per step
     "emb_whiten",           # same 1-row direction broadcast
+    "event_rfm",            # 1-row broadcast global max-ts anchor —
+                            # the scalar-subquery shape again
 }
 PYTHON_OK = {
     "udf_scalar",

@@ -62,7 +62,7 @@ def test_rows_only_keys_are_deliberate():
     a forgotten oracle shows up here, not as a silent weaker check."""
     expected = {
         "agg_approx", "agg_sketch_merge", "dedup_minhash_lsh",
-        "dedup_simhash", "sim_cosine_lsh", "sim_ivf_topk",
+        "dedup_simhash",
         "fingerprint_rolling", "media_features", "media_phash_dedup",
         # fixpoint k-means: the data-dependent round count is the point
         # of the key and cannot be a fixed SQL unroll; accuracy is
