@@ -196,14 +196,51 @@ def catalog_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent catalog VIEW + query THROUGH it.
+
+    The view is defined directly over the parquet path (a permanent
+    view may not reference temp views), so this proves the full chain:
+    view expansion -> logical plan inlining -> filter/column pushdown
+    reaching the underlying scan (gated in tests/test_plans.py). The
+    reference's analogue is modeling an aggregate query as a table
+    (`classes/hive/model.php` goal 4, README.md:8)."""
+    from hive_2_spark.catalog import table_path
+
+    ensure_database(spark, DB)
+    path = table_path(sf_dir, "orders")
+    spark.sql(
+        f"""
+        CREATE OR REPLACE VIEW {DB}.order_rev AS
+        SELECT o_orderpriority, o_totalprice, o_orderstatus
+        FROM parquet.`{path}`
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM {DB}.order_rev
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 QUERIES = {
     "catalog_managed_agg": catalog_managed_agg,
     "catalog_managed_join": catalog_managed_join,
     "catalog_partitioned_ddl": catalog_partitioned_ddl,
     "catalog_dpp_join": catalog_dpp_join,
+    "catalog_view": catalog_view,
 }
 
 ORACLES = {
+    "catalog_view": (
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "ROUND(SUM(o_totalprice), 2) AS revenue "
+        "FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority"
+    ),
     "catalog_managed_agg": (
         "SELECT n_regionkey, COUNT(*) AS n_nations, "
         "MIN(n_name) AS first_nation FROM nation GROUP BY n_regionkey"

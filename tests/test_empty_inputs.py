@@ -110,6 +110,7 @@ KEYS = [
     "dedup_token_sort",
     "event_rfm",
     "agg_weighted_median",
+    "catalog_view",
     # graph_bfs_distance excluded: the source node's literal (dist 0)
     # row survives an empty edge list — 1 row is its correct output
     # curation_funnel excluded: it is a REPORT (one row per stage with

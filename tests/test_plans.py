@@ -371,6 +371,17 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
                 spark.conf.set(k, v)
 
 
+def test_view_query_pushes_filter_to_scan(spark):
+    """Querying THROUGH the catalog view must inline the view and push
+    the status filter down to the parquet scan — a view is a plan
+    macro, never a materialization boundary."""
+    from hive_2_spark.core.metastore import catalog_view
+
+    plan = plan_of(catalog_view(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1].split("]")[0]
+
+
 def test_mv_incremental_delta_terms_broadcast(spark):
     """Every delta term of the join-view maintenance keeps the
     batch-sized delta on the broadcast side; no sort-merge join may
