@@ -383,10 +383,14 @@ def event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Segment = r*100 + f*10 + m — all integers, hash-stable."""
     e = load_table(spark, sf_dir, "events")
     anchor = e.agg(F.max("ts").alias("anchor_ts"))
+    # DECIMAL monetary accumulation: the fixture values carry 2 decimals,
+    # so decimal sums are exact and associative — a raw double SUM could
+    # land a user exactly ON a band edge differently per engine or per
+    # partial-agg order (the win_global_cumsum lesson).
     per_user = e.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
-        F.sum("value").alias("monetary_raw"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary_raw"),
     )
     j = per_user.join(F.broadcast(anchor))
     rec_days = F.datediff(F.col("anchor_ts"), F.col("last_ts"))
@@ -399,15 +403,15 @@ def event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
     )
     m = (
-        F.when(F.col("monetary_raw") >= 150.0, 3)
-        .when(F.col("monetary_raw") >= 50.0, 2)
+        F.when(F.col("monetary_raw") >= F.lit(150), 3)
+        .when(F.col("monetary_raw") >= F.lit(50), 2)
         .otherwise(1)
     )
     return j.select(
         "user_id",
         rec_days.cast("bigint").alias("recency_days"),
         "frequency",
-        F.round(F.col("monetary_raw"), 2).alias("monetary"),
+        F.col("monetary_raw").cast("double").alias("monetary"),
         (r * 100 + f_ * 10 + m).cast("bigint").alias("rfm_segment"),
     )
 
@@ -433,14 +437,14 @@ WITH anchor AS (SELECT MAX(ts) AS anchor_ts FROM events),
 per_user AS (
   SELECT user_id, MAX(ts) AS last_ts,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         SUM(value) AS monetary_raw
+         SUM(CAST(value AS DECIMAL(18,2))) AS monetary_raw
   FROM events GROUP BY user_id
 )
 SELECT user_id,
        CAST(DATEDIFF('day', CAST(last_ts AS DATE), CAST(anchor_ts AS DATE))
             AS BIGINT) AS recency_days,
        frequency,
-       ROUND(monetary_raw, 2) AS monetary,
+       CAST(monetary_raw AS DOUBLE) AS monetary,
        CAST(
          (CASE WHEN DATEDIFF('day', CAST(last_ts AS DATE),
                              CAST(anchor_ts AS DATE)) <= 7 THEN 3
@@ -449,8 +453,8 @@ SELECT user_id,
                ELSE 1 END) * 100
          + (CASE WHEN frequency >= 10 THEN 3
                  WHEN frequency >= 5 THEN 2 ELSE 1 END) * 10
-         + (CASE WHEN monetary_raw >= 150.0 THEN 3
-                 WHEN monetary_raw >= 50.0 THEN 2 ELSE 1 END)
+         + (CASE WHEN monetary_raw >= 150 THEN 3
+                 WHEN monetary_raw >= 50 THEN 2 ELSE 1 END)
          AS BIGINT) AS rfm_segment
 FROM per_user, anchor
 """,

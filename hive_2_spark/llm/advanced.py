@@ -25,6 +25,8 @@ clusters, stratified sampling (SURVEY.md §2B op 44 extensions).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -147,40 +149,78 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank are all deterministic, so DuckDB replays the whole search
     (fold-order dot products — identical bits, identical rank order).
     """
+    from hive_2_spark.llm.similarity import (
+        _collect_queries,
+        _fold_dot,
+        _fold_sq,
+    )
+
     n_probe = 3
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "vec", _as_double(F.col("embedding"))
     )
-    cents = e.filter(
-        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _IVF_SEED_CAP)
-    ).select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"))
-
-    def nearest(df: DataFrame, vec_col: str, id_col: str, keep: int) -> DataFrame:
-        """ids of the `keep` nearest centroids per row of df."""
-        j = df.crossJoin(F.broadcast(cents))
-        d = _dot(F.col(vec_col), F.col("c_vec")) / (
-            _norm(F.col(vec_col)) * _norm(F.col("c_vec"))
+    # Index + query state are MODEL-sized (32 x 64 and 3 x 64 doubles);
+    # both ride to the driver once and back into ONE Arrow kernel pass —
+    # the k-means/similarity pattern. The previous shape scored every
+    # corpus row against all centroids through interpreted JVM HOF folds
+    # over an n x 32 crossJoin plus a rank window (the measured-15x
+    # trap); now the corpus pays one mapInArrow-style scan and only
+    # (vec_id, c_id, 3 cosines) reaches the probe join.
+    qq = _collect_queries(e)
+    if qq is None:  # empty corpus -> empty result, right schema
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, cos double, rk long"
         )
-        w = W.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("c_id").asc())
-        return (
-            j.withColumn("c_cos", d)
-            .withColumn("c_rk", F.row_number().over(w))
-            .filter(F.col("c_rk") <= keep)
+    qmat, qn = qq
+    crows = sorted(
+        e.filter(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _IVF_SEED_CAP)
         )
-
-    # invert: every corpus vector files under its single nearest centroid
-    inverted = nearest(e, "vec", "vec_id", 1).select("vec_id", "vec", "c_id")
-    # probe: each query searches its n_probe nearest centroid lists
-    q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+        .select("vec_id", "vec")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
-    probes = nearest(q, "q_vec", "q_id", n_probe).select("q_id", "q_vec", "c_id")
-    cands = inverted.join(probes, on="c_id", how="inner").filter(
+    c_ids = np.array([r.vec_id for r in crows], dtype=np.int64)
+    cmat = np.array([list(r.vec) for r in crows], dtype=np.float64)
+    cn = np.sqrt(_fold_sq(cmat))
+
+    # probe selection: 3 queries x 32 centroids, exact driver-side math
+    # with the same fold order and the oracle's (cos desc, c_id asc) order
+    qcos = _fold_dot(qmat, cmat) / (qn[:, None] * cn[None, :])
+    probe_pairs = [
+        (int(q_id), int(c_ids[j]))
+        for q_id in range(qmat.shape[0])
+        for j in sorted(
+            range(len(c_ids)), key=lambda j: (-qcos[q_id, j], c_ids[j])
+        )[:n_probe]
+    ]
+    probes = spark.createDataFrame(probe_pairs, "q_id long, c_id long")
+
+    @F.pandas_udf("c_id bigint, cos_all array<double>")
+    def score(vec: pd.Series) -> pd.DataFrame:
+        if len(vec) == 0:
+            return pd.DataFrame(
+                {
+                    "c_id": pd.Series([], dtype="int64"),
+                    "cos_all": pd.Series([], dtype=object),
+                }
+            )
+        x = np.vstack(vec.to_numpy()).astype(np.float64)
+        nx = np.sqrt(_fold_sq(x))
+        ccos = _fold_dot(x, cmat) / (nx[:, None] * cn[None, :])
+        # argmax returns the FIRST max; c_ids ascend, so ties break to
+        # the lowest centroid id — the oracle's ROW_NUMBER order
+        nearest = c_ids[ccos.argmax(axis=1)]
+        qcos_rows = _fold_dot(x, qmat) / (nx[:, None] * qn[None, :])
+        return pd.DataFrame({"c_id": nearest, "cos_all": list(qcos_rows)})
+
+    inverted = e.withColumn("s", score("vec")).select(
+        "vec_id", F.col("s.c_id").alias("c_id"), F.col("s.cos_all").alias("cos_all")
+    )
+    cands = inverted.join(F.broadcast(probes), "c_id").filter(
         F.col("vec_id") != F.col("q_id")
     )
-    cos = _dot(F.col("vec"), F.col("q_vec")) / (
-        _norm(F.col("vec")) * _norm(F.col("q_vec"))
-    )
+    cos = F.element_at(F.col("cos_all"), (F.col("q_id") + 1).cast("int"))
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         cands.withColumn("cos", F.round(cos, 6))
@@ -461,11 +501,11 @@ ORACLES = {
     # re-rank. Unrounded cosine comparisons in the rank windows are
     # safe: both engines fold dot products in array order, so the
     # doubles are bit-identical (see llm/similarity._fold_dot).
-    "sim_ivf_topk": """
+    "sim_ivf_topk": f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
            AS vec FROM embeddings),
 cents AS (SELECT vec_id AS c_id, vec AS c_vec FROM e
-          WHERE vec_id % 50 = 0 AND vec_id < 1600),
+          WHERE vec_id % 50 = 0 AND vec_id < {_IVF_SEED_CAP}),
 inv AS (
   SELECT vec_id, vec, c_id FROM (
     SELECT e.vec_id, e.vec, c.c_id,

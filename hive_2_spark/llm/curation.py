@@ -405,7 +405,7 @@ FROM h GROUP BY lang, th
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS cum_toks FROM t) "
         "SELECT source, doc_id, toks, cum_toks FROM c "
-        "WHERE cum_toks <= 3000"
+        f"WHERE cum_toks <= {_SOURCE_TOKEN_CAP}"
     ),
     # DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
     # default); regexp_extract_all exists in both.

@@ -153,6 +153,7 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # share is per-mille via integer division, so no float rounding can
 # sit on a cross-engine boundary.
 _BLOCK_WORDS = ("spark", "hash", "stream")
+_BLOCK_SQL_LIST = ", ".join(f"'{w}'" for w in _BLOCK_WORDS)
 _BLOCK_PM_MAX = 50  # flag docs with >= 5% blocked tokens
 
 
@@ -192,18 +193,18 @@ QUERIES = {
 # range(a, b) is stop-exclusive so range(1, len) yields 1..len-1 — one
 # start per bigram. list_distinct mirrors array_distinct.
 ORACLES = {
-    "quality_blocklist_words": """
+    "quality_blocklist_words": f"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(len(list_filter(string_split(text, ' '),
-                x -> x IN ('spark', 'hash', 'stream'))) AS BIGINT)
+                x -> x IN ({_BLOCK_SQL_LIST}))) AS BIGINT)
          AS n_blocked,
        CAST(len(list_filter(string_split(text, ' '),
-                x -> x IN ('spark', 'hash', 'stream'))) * 1000
+                x -> x IN ({_BLOCK_SQL_LIST}))) * 1000
             // len(string_split(text, ' ')) AS BIGINT) AS blocked_pm,
        (len(list_filter(string_split(text, ' '),
-                x -> x IN ('spark', 'hash', 'stream'))) * 1000
-            // len(string_split(text, ' '))) >= 50 AS flagged
+                x -> x IN ({_BLOCK_SQL_LIST}))) * 1000
+            // len(string_split(text, ' '))) >= {_BLOCK_PM_MAX} AS flagged
 FROM documents
 """,
     "quality_repetition": f"""

@@ -62,13 +62,20 @@ def _fold_sq(X: np.ndarray) -> np.ndarray:
     return acc
 
 
-def _collect_queries(e: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+def _collect_queries(e: DataFrame) -> tuple[np.ndarray, np.ndarray] | None:
     """Collect the N_QUERIES query vectors (model-state-sized, like the
-    k-means centroids) and their fold-order norms; row i == q_id i."""
+    k-means centroids) and their fold-order norms; row i == q_id i.
+
+    Returns None for an EMPTY corpus (the routine empty-input case —
+    callers build an empty result with the right schema); raises only
+    when a non-empty corpus is missing its query ids, which would
+    otherwise surface as silently-wrong scores."""
     rows = sorted(
         e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "vec").collect(),
         key=lambda r: r.vec_id,
     )
+    if not rows and e.isEmpty():
+        return None
     if [r.vec_id for r in rows] != list(range(N_QUERIES)):
         raise ValueError(
             f"query set must be vec_ids 0..{N_QUERIES - 1}, got "
@@ -106,7 +113,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "vec", _as_double(F.col("embedding"))
     )
-    qmat, qn = _collect_queries(e)
+    q = _collect_queries(e)
+    if q is None:  # empty corpus -> empty result, right schema
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, cos double, rk long"
+        )
+    qmat, qn = q
 
     @F.pandas_udf("array<double>")
     def cos_all(vec: pd.Series) -> pd.Series:
@@ -159,7 +171,12 @@ def sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "vec", _as_double(F.col("embedding"))
     )
-    qmat, qn = _collect_queries(e)
+    q = _collect_queries(e)
+    if q is None:  # empty corpus -> empty result, right schema
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, cos double, rk long, bucket long"
+        )
+    qmat, qn = q
     pmat = np.array(
         [
             [math.sin(float(p * 1000 + i)) for i in range(64)]

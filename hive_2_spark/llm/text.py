@@ -310,14 +310,14 @@ def _dk_argmax_lang() -> str:
 _DK_BEST, _DK_BEST_SCORE = _dk_argmax_lang()
 
 ORACLES = {
-    "token_oov_rate": """
+    "token_oov_rate": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 ),
 vocab AS (
   SELECT word FROM (
     SELECT word, COUNT(*) AS n FROM toks GROUP BY word
-    ORDER BY n DESC, word ASC LIMIT 20
+    ORDER BY n DESC, word ASC LIMIT {_VOCAB_TOP_K}
   )
 ),
 j AS (

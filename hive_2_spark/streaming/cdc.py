@@ -178,12 +178,18 @@ def read_versioned(
     same bounded-retention trade every table format makes; raise
     ``keep_back`` for deeper history)."""
     if version is not None:
+        cur = _manifest_version(root)
+        cur_n = int(cur[1:]) if cur else 0
         path = os.path.join(root, f"v{version:06d}")
-        if not os.path.isdir(path):
-            cur = _manifest_version(root)
+        # The upper bound matters as much as isdir: a dir NEWER than the
+        # manifest is an UNPUBLISHED snapshot (mid-write, or a crash
+        # orphan awaiting GC) — reading it would violate the 'MANIFEST
+        # always names a complete snapshot' guarantee.
+        if version > cur_n or not os.path.isdir(path):
             raise FileNotFoundError(
                 f"version v{version:06d} not retained in {root} "
-                f"(current is {cur}; older snapshots are GC'd)"
+                f"(current is {cur}; older snapshots are GC'd, newer "
+                "dirs are unpublished)"
             )
         return spark.read.parquet(path)
     path = current_version_path(root)

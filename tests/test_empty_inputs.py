@@ -111,6 +111,9 @@ KEYS = [
     "event_rfm",
     "agg_weighted_median",
     "catalog_view",
+    "sim_cosine_topk",
+    "sim_cosine_lsh",
+    "sim_ivf_topk",
     # graph_bfs_distance excluded: the source node's literal (dist 0)
     # row survives an empty edge list — 1 row is its correct output
     # curation_funnel excluded: it is a REPORT (one row per stage with

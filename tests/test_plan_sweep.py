@@ -13,9 +13,9 @@ from tests.conftest import SF_DIR
 
 # queries whose semantics legitimately require the flagged construct
 CARTESIAN_OK = {
-    "sim_cosine_topk",      # bounded 3-query broadcast cross join
-    "sim_cosine_lsh",
-    "sim_ivf_topk",         # centroid cross join (10 centroids)
+    # sim_cosine_topk/lsh and sim_ivf_topk left this list in round 4:
+    # their scoring moved to Arrow kernels + posexplode/bucket joins,
+    # so no cross join remains in their plans.
     "sim_pairwise_label",   # sampled pair set
     "insert_rows",          # 2-row literal cross join with max-key
     "cdc_changes",          # 50-row literal x 1-row max-key (bounded)

@@ -477,6 +477,12 @@ def test_versioned_sink_gc_and_orphan_recovery(spark, tmp_path):
     # simulate a crash AFTER snapshot write, BEFORE manifest flip
     orphan = os.path.join(root, f"v{int(cur[1:]) + 1:06d}")
     os.makedirs(orphan)
+    # BEFORE GC: time-traveling to the unpublished orphan must refuse —
+    # it was never named by a MANIFEST, so it may be mid-write garbage
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        scdc.read_versioned(spark, root, version=int(cur[1:]) + 1)
     scdc._prune_versions(root)
     assert not os.path.isdir(orphan)          # dead snapshot collected
     assert scdc.current_version_path(root).endswith(cur)  # state intact
