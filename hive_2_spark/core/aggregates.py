@@ -309,6 +309,48 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted p25/p50/p75 price per return flag — the
+    same bounded-key cent-histogram shape as `agg_weighted_median`
+    (one corpus-sized exchange, domain-bounded prefix sums), with three
+    thresholds read off one cumulative pass: quantile q = first cent
+    whose cumulative weight reaches q of the total (cum_w * 4 >= total,
+    * 2 >= total, * 4 >= 3 * total — all exact integer-valued double
+    comparisons)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    hist = (
+        li.select(
+            "l_returnflag", cents.alias("cent"), F.col("l_quantity").alias("w")
+        )
+        .groupBy("l_returnflag", "cent")
+        .agg(F.sum("w").alias("bucket_w"))
+    )
+    wflag = Window.partitionBy("l_returnflag")
+    wcum = wflag.orderBy("cent").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = hist.withColumn("cum_w", F.sum("bucket_w").over(wcum)).withColumn(
+        "total_w", F.sum("bucket_w").over(wflag)
+    )
+    def _q(cond):
+        return F.min(F.when(cond, F.col("cent")))
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            _q(F.col("cum_w") * 4 >= F.col("total_w")).alias("c25"),
+            _q(F.col("cum_w") * 2 >= F.col("total_w")).alias("c50"),
+            _q(F.col("cum_w") * 4 >= F.col("total_w") * 3).alias("c75"),
+        )
+        .select(
+            "l_returnflag",
+            (F.col("c25").cast("double") / 100.0).alias("p25_price"),
+            (F.col("c50").cast("double") / 100.0).alias("p50_price"),
+            (F.col("c75").cast("double") / 100.0).alias("p75_price"),
+        )
+    )
+
+
 QUERIES = {
     "agg_groupby": agg_groupby,
     "agg_argmax": agg_argmax,
@@ -327,9 +369,33 @@ QUERIES = {
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "agg_incremental_merge": agg_incremental_merge,
     "agg_weighted_median": agg_weighted_median,
+    "agg_weighted_quartiles": agg_weighted_quartiles,
 }
 
 ORACLES = {
+    "agg_weighted_quartiles": """
+WITH hist AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cent,
+         SUM(l_quantity) AS bucket_w
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT l_returnflag, cent,
+         SUM(bucket_w) OVER (PARTITION BY l_returnflag ORDER BY cent
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         SUM(bucket_w) OVER (PARTITION BY l_returnflag) AS total_w
+  FROM hist
+)
+SELECT l_returnflag,
+       CAST(MIN(CASE WHEN cum_w * 4 >= total_w THEN cent END) AS DOUBLE)
+         / 100.0 AS p25_price,
+       CAST(MIN(CASE WHEN cum_w * 2 >= total_w THEN cent END) AS DOUBLE)
+         / 100.0 AS p50_price,
+       CAST(MIN(CASE WHEN cum_w * 4 >= total_w * 3 THEN cent END) AS DOUBLE)
+         / 100.0 AS p75_price
+FROM r GROUP BY l_returnflag
+""",
     "agg_weighted_median": """
 WITH hist AS (
   SELECT l_returnflag,

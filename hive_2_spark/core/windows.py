@@ -335,6 +335,43 @@ def win_global_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL row_number over all orders by (price, key) — the ranking
+    twin of `win_global_cumsum`, again without the single-partition
+    window the naive ``ROW_NUMBER() OVER (ORDER BY ...)`` plan needs.
+
+    Range id = floor(price / 1000) — domain-bounded (~600 bands at
+    TPC-H prices), data-derived, reproducible. Phase 1: per-band local
+    row_number (parallel windows). Phase 2: per-band counts get
+    EXCLUSIVE prefix sums over the band table (bounded by the price
+    DOMAIN, not the data). Phase 3: broadcast-join the offsets back;
+    global rank = offset + local rank. Pure integer math — no float
+    boundary can flip a rank; the (price, o_orderkey) order is total."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / 1000.0).cast("bigint").alias("bid"),
+    )
+    wloc = W.partitionBy("bid").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    local = o.withColumn("local_rn", F.row_number().over(wloc))
+    counts = o.groupBy("bid").agg(F.count(F.lit(1)).alias("n"))
+    woff = W.orderBy(F.col("bid").asc()).rowsBetween(W.unboundedPreceding, -1)
+    offs = counts.select(
+        "bid",
+        F.coalesce(F.sum("n").over(woff), F.lit(0)).cast("bigint").alias("off"),
+    )
+    return (
+        local.join(F.broadcast(offs), "bid")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("off") + F.col("local_rn")).cast("bigint").alias("global_rn"),
+        )
+    )
+
+
 QUERIES = {
     "win_ntile": win_ntile,
     "win_median_rolling": win_median_rolling,
@@ -350,6 +387,7 @@ QUERIES = {
     "win_topk_per_group": win_topk_per_group,
     "win_distinct_rolling": win_distinct_rolling,
     "win_global_cumsum": win_global_cumsum,
+    "win_global_rank": win_global_rank,
 }
 
 _W_RANK = (
@@ -467,6 +505,11 @@ ORACLES = {
     ),
     # The oracle IS the naive single-sequence formulation the two-phase
     # plan must equal; DECIMAL on both sides makes regrouping exact.
+    "win_global_rank": (
+        "SELECT o_orderkey, o_totalprice, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) "
+        "AS BIGINT) AS global_rn FROM orders"
+    ),
     "win_global_cumsum": (
         "SELECT o_orderkey, "
         "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER ("

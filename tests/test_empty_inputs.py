@@ -114,6 +114,8 @@ KEYS = [
     "sim_cosine_topk",
     "sim_cosine_lsh",
     "sim_ivf_topk",
+    "agg_weighted_quartiles",
+    "win_global_rank",
     # graph_bfs_distance excluded: the source node's literal (dist 0)
     # row survives an empty edge list — 1 row is its correct output
     # curation_funnel excluded: it is a REPORT (one row per stage with

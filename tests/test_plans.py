@@ -392,3 +392,14 @@ def test_mv_incremental_delta_terms_broadcast(spark):
     plan = plan_of(mv_join_incremental(spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_global_rank_fact_window_is_partitioned(spark):
+    """Same contract as win_global_cumsum: the orders-sized rank window
+    runs partitioned by the price band; the only SinglePartition
+    exchange is the band-count prefix window (domain-bounded)."""
+    from hive_2_spark.core.windows import win_global_rank
+
+    plan = plan_of(win_global_rank(spark, SF_DIR))
+    assert plan.count("SinglePartition") == 1
+    assert "hashpartitioning(bid" in plan

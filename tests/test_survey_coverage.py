@@ -83,7 +83,7 @@ BRIEF_EXTRAS = [
     "sample_temperature", "quality_blocklist_words", "token_oov_rate",
     "mv_join_incremental", "profile_documents",
     "dedup_token_sort", "event_rfm", "agg_weighted_median",
-    "catalog_view",
+    "catalog_view", "agg_weighted_quartiles", "win_global_rank",
 ]
 
 
