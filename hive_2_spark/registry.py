@@ -60,6 +60,7 @@ _MODULES: list[str] = [
     "hive_2_spark.streaming.joins",
     "hive_2_spark.streaming.cdc",
     "hive_2_spark.streaming.serving",
+    "hive_2_spark.streaming.ingest",
     "hive_2_spark.llm.dedup",
     "hive_2_spark.llm.similarity",
     "hive_2_spark.core.events",

@@ -116,6 +116,7 @@ KEYS = [
     "sim_ivf_topk",
     "agg_weighted_quartiles",
     "win_global_rank",
+    "stream_doc_gate",
     # graph_bfs_distance excluded: the source node's literal (dist 0)
     # row survives an empty edge list — 1 row is its correct output
     # curation_funnel excluded: it is a REPORT (one row per stage with

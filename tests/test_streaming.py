@@ -161,6 +161,18 @@ _EQUIV_CASES = {
             "hive_2_spark.streaming.serving", fromlist=["serving"]
         ).stream_cluster_monitor(s, SF_DIR),
     },
+    "doc_gate": {
+        "builder": lambda s: __import__(
+            "hive_2_spark.streaming.ingest", fromlist=["ingest"]
+        ).stream_doc_gate_builder(s, SF_DIR),
+        "mode": "append",  # stateless filter+project: append, no state
+        "stream_sql": (
+            "SELECT doc_id, source, n_tokens, n_blocked, blocked_pm FROM {t}"
+        ),
+        "batch": lambda s: __import__(
+            "hive_2_spark.streaming.ingest", fromlist=["ingest"]
+        ).stream_doc_gate(s, SF_DIR),
+    },
     "dedup": {
         "builder": lambda s: sw.stream_dedup_builder(s, SF_DIR),
         "mode": "append",

@@ -84,6 +84,7 @@ BRIEF_EXTRAS = [
     "mv_join_incremental", "profile_documents",
     "dedup_token_sort", "event_rfm", "agg_weighted_median",
     "catalog_view", "agg_weighted_quartiles", "win_global_rank",
+    "stream_doc_gate",
 ]
 
 
