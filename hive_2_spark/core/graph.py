@@ -62,20 +62,22 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.unionAll(rev)
 
 
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 nodes by PageRank after 3 fixed iterations (d=0.85,
-    rank0=1.0). Ties broken by node id on the ROUNDED rank so the
-    top-k cut is engine-independent."""
-    # Materialize the raw edge list ONCE (localCheckpoint truncates the
-    # lineitem⋈orders⋈distinct lineage), then fold the out-degree into a
-    # per-edge weight with a BROADCAST join: deg is node-sized, so the
-    # 10x-bigger edge list never shuffles for the weight join — without
-    # this, the edge pipeline ran twice (deg agg + join probe) and the
-    # join sort-merge-shuffled every edge (measured 6.5s -> ~2s at
-    # sf0.1 for the checkpoint; the broadcast deg cut the 10x fixture's
-    # build again). Blocks are freed by the ContextCleaner when the
-    # returned DataFrame is dereferenced. The cluster-scale equivalent
-    # is persist() + checkpoint() per N rounds.
+def _weighted_edges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, bool]:
+    """Materialized (src, dst, w=1/outdeg) edge list + whether the
+    node-sized rank vector fits the broadcast gate.
+
+    The raw edge list is localCheckpoint'ed ONCE (truncating the
+    lineitem⋈orders⋈distinct lineage), then the out-degree folds into a
+    per-edge weight with a BROADCAST join: deg is node-sized, so the
+    10x-bigger edge list never shuffles for the weight join — without
+    this, the edge pipeline ran twice (deg agg + join probe) and the
+    join sort-merge-shuffled every edge (measured 6.5s -> ~2s at
+    sf0.1 for the checkpoint; the broadcast deg cut the 10x fixture's
+    build again). Blocks are freed by the ContextCleaner when the
+    returned DataFrame is dereferenced. The cluster-scale equivalent
+    is persist() + checkpoint() per N rounds."""
     edges = _edges(spark, sf_dir).localCheckpoint()
     # Free count over the just-materialized checkpoint (no shuffle,
     # unlike counting distinct nodes); an upper bound on the node count,
@@ -90,6 +92,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not broadcast_ranks:
         edges_w = edges_w.repartition("src").localCheckpoint()
+    return edges_w, broadcast_ranks
+
+
+def _node_label(col: str):
+    return F.when(
+        F.col(col) >= 0, F.concat(F.lit("c"), F.col(col).cast("string"))
+    ).otherwise(F.concat(F.lit("s"), (-F.col(col)).cast("string")))
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by PageRank after 3 fixed iterations (d=0.85,
+    rank0=1.0). Ties broken by node id on the ROUNDED rank so the
+    top-k cut is engine-independent."""
+    edges_w, broadcast_ranks = _weighted_edges(spark, sf_dir)
     ranks = edges_w.select("src").distinct().withColumn("rank", F.lit(1.0))
     for _ in range(_ITERS):
         # ranks is node-sized (orders of magnitude below the edge list)
@@ -109,13 +125,91 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rank"
             ),
         )
-    label = F.when(
-        F.col("src") >= 0, F.concat(F.lit("c"), F.col("src").cast("string"))
-    ).otherwise(F.concat(F.lit("s"), (-F.col("src")).cast("string")))
     out = ranks.select(
-        label.alias("node"), F.round("rank", 6).alias("rank")
+        _node_label("src").alias("node"), F.round("rank", 6).alias("rank")
     )
     return out.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(_TOPK)
+
+
+_CONV_EPS = 1e-6  # RELATIVE: max|Δrank| / max(rank) — scale-free
+_CONV_MAX_ROUNDS = 200  # raises rather than return unconverged ranks
+
+
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production face of :func:`graph_pagerank`: loop to CONVERGENCE
+    (max |rank_t − rank_{t−1}| / max(rank_t) < ``_CONV_EPS`` — the
+    RELATIVE max-norm, because hub ranks grow with the graph, so an
+    absolute threshold would demand ever more rounds at larger scale
+    while the contraction rate stays d=0.85) instead of a fixed
+    3-step unroll, ``localCheckpoint``-ing each round so round N reads
+    materialized ranks instead of replaying rounds 1..N−1 — the same
+    discipline as ``llm.advanced._cc_converge`` / ``cluster_kmeans_
+    converged``. Per-round cost is identical to the fixed key: one
+    broadcast (size-gated) join against the cached weighted edges plus
+    one dst-keyed aggregation; the convergence probe is a node-sized
+    join + max — nothing proportional to the edge list.
+
+    Rows-only by design: the data-dependent round count is the point of
+    the key, so it cannot be a fixed SQL unroll (same necessity class
+    as ``cluster_kmeans_converged``; see OPERATORS.md). The fixpoint
+    property, agreement with the fixed-unroll oracle key, and the
+    lineage-truncation plan shape are gated in
+    tests/test_graph_converged.py.
+
+    Output: top-20 (node, rank, rounds) — ``rounds`` is the number of
+    iterations the fixpoint took.
+    """
+    edges_w, broadcast_ranks = _weighted_edges(spark, sf_dir)
+    ranks = (
+        edges_w.select("src")
+        .distinct()
+        .withColumn("rank", F.lit(1.0))
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(_CONV_MAX_ROUNDS):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+        new = (
+            edges_w.join(rank_side, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
+            .select(
+                F.col("dst").alias("src"),
+                (
+                    F.lit(1.0 - _DAMPING) + F.lit(_DAMPING) * F.col("mass")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        rounds += 1
+        # node-sized probe over two already-materialized frames; one
+        # pass yields both the max delta and the normalizing max rank
+        probe = (
+            new.join(
+                F.broadcast(ranks.withColumnRenamed("rank", "prev")), "src"
+            )
+            .agg(
+                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"),
+                F.max("rank").alias("m"),
+            )
+            .first()
+        )
+        ranks = new
+        if probe["d"] is not None and probe["d"] < _CONV_EPS * probe["m"]:
+            break
+    else:
+        raise RuntimeError(
+            f"PageRank did not converge in {_CONV_MAX_ROUNDS} rounds "
+            f"(last delta {delta})"
+        )
+    out = ranks.select(
+        _node_label("src").alias("node"), F.round("rank", 6).alias("rank")
+    )
+    return (
+        out.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(_TOPK)
+        .withColumn("rounds", F.lit(rounds).cast("long"))
+    )
 
 
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,6 +296,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "graph_pagerank": graph_pagerank,
+    "graph_pagerank_converged": graph_pagerank_converged,  # rows-only
     "graph_triangles": graph_triangles,
     "graph_bfs_distance": graph_bfs_distance,
 }

@@ -203,15 +203,24 @@ def catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     view may not reference temp views), so this proves the full chain:
     view expansion -> logical plan inlining -> filter/column pushdown
     reaching the underlying scan (gated in tests/test_plans.py). The
-    reference's analogue is modeling an aggregate query as a table
-    (`classes/hive/model.php` goal 4, README.md:8)."""
+    view name embeds a hash of the resolved fixture path: a permanent
+    view lives in the SHARED metastore, so a name reused across
+    different sf_dirs (or concurrent sessions) would silently repoint
+    last-writer-wins and a query could read a different fixture than
+    its oracle. The reference's analogue is modeling an aggregate query
+    as a table (`classes/hive/model.php` goal 4, README.md:8)."""
+    import hashlib
+    import os
+
     from hive_2_spark.catalog import table_path
 
     ensure_database(spark, DB)
     path = table_path(sf_dir, "orders")
+    tag = hashlib.sha1(os.path.realpath(path).encode()).hexdigest()[:10]
+    view = f"{DB}.order_rev_{tag}"
     spark.sql(
         f"""
-        CREATE OR REPLACE VIEW {DB}.order_rev AS
+        CREATE OR REPLACE VIEW {view} AS
         SELECT o_orderpriority, o_totalprice, o_orderstatus
         FROM parquet.`{path}`
         """
@@ -220,7 +229,7 @@ def catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT o_orderpriority, COUNT(*) AS n,
                ROUND(SUM(o_totalprice), 2) AS revenue
-        FROM {DB}.order_rev
+        FROM {view}
         WHERE o_orderstatus = 'O'
         GROUP BY o_orderpriority
         """

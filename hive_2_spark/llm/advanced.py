@@ -139,6 +139,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_SEED_CAP = 50 * 32
 
 
+def _round6_half_away(a: np.ndarray) -> np.ndarray:
+    """ROUND(x, 6) with half-away-from-zero ties — the DuckDB/Spark SQL
+    ROUND rule (np.round is half-even, which would disagree exactly on
+    the .5e-6 boundaries)."""
+    return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5) / 1e6, a)
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: centroid inversion + 3-probe search.
 
@@ -185,8 +192,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = np.sqrt(_fold_sq(cmat))
 
     # probe selection: 3 queries x 32 centroids, exact driver-side math
-    # with the same fold order and the oracle's (cos desc, c_id asc) order
-    qcos = _fold_dot(qmat, cmat) / (qn[:, None] * cn[None, :])
+    # with the same fold order and the oracle's (cos desc, c_id asc)
+    # order. Rounded to 6 before ranking (like the oracle) so the order
+    # is robust to either engine changing its summation order.
+    qcos = _round6_half_away(
+        _fold_dot(qmat, cmat) / (qn[:, None] * cn[None, :])
+    )
     probe_pairs = [
         (int(q_id), int(c_ids[j]))
         for q_id in range(qmat.shape[0])
@@ -207,7 +218,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         x = np.vstack(vec.to_numpy()).astype(np.float64)
         nx = np.sqrt(_fold_sq(x))
-        ccos = _fold_dot(x, cmat) / (nx[:, None] * cn[None, :])
+        # rounded-to-6 inversion, matching the oracle's ROUND(...) rank
+        ccos = _round6_half_away(
+            _fold_dot(x, cmat) / (nx[:, None] * cn[None, :])
+        )
         # argmax returns the FIRST max; c_ids ascend, so ties break to
         # the lowest centroid id — the oracle's ROW_NUMBER order
         nearest = c_ids[ccos.argmax(axis=1)]
@@ -498,9 +512,12 @@ _DK_EMB_COS = (
 ORACLES = {
     # Deterministic IVF replay: same id-seeded centroids, same single
     # nearest-centroid inversion, same 3-probe selection, same exact
-    # re-rank. Unrounded cosine comparisons in the rank windows are
-    # safe: both engines fold dot products in array order, so the
-    # doubles are bit-identical (see llm/similarity._fold_dot).
+    # re-rank. Every cosine is ROUNDed to 6 decimals BEFORE each rank
+    # window (inversion, probe selection, re-rank) on BOTH sides, so
+    # the rank order does not depend on DuckDB's list_dot_product
+    # summation order (an undocumented implementation detail — a SIMD/
+    # pairwise change there would otherwise flip near-tie ranks);
+    # rounding-induced ties break identically by id on both engines.
     "sim_ivf_topk": f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
            AS vec FROM embeddings),
@@ -510,9 +527,9 @@ inv AS (
   SELECT vec_id, vec, c_id FROM (
     SELECT e.vec_id, e.vec, c.c_id,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             list_dot_product(e.vec, c.c_vec) /
-             (SQRT(list_dot_product(e.vec, e.vec)) *
-              SQRT(list_dot_product(c.c_vec, c.c_vec))) DESC,
+             ROUND(list_dot_product(e.vec, c.c_vec) /
+               (SQRT(list_dot_product(e.vec, e.vec)) *
+                SQRT(list_dot_product(c.c_vec, c.c_vec))), 6) DESC,
              c.c_id ASC) AS c_rk
     FROM e CROSS JOIN cents c
   ) WHERE c_rk <= 1
@@ -522,9 +539,9 @@ probes AS (
   SELECT q_id, q_vec, c_id FROM (
     SELECT q.q_id, q.q_vec, c.c_id,
            ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
-             list_dot_product(q.q_vec, c.c_vec) /
-             (SQRT(list_dot_product(q.q_vec, q.q_vec)) *
-              SQRT(list_dot_product(c.c_vec, c.c_vec))) DESC,
+             ROUND(list_dot_product(q.q_vec, c.c_vec) /
+               (SQRT(list_dot_product(q.q_vec, q.q_vec)) *
+                SQRT(list_dot_product(c.c_vec, c.c_vec))), 6) DESC,
              c.c_id ASC) AS c_rk
     FROM q CROSS JOIN cents c
   ) WHERE c_rk <= 3

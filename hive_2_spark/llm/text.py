@@ -134,12 +134,15 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash (Rabin-Karp shape) over normalized words:
-    h = (h * 31 + xxhash64(word)) mod 1e9+7, folded left-to-right with
+    h = (h * 31 + wordhash) mod 1e9+7, folded left-to-right with
     ``aggregate`` — all JVM-side. Each step stays < 2^63 (pmod keeps the
     accumulator < 1e9+7), so it is safe under ANSI overflow checking.
 
-    Rows-only: xxhash64 seeds are Spark-internal. Determinism is pinned
-    by tests/test_text_ops.py instead.
+    The per-word hash is the first 15 hex chars of md5(word) read as an
+    integer (< 2^60) — PORTABLE, so since round 5 the whole polynomial
+    replays in DuckDB (list_reduce + '0x'-cast) and this key is fully
+    oracle-checked; the previous xxhash64 word hash was Spark-internal
+    (the reason the key was rows-only).
     """
     M = 1_000_000_007
     d = load_table(spark, sf_dir, "documents")
@@ -153,12 +156,17 @@ def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         " ",
     )
+
+    def word_hash(w):
+        return F.pmod(
+            F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+            F.lit(M),
+        )
+
     rolling = F.aggregate(
         words,
         F.lit(0).cast("long"),
-        lambda acc, w: F.pmod(
-            acc * 31 + F.pmod(F.xxhash64(w), F.lit(M)), F.lit(M)
-        ),
+        lambda acc, w: F.pmod(acc * 31 + word_hash(w), F.lit(M)),
     )
     return d.select("doc_id", rolling.alias("rfp"))
 
@@ -277,7 +285,7 @@ QUERIES = {
     "quality_score": quality_score,
     "lang_id": lang_id,
     "fingerprint": fingerprint,
-    "fingerprint_rolling": fingerprint_rolling,  # rows-only (xxhash64 seed)
+    "fingerprint_rolling": fingerprint_rolling,
     "text_chunk": text_chunk,
     "token_pack": token_pack,
     "token_oov_rate": token_oov_rate,
@@ -391,5 +399,16 @@ FROM j GROUP BY doc_id
     "fingerprint": (
         "SELECT doc_id, md5(TRIM(regexp_replace(regexp_replace(lower(text), "
         "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp FROM documents"
+    ),
+    # Exact replay of the Rabin-Karp fold: per-word hash = first 15 hex
+    # chars of md5 as int, pre-modded so DuckDB's init-less list_reduce
+    # (acc starts at element 1) equals Spark's acc=0 left fold.
+    "fingerprint_rolling": (
+        "SELECT doc_id, list_reduce(list_transform("
+        "string_split(TRIM(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '), "
+        "w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) "
+        "% 1000000007), "
+        "(acc, x) -> (acc * 31 + x) % 1000000007) AS rfp FROM documents"
     ),
 }

@@ -70,36 +70,17 @@ _MODULES: list[str] = [
     "hive_2_spark.core.joins",
 ]
 
-# Round-4 rotation: keys 1-50 are the driver window — media_features first
-# (the single red row in CORRECTNESS_r03; the fix must be proven by the
-# driver itself) followed by 49 keys never inside any driver window
-# (r1-r3 covered 150 of 231). Keys 51-82 are the remaining 32
-# never-driver-checked keys, staged for the round-5 rotation. Everything
-# behind _FRONT is driver-green from r1-r3 and keeps module order.
+# Round-5 rotation: keys 1-50 are the driver window — exactly the 48 keys
+# never inside any driver window across r1-r4 (union of
+# CORRECTNESS_r0{1..4}.json = 199 of 247 keys; the other 48 verified only by
+# the round-4 judge's identical re-run) plus the two similarity keys whose
+# oracles were upgraded from rows-only to full DuckDB replay in round 4
+# (sim_cosine_lsh, sim_ivf_topk — the driver has never hash-checked them).
+# After this window the entire registry has been proven by the hard signal
+# at least once. Everything behind _FRONT is driver-green and keeps module
+# order.
 _FRONT: list[str] = [
-    # --- round-4 driver window (50) ---
-    "media_features",
-    "sql_q9_profit_by_nation", "sql_q15_top_supplier",
-    "sql_q16_supplier_diversity", "sql_q17_small_qty_revenue",
-    "sql_q20_volume_suppliers", "sql_q21_waiting_suppliers",
-    "sql_q22_idle_customers",
-    "join_asof", "join_asof_forward", "join_asof_tolerance",
-    "join_asof_nearest", "join_interval_binned",
-    "graph_pagerank", "graph_triangles", "graph_bfs_distance",
-    "cluster_kmeans", "cluster_mix_report", "cluster_kmeans_converged",
-    "ts_resample", "ts_interpolate", "ts_ewma", "ts_anomaly_zscore",
-    "ts_trend", "ts_rollup_cascade", "ts_forecast_linear",
-    "event_transitions", "event_paths", "event_attribution",
-    "event_cohort_ltv",
-    "dedup_incremental", "dedup_containment", "dedup_substring_windows",
-    "cdc_changes", "scd2_dimension",
-    "roundtrip_csv", "roundtrip_json", "roundtrip_orc",
-    "partitioned_write_read", "read_binaryfile", "read_python_datasource",
-    "udf_scalar", "udf_pandas_scalar", "udf_grouped_agg",
-    "udf_grouped_map", "udf_sql_registered", "udf_table",
-    "stream_cluster_monitor",
-    "agg_argmax", "win_median_rolling",
-    # --- staged for round 5 (32) ---
+    # --- round-5 driver window (50) ---
     "fn_lambda", "fn_variant", "fn_binary", "fn_url", "fn_explode_outer",
     "fn_from_json",
     "curation_funnel", "dedup_clusters_semantic", "curriculum_order",
@@ -112,7 +93,18 @@ _FRONT: list[str] = [
     "set_intersect_all",
     "agg_bitmap_distinct", "agg_incremental_merge",
     "win_ntile", "win_distinct_rolling",
+    "token_oov_rate", "sample_source_token_cap", "sample_temperature",
+    "quality_blocklist_words", "dedup_url_canonical",
+    "curation_domain_filter", "mv_join_incremental", "profile_documents",
+    "agg_weighted_median", "agg_weighted_quartiles",
+    "win_global_cumsum", "win_global_rank",
+    "catalog_view", "stream_doc_gate", "dedup_token_sort", "event_rfm",
+    "sim_cosine_lsh", "sim_ivf_topk",
 ]
+assert len(_FRONT) == len(set(_FRONT)), (
+    "duplicate keys in _FRONT: "
+    f"{sorted(k for k in _FRONT if _FRONT.count(k) > 1)}"
+)
 
 
 def _load() -> tuple[dict[str, QueryFn], dict[str, str]]:

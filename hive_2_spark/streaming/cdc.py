@@ -143,10 +143,13 @@ def run_upsert_stream(
 #     MANIFEST    text file naming the current version ("v000002")
 #
 # Writers publish a NEW version dir, then flip MANIFEST with an atomic
-# rename; the previous version is kept for one generation so a reader
-# that resolved the old MANIFEST can still finish its scan. Readers
-# (`read_versioned`) resolve MANIFEST -> dir and never observe a
-# missing path: at every instant MANIFEST names a complete snapshot.
+# rename; the previous `keep_back` generations are retained so a reader
+# that resolved an older MANIFEST can still finish its scan. Readers
+# (`read_versioned`) resolve MANIFEST -> dir; at every instant MANIFEST
+# names a complete snapshot, so the no-ENOENT guarantee holds for any
+# reader whose scan finishes within `keep_back` publish generations of
+# resolving it (a slower reader can have its snapshot GC'd mid-scan —
+# raise `keep_back` to cover the slowest expected scan).
 # This is a minimal file-layout transaction log — the same idea
 # Delta/Iceberg implement with real metadata; where those runtimes are
 # deployed (`core/io.py` gates) their commit protocol replaces this.
@@ -236,12 +239,15 @@ def _prune_versions(root: str, keep_back: int = 1) -> None:
 
 
 def run_upsert_stream_versioned(
-    spark: SparkSession, sf_dir: str, root: str, checkpoint_dir: str
+    spark: SparkSession, sf_dir: str, root: str, checkpoint_dir: str,
+    keep_back: int = 1,
 ) -> None:
     """Same merge semantics as :func:`run_upsert_stream`, published via
-    the versioned-manifest layout: no reader can ever hit ENOENT, and
-    crash recovery needs no `.bak` adoption — an unflipped snapshot is
-    simply garbage-collected and the retried batch re-merges against
+    the versioned-manifest layout: a reader that resolves MANIFEST and
+    finishes its scan within ``keep_back`` publish generations never
+    hits ENOENT (size ``keep_back`` to the slowest expected reader),
+    and crash recovery needs no `.bak` adoption — an unflipped snapshot
+    is simply garbage-collected and the retried batch re-merges against
     the last PUBLISHED version. Single-writer, like the swap sink."""
     from hive_2_spark.streaming.windows import _read_stream_events
 
@@ -249,7 +255,7 @@ def run_upsert_stream_versioned(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        _prune_versions(root)  # drop unpublished orphans from crashes
+        _prune_versions(root, keep_back)  # drop unpublished crash orphans
         batch_latest = _latest_per_user(batch_df)
         cur = current_version_path(root)
         if cur is not None:
@@ -275,7 +281,7 @@ def run_upsert_stream_versioned(
         nxt = _next_version_name(root)
         merged.write.mode("overwrite").parquet(os.path.join(root, nxt))
         _flip_manifest(root, nxt)
-        _prune_versions(root)  # keep current + one back for readers
+        _prune_versions(root, keep_back)  # keep current + keep_back for readers
 
     q = (
         _read_stream_events(spark, sf_dir)

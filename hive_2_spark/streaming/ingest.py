@@ -18,13 +18,10 @@ shared transform lives in ONE function so the faces cannot drift
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_2_spark.catalog import load_table, table_path
+from hive_2_spark.catalog import load_table
 from hive_2_spark.llm.quality import _BLOCK_PM_MAX, _BLOCK_SQL_LIST, _BLOCK_WORDS
 
 
@@ -54,27 +51,11 @@ def stream_doc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _read_stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the documents parquet (symlinked dir, same
-    pattern and stale-file/race guards as serving._read_stream_embeddings)."""
-    static = spark.read.parquet(table_path(sf_dir, "documents"))
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    src_dir = os.path.join(tempfile.gettempdir(), f"hive2spark_doc_{tag}")
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "documents.parquet")
-    target = table_path(sf_dir, "documents")
-    if os.path.lexists(link) and (
-        not os.path.islink(link) or os.readlink(link) != target
-    ):
-        if os.path.isdir(link) and not os.path.islink(link):
-            raise RuntimeError(f"refusing to remove directory at {link}")
-        os.remove(link)
-    if not os.path.lexists(link):
-        try:
-            os.symlink(target, link)
-        except FileExistsError:
-            if os.readlink(link) != target:
-                raise
-    return spark.readStream.schema(static.schema).parquet(src_dir)
+    """readStream over the documents parquet (collision-free symlinked
+    dir — see ``streaming._source``)."""
+    from hive_2_spark.streaming._source import read_stream_table
+
+    return read_stream_table(spark, sf_dir, "documents", "doc")
 
 
 def stream_doc_gate_builder(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,13 +21,8 @@ exact here.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from hive_2_spark.catalog import table_path
 from hive_2_spark.llm.clustering import (
     _KMEANS_CTE,
     _assign,
@@ -50,31 +45,11 @@ def stream_cluster_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _read_stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the embeddings parquet (symlinked dir, like
-    ``streaming.windows._read_stream_events``)."""
-    static = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    src_dir = os.path.join(tempfile.gettempdir(), f"hive2spark_emb_{tag}")
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "embeddings.parquet")
-    target = table_path(sf_dir, "embeddings")
-    # A stale NON-symlink at the path (e.g. a leftover copy) must not be
-    # silently streamed instead of the fixture; remove anything that is
-    # not a link to the current target, then link with a race guard —
-    # concurrent runs may create the link between lexists and symlink.
-    if os.path.lexists(link) and (
-        not os.path.islink(link) or os.readlink(link) != target
-    ):
-        if os.path.isdir(link) and not os.path.islink(link):
-            raise RuntimeError(f"refusing to remove directory at {link}")
-        os.remove(link)
-    if not os.path.lexists(link):
-        try:
-            os.symlink(target, link)
-        except FileExistsError:
-            if os.readlink(link) != target:  # lost the race to a stale link
-                raise
-    return spark.readStream.schema(static.schema).parquet(src_dir)
+    """readStream over the embeddings parquet (collision-free symlinked
+    dir — see ``streaming._source``)."""
+    from hive_2_spark.streaming._source import read_stream_table
+
+    return read_stream_table(spark, sf_dir, "embeddings", "emb")
 
 
 def stream_cluster_monitor_builder(

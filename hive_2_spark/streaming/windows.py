@@ -97,28 +97,11 @@ def _read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FileStreamSource requires a DIRECTORY; the fixture is a single file,
     so it is exposed through a symlinked temp dir (no testdata mutation).
     """
-    import os
-    import tempfile
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(table_path(sf_dir, "events"))
-    # deterministic dir per sf so checkpointed queries can resume against
-    # the same source path across restarts
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    src_dir = os.path.join(tempfile.gettempdir(), f"hive2spark_events_{tag}")
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "events.parquet")
-    target = table_path(sf_dir, "events")
-    # lexists, not exists: a symlink whose old target was deleted (same
-    # basename, regenerated fixture dir) reports exists()=False but still
-    # blocks os.symlink with FileExistsError — replace it.
-    if os.path.islink(link) and os.readlink(link) != target:
-        os.remove(link)
-    if not os.path.lexists(link):
-        os.symlink(target, link)
-    stream = (
-        spark.readStream.schema(static.schema).format("parquet").load(src_dir)
-    )
+    from hive_2_spark.streaming._source import read_stream_table
+
+    stream = read_stream_table(spark, sf_dir, "events", "events")
     # same ts normalization as the batch path (nanos-long vs naive-micros)
     from hive_2_spark.catalog import _normalize_ts
 

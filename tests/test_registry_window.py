@@ -1,5 +1,5 @@
 """The driver's per-round correctness window is the FIRST 50 registry
-keys. Freeze the intended round-4 window so adding keys to a front
+keys. Freeze the intended round-5 window so adding keys to a front
 module (or reordering _MODULES/_FRONT) cannot silently displace
 never-driver-verified keys out of it. New keys belong BEHIND the window
 (see registry._FRONT comment)."""
@@ -11,49 +11,52 @@ from pathlib import Path
 
 from hive_2_spark import registry
 
-# Round-4 window: media_features (the single red row in CORRECTNESS_r03,
-# fixed this round — the driver must re-prove it) + 49 keys that were
-# never inside the r1-r3 driver windows. Update deliberately (with a
-# rotation), never as a side effect of adding an operator.
+# Round-5 window: exactly the 48 keys never inside any r1-r4 driver
+# window, plus the two similarity keys whose oracles were upgraded to
+# full DuckDB replays in round 4 (the driver has only ever rows-checked
+# them). After this round every registry key has been proven by the
+# hard signal at least once. Update deliberately (with a rotation),
+# never as a side effect of adding an operator.
 _WINDOW_50 = [
-    "media_features",
-    "sql_q9_profit_by_nation", "sql_q15_top_supplier",
-    "sql_q16_supplier_diversity", "sql_q17_small_qty_revenue",
-    "sql_q20_volume_suppliers", "sql_q21_waiting_suppliers",
-    "sql_q22_idle_customers",
-    "join_asof", "join_asof_forward", "join_asof_tolerance",
-    "join_asof_nearest", "join_interval_binned",
-    "graph_pagerank", "graph_triangles", "graph_bfs_distance",
-    "cluster_kmeans", "cluster_mix_report", "cluster_kmeans_converged",
-    "ts_resample", "ts_interpolate", "ts_ewma", "ts_anomaly_zscore",
-    "ts_trend", "ts_rollup_cascade", "ts_forecast_linear",
-    "event_transitions", "event_paths", "event_attribution",
-    "event_cohort_ltv",
-    "dedup_incremental", "dedup_containment", "dedup_substring_windows",
-    "cdc_changes", "scd2_dimension",
-    "roundtrip_csv", "roundtrip_json", "roundtrip_orc",
-    "partitioned_write_read", "read_binaryfile", "read_python_datasource",
-    "udf_scalar", "udf_pandas_scalar", "udf_grouped_agg",
-    "udf_grouped_map", "udf_sql_registered", "udf_table",
-    "stream_cluster_monitor",
-    "agg_argmax", "win_median_rolling",
+    "fn_lambda", "fn_variant", "fn_binary", "fn_url", "fn_explode_outer",
+    "fn_from_json",
+    "curation_funnel", "dedup_clusters_semantic", "curriculum_order",
+    "quality_entropy", "emb_pca_power", "emb_whiten",
+    "pivot_wide", "unpivot_long", "pivot_dynamic",
+    "join_salted", "agg_salted",
+    "zorder_layout", "compact_small_files", "catalog_bucketed_join",
+    "agg_histogram", "profile_orders", "quality_expectations",
+    "set_union_by_name", "set_union_all", "set_intersect", "set_except",
+    "set_intersect_all",
+    "agg_bitmap_distinct", "agg_incremental_merge",
+    "win_ntile", "win_distinct_rolling",
+    "token_oov_rate", "sample_source_token_cap", "sample_temperature",
+    "quality_blocklist_words", "dedup_url_canonical",
+    "curation_domain_filter", "mv_join_incremental", "profile_documents",
+    "agg_weighted_median", "agg_weighted_quartiles",
+    "win_global_cumsum", "win_global_rank",
+    "catalog_view", "stream_doc_gate", "dedup_token_sort", "event_rfm",
+    "sim_cosine_lsh", "sim_ivf_topk",
 ]
 
 
-def test_first_50_keys_are_the_round4_window():
+def test_first_50_keys_are_the_round5_window():
     assert list(registry.all_queries())[:50] == _WINDOW_50
 
 
-def test_window_is_never_driver_checked_except_media_features():
-    """Every window key except the deliberate media_features re-prove
-    must be absent from all prior CORRECTNESS reports."""
+def test_window_is_never_driver_hash_checked():
+    """Every window key must be absent from all prior CORRECTNESS
+    reports — except sim_cosine_lsh / sim_ivf_topk, which appeared in
+    r2/r3 windows as rows-only keys and are deliberately re-windowed
+    now that they carry full DuckDB oracles."""
     repo = Path(__file__).resolve().parent.parent
     seen: set[str] = set()
-    for p in sorted(repo.glob("CORRECTNESS_r0[123].json")):
+    for p in sorted(repo.glob("CORRECTNESS_r0[1234].json")):
         seen |= set(json.loads(p.read_text()))
     if not seen:  # reports not present in a bare checkout
         return
-    overlap = (set(_WINDOW_50) & seen) - {"media_features"}
+    rewindowed = {"sim_cosine_lsh", "sim_ivf_topk"}
+    overlap = (set(_WINDOW_50) & seen) - rewindowed
     assert overlap == set(), overlap
 
 
@@ -63,10 +66,11 @@ def test_rows_only_keys_are_deliberate():
     expected = {
         "agg_approx", "agg_sketch_merge", "dedup_minhash_lsh",
         "dedup_simhash",
-        "fingerprint_rolling", "media_features", "media_phash_dedup",
-        # fixpoint k-means: the data-dependent round count is the point
-        # of the key and cannot be a fixed SQL unroll; accuracy is
-        # gated by tests/test_clustering.py instead
+        "media_features", "media_phash_dedup",
+        # fixpoint loops: the data-dependent round count is the point
+        # of these keys and cannot be a fixed SQL unroll; accuracy is
+        # gated by tests/test_clustering.py / tests/test_graph_converged.py
         "cluster_kmeans_converged",
+        "graph_pagerank_converged",
     }
     assert registry.rows_only_keys() == expected

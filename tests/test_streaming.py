@@ -412,13 +412,11 @@ def test_stream_embeddings_link_replaces_stale_nonsymlink(spark):
     """A stale regular FILE at the symlink path must be replaced, not
     silently streamed instead of the fixture (round-3 advice: the old
     lexists-only guard skipped relinking over a non-symlink)."""
-    import tempfile
-
     from hive_2_spark.catalog import table_path
     from hive_2_spark.streaming import serving as sv
+    from hive_2_spark.streaming._source import _source_dir
 
-    tag = os.path.basename(SF_DIR.rstrip("/"))
-    src_dir = os.path.join(tempfile.gettempdir(), f"hive2spark_emb_{tag}")
+    src_dir = _source_dir("emb", SF_DIR)
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "embeddings.parquet")
     if os.path.lexists(link):

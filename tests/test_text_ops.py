@@ -172,3 +172,29 @@ def test_minhash_portable_recall_on_planted_twins(spark):
     near_found = sum((s, s + 10_000_000) in pairs for s in seeds)
     assert exact_found == len(seeds)  # guaranteed by construction
     assert near_found / len(seeds) >= 0.95
+
+
+def test_minhash_lsh_recall_on_planted_twins(spark):
+    """The rows-only pyspark.ml MinHashLSH key's substitute gate
+    (OPERATORS.md rows-only table): planted exact twins (identical
+    text, Jaccard distance 0) MUST all surface as candidate pairs;
+    near twins (one-word suffix edit, distance well under the 0.2
+    join threshold) at >=95% recall across the 5 hash tables."""
+    from hive_2_spark.llm.dedup import corpus_with_dups, dedup_minhash_lsh
+
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    seeds = [
+        r.doc_id
+        for r in corpus_with_dups(spark, SF_DIR)
+        .filter("doc_id % 10 = 0 AND doc_id < 10000000")
+        .select("doc_id")
+        .collect()
+    ]
+    assert seeds
+    exact_found = sum((s, s + 20_000_000) in pairs for s in seeds)
+    near_found = sum((s, s + 10_000_000) in pairs for s in seeds)
+    assert exact_found == len(seeds), f"{exact_found}/{len(seeds)}"
+    assert near_found / len(seeds) >= 0.95, f"{near_found}/{len(seeds)}"
