@@ -146,6 +146,61 @@ def _round6_half_away(a: np.ndarray) -> np.ndarray:
     return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5) / 1e6, a)
 
 
+def _nearest_centroid_rows(
+    x: np.ndarray, cmat: np.ndarray, cn: np.ndarray, c_ids: np.ndarray
+) -> np.ndarray:
+    """Nearest centroid per row of ``x`` under rounded-to-6 cosine —
+    the ONE inversion rule shared by sim_ivf_topk's scoring kernel and
+    ivf_invert (so an incremental index refresh cannot assign a vector
+    differently than a full rebuild would). argmax returns the FIRST
+    max; c_ids ascend, so ties break to the lowest centroid id — the
+    oracle's ROW_NUMBER order."""
+    from hive_2_spark.llm.similarity import _fold_dot, _fold_sq
+
+    nx = np.sqrt(_fold_sq(x))
+    ccos = _round6_half_away(_fold_dot(x, cmat) / (nx[:, None] * cn[None, :]))
+    return c_ids[ccos.argmax(axis=1)]
+
+
+def ivf_centroids(e: DataFrame):
+    """Deterministic id-seeded IVF centroids from a (vec_id, vec)
+    frame: (c_ids asc, cmat, cn) or None if no seeds. MODEL-sized
+    (≤ _IVF_SEED_CAP/50 rows) — safe to collect."""
+    from hive_2_spark.llm.similarity import _fold_sq
+
+    crows = sorted(
+        e.filter(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _IVF_SEED_CAP)
+        )
+        .select("vec_id", "vec")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not crows:
+        return None
+    c_ids = np.array([r.vec_id for r in crows], dtype=np.int64)
+    cmat = np.array([list(r.vec) for r in crows], dtype=np.float64)
+    return c_ids, cmat, np.sqrt(_fold_sq(cmat))
+
+
+def ivf_invert(e: DataFrame, c_ids, cmat, cn) -> DataFrame:
+    """(vec_id, c_id) nearest-centroid inverted list for a (vec_id,
+    vec) frame against FIXED centroids — the index-refresh primitive:
+    run it over just a delta and union with the existing inverted list;
+    because the rule is `_nearest_centroid_rows`, the result equals a
+    full rebuild over corpus+delta (tested in
+    tests/test_corpus_update_pipeline.py)."""
+
+    @F.pandas_udf("bigint")
+    def nearest(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.vstack(vec.to_numpy()).astype(np.float64)
+        return pd.Series(_nearest_centroid_rows(x, cmat, cn, c_ids))
+
+    return e.select("vec_id", nearest("vec").alias("c_id"))
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: centroid inversion + 3-probe search.
 
@@ -179,17 +234,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "q_id long, vec_id long, cos double, rk long"
         )
     qmat, qn = qq
-    crows = sorted(
-        e.filter(
-            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _IVF_SEED_CAP)
-        )
-        .select("vec_id", "vec")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    c_ids = np.array([r.vec_id for r in crows], dtype=np.int64)
-    cmat = np.array([list(r.vec) for r in crows], dtype=np.float64)
-    cn = np.sqrt(_fold_sq(cmat))
+    c_ids, cmat, cn = ivf_centroids(e)
 
     # probe selection: 3 queries x 32 centroids, exact driver-side math
     # with the same fold order and the oracle's (cos desc, c_id asc)
@@ -218,13 +263,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         x = np.vstack(vec.to_numpy()).astype(np.float64)
         nx = np.sqrt(_fold_sq(x))
-        # rounded-to-6 inversion, matching the oracle's ROUND(...) rank
-        ccos = _round6_half_away(
-            _fold_dot(x, cmat) / (nx[:, None] * cn[None, :])
-        )
-        # argmax returns the FIRST max; c_ids ascend, so ties break to
-        # the lowest centroid id — the oracle's ROW_NUMBER order
-        nearest = c_ids[ccos.argmax(axis=1)]
+        # rounded-to-6 inversion shared with ivf_invert (matches the
+        # oracle's ROUND(...) rank)
+        nearest = _nearest_centroid_rows(x, cmat, cn, c_ids)
         qcos_rows = _fold_dot(x, qmat) / (nx[:, None] * qn[None, :])
         return pd.DataFrame({"c_id": nearest, "cos_all": list(qcos_rows)})
 

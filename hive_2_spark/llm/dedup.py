@@ -402,12 +402,22 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: new_id, verdict, match_id.
     """
-    ex = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _NORM(F.col("text")).alias("norm")
+    return classify_against_corpus(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        _new_batch(spark, sf_dir).select("new_id", "text"),
     )
-    nb = _new_batch(spark, sf_dir).select(
-        "new_id", _NORM(F.col("text")).alias("norm")
-    )
+
+
+def classify_against_corpus(ex_docs: DataFrame, nb_docs: DataFrame) -> DataFrame:
+    """The delta-vs-corpus classifier behind :func:`dedup_incremental`,
+    parameterized so a streaming foreachBatch (or any caller with its
+    own corpus/delta split) can reuse the EXACT same rule — the
+    examples/continuous_corpus_update.py composition depends on the
+    batch and streamed faces sharing this one function so they cannot
+    drift. ``ex_docs``: (doc_id, text); ``nb_docs``: (new_id, text).
+    Returns (new_id, verdict, match_id)."""
+    ex = ex_docs.select("doc_id", _NORM(F.col("text")).alias("norm"))
+    nb = nb_docs.select("new_id", _NORM(F.col("text")).alias("norm"))
     exact_min = (
         ex.groupBy(F.md5("norm").alias("fp"))
         .agg(F.min("doc_id").alias("exact_id"))
