@@ -52,6 +52,9 @@ HEADLINE = [
     "cluster_kmeans",       # k-centroid broadcast assignment x2 + recenter
     "dedup_url_canonical",  # parse_url canonicalization + hash agg (r4)
     "win_global_cumsum",    # two-phase global running total (r4)
+    "ts_anomaly_mad",       # median/MAD robust outliers, 3 broadcast passes (r5)
+    "ts_seasonal_decompose",  # one fact agg + metadata re-agg (r5)
+    "retrieval_rrf_fusion", # bm25 + coverage ranker fusion (r5)
 ]
 
 

@@ -209,6 +209,98 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAD_K = 0.6745  # Phi^-1(0.75): scales MAD to sigma-equivalents
+_MAD_CUT = 3.5   # Iglewicz–Hoaglin modified-z threshold
+
+
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers: modified z-score 0.6745*(v − median)/MAD ≥ 3.5
+    per event_type — the median/MAD twin of :func:`ts_anomaly_zscore`
+    for when the mean/stddev are themselves polluted by the outliers.
+
+    Three passes, none fact-shuffled: (1) per-type exact median (hash
+    agg; per-type state is a sort within the aggregate — with a
+    handful of types this is the textbook case for `percentile`; at
+    extreme cardinality you'd swap in the cent-histogram trick from
+    `agg_weighted_median`), (2) broadcast medians back, aggregate
+    |v − med| to the per-type MAD, (3) broadcast both, flag in one
+    codegen pass. The filter compares UNROUNDED modified z on both
+    engines; output rounds only. Types whose MAD is 0 (>50% identical
+    values) are excluded on both sides rather than dividing by zero.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    z = _MAD_K * (F.col("value") - F.col("med")) / F.col("mad")
+    # FLOOR(x*1e4+0.5)/1e4, not ROUND: the doubles are bit-identical
+    # across engines (exact interpolated percentiles), but DuckDB's
+    # ROUND double-rounds through a decimal intermediate and flips
+    # .x49999... boundaries (observed at sf0.1) — the explicit-floor
+    # idiom (same as ts_rollup_cascade's avg) is formula-identical on
+    # both sides.
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(z) >= _MAD_CUT))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.floor(z * 10000.0 + 0.5) / 10000.0).alias("mz"),
+        )
+    )
+
+
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition per event_type: for each
+    (type, hour) cell, the cell mean, its seasonal index (cell mean −
+    type mean), and the within-cell residual stddev — the classic
+    "seasonal profile + residual" table a monitoring pipeline alarms
+    on (is 3am traffic low because it is always low, or anomalously?).
+
+    ONE fact-sized aggregation: the (type, hour) hash agg carries
+    mergeable (n, sum, sum-of-squares) state; the per-type mean is then
+    re-derived from the 24 cell rows (sum of sums / sum of counts — a
+    metadata-sized second agg, NOT a second fact scan) and broadcast
+    back onto the cells. Sums are rounded only at the end.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select("event_type", F.hour("ts").alias("hh"), "value")
+        .groupBy("event_type", "hh")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.stddev_pop("value").alias("sd"),
+        )
+    )
+    tmean = cells.groupBy("event_type").agg(
+        (F.sum("s") / F.sum("n")).alias("type_avg")
+    )
+    return (
+        cells.join(F.broadcast(tmean), "event_type")
+        .select(
+            "event_type",
+            F.col("hh").cast("bigint").alias("hh"),
+            "n",
+            F.round(F.col("s") / F.col("n"), 4).alias("hour_avg"),
+            F.round(F.col("s") / F.col("n") - F.col("type_avg"), 4).alias(
+                "seasonal"
+            ),
+            F.round("sd", 4).alias("resid_std"),
+        )
+    )
+
+
 def ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type linear trend of event value over time (least squares).
 
@@ -320,6 +412,8 @@ QUERIES = {
     "agg_histogram": agg_histogram,
     "ts_ewma": ts_ewma,
     "ts_anomaly_zscore": ts_anomaly_zscore,
+    "ts_anomaly_mad": ts_anomaly_mad,
+    "ts_seasonal_decompose": ts_seasonal_decompose,
     "ts_trend": ts_trend,
     "ts_rollup_cascade": ts_rollup_cascade,
     "ts_forecast_linear": ts_forecast_linear,
@@ -392,6 +486,38 @@ ORACLES = {
         "ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 4) "
         "AS ewma FROM s"
     ),
+    # quantile_cont interpolates like Spark's exact `percentile`; the
+    # modified-z filter compares unrounded doubles on both engines
+    "ts_anomaly_mad": f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       FLOOR({_MAD_K} * (e.value - m.med) / d.mad * 10000.0 + 0.5)
+         / 10000.0 AS mz
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE d.mad > 0
+  AND abs({_MAD_K} * (e.value - m.med) / d.mad) >= {_MAD_CUT}
+""",
+    "ts_seasonal_decompose": """
+WITH cells AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hh,
+         COUNT(*) AS n, SUM(value) AS s, stddev_pop(value) AS sd
+  FROM events GROUP BY 1, 2
+), tmean AS (
+  SELECT event_type, SUM(s) / SUM(n) AS type_avg FROM cells
+  GROUP BY event_type
+)
+SELECT c.event_type, CAST(c.hh AS BIGINT) AS hh, c.n,
+       ROUND(c.s / c.n, 4) AS hour_avg,
+       ROUND(c.s / c.n - t.type_avg, 4) AS seasonal,
+       ROUND(c.sd, 4) AS resid_std
+FROM cells c JOIN tmean t USING (event_type)
+""",
     "ts_trend": (
         "SELECT event_type, CAST(regr_count(y, x) AS BIGINT) AS n, "
         "ROUND(regr_slope(y, x), 6) AS slope, "

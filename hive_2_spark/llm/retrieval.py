@@ -45,14 +45,10 @@ def _query_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(_QUERIES, "query_id int, term string")
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-5 docs per query (k1=1.2, b=0.75).
-
-    idf = ln(1 + (N - df + 0.5)/(df + 0.5));
-    score(d,q) = sum over query terms of
-        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
-    Ties broken by doc_id so top-k is a total order.
-    """
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score): the BM25 scorer behind bm25_topk,
+    shared with retrieval_rrf_fusion so the fused ranking can never
+    drift from the standalone one."""
     d = load_table(spark, sf_dir, "documents")
     terms = [t for _, t in _QUERIES]
     words = F.split(F.col("text"), " ")
@@ -97,6 +93,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
+    return scored
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 docs per query (k1=1.2, b=0.75).
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5));
+    score(d,q) = sum over query terms of
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    Ties broken by doc_id so top-k is a total order.
+    """
+    scored = _bm25_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -105,6 +113,88 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPK)
         .select(
             "query_id", "doc_id", "score", F.col("rank").cast("bigint").alias("rank")
+        )
+    )
+
+
+_RRF_K = 60       # the standard RRF damping constant
+_FUSE_DEPTH = 20  # per-ranker candidate depth fed into the fusion
+
+
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers: BM25 and a term-coverage
+    ranker (distinct query terms matched DESC, doc length ASC — the
+    'short doc containing everything' signal). Each ranker contributes
+    1/(60+rank) for its top-20; docs outside a ranker's list get no
+    contribution from it. The standard zero-tuning way to combine a
+    lexical and a secondary signal before an expensive reranker.
+
+    Scale: both rankers reduce to query-term postings (isin BEFORE any
+    exchange), fusion is a full-outer join of two (query, doc, rank)
+    frames already capped at depth x |queries| rows — metadata-sized
+    regardless of corpus; the final top-k is the same per-query window
+    as every other ranker here.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    terms = [t for _, t in _QUERIES]
+    q = _query_df(spark)
+
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    bm25 = (
+        _bm25_scored(spark, sf_dir)
+        .withColumn("r_bm25", F.row_number().over(wb))
+        .filter(F.col("r_bm25") <= _FUSE_DEPTH)
+        .select("query_id", "doc_id", "r_bm25")
+    )
+
+    postings = (
+        d.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("dl"),
+            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term").isin(terms))
+    )
+    cov = (
+        postings.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("n_hit").desc(), F.col("dl").asc(), F.col("doc_id").asc()
+    )
+    cov_r = (
+        cov.withColumn("r_cov", F.row_number().over(wc))
+        .filter(F.col("r_cov") <= _FUSE_DEPTH)
+        .select("query_id", "doc_id", "r_cov")
+    )
+
+    fused = (
+        bm25.join(cov_r, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("r_bm25")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("r_cov")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf",
+            F.col("rank").cast("bigint").alias("rank"),
         )
     )
 
@@ -140,13 +230,15 @@ def keyword_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "bm25_topk": bm25_topk,
     "keyword_search_and": keyword_search_and,
+    "retrieval_rrf_fusion": retrieval_rrf_fusion,
 }
 
 _QUERY_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _QUERIES)
 
-ORACLES = {
-    "bm25_topk": f"""
-WITH q(query_id, term) AS (VALUES {_QUERY_VALUES}),
+# the BM25 scorer CTE chain, shared by the bm25_topk and
+# retrieval_rrf_fusion oracles exactly as _bm25_scored is on the Spark side
+_BM25_SCORED_CTES = f"""
+q(query_id, term) AS (VALUES {_QUERY_VALUES}),
 w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ), stats AS (
@@ -171,11 +263,55 @@ w AS (
                6) AS score
   FROM tf JOIN q USING (term) JOIN idf USING (term)
   GROUP BY q.query_id, tf.doc_id
-)
+)"""
+
+ORACLES = {
+    "bm25_topk": f"""
+WITH {_BM25_SCORED_CTES}
 SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY score DESC, doc_id ASC) AS rnk
   FROM scored
+) WHERE rnk <= {_TOPK}
+""",
+    "retrieval_rrf_fusion": f"""
+WITH {_BM25_SCORED_CTES},
+bm25 AS (
+  SELECT query_id, doc_id, rnk AS r_bm25 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_FUSE_DEPTH}
+),
+cp AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM documents
+),
+cov AS (
+  SELECT q.query_id, cp.doc_id, cp.dl, COUNT(*) AS n_hit
+  FROM cp JOIN q USING (term)
+  GROUP BY q.query_id, cp.doc_id, cp.dl
+),
+cov_r AS (
+  SELECT query_id, doc_id, rnk AS r_cov FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY n_hit DESC, dl ASC, doc_id ASC) AS rnk
+    FROM cov
+  ) WHERE rnk <= {_FUSE_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(b.query_id, c.query_id) AS query_id,
+         COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({_RRF_K} + b.r_bm25), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + c.r_cov), 0.0), 6) AS rrf
+  FROM bm25 b FULL OUTER JOIN cov_r c
+    ON b.query_id = c.query_id AND b.doc_id = c.doc_id
+)
+SELECT query_id, doc_id, rrf, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf DESC, doc_id ASC) AS rnk
+  FROM fused
 ) WHERE rnk <= {_TOPK}
 """,
     "keyword_search_and": f"""

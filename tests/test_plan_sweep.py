@@ -27,6 +27,8 @@ CARTESIAN_OK = {
                             # plan a scalar subquery compiles to
     "bm25_topk",            # 1-row broadcast (N, avgdl) corpus stats —
                             # same scalar-subquery shape as tfidf
+    "retrieval_rrf_fusion", # embeds the bm25 scorer, so the same 1-row
+                            # corpus-stats broadcast appears in its plan
     "quality_lm_score",     # 1-row broadcast corpus-total scalar
     "emb_pca_power",        # 1-row broadcast direction vector per step
     "emb_whiten",           # same 1-row direction broadcast
