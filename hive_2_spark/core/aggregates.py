@@ -351,6 +351,67 @@ def agg_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_quantile_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed quantiles from MERGEABLE shard states — the
+    portable counterpart of the HLL `agg_sketch_merge` key (this one
+    oracle-checks fully, because the state is a cent histogram, not an
+    engine-internal sketch).
+
+    One fact-sized pass builds per-(month, cent) counts — each month's
+    histogram is a self-contained partial state a shard could persist.
+    Per-shard p25/p50/p75 read off each state; the GLOBAL quartiles
+    come from MERGING the states (re-aggregating the histograms by
+    cent) — the facts are never rescanned. Cent buckets are exact for
+    2-decimal prices and counts are integers, so every comparison is
+    exact; this is how you get exact corpus-wide percentiles at 100 TB
+    without ever sorting rows or funneling them to one partition.
+    Output: one row per month shard + an 'ALL' row from the merge."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    hist = (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("shard"),
+            cents.alias("cent"),
+        )
+        .groupBy("shard", "cent")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+    )
+    merged = (
+        hist.groupBy("cent")
+        .agg(F.sum("bucket_n").alias("bucket_n"))
+        .withColumn("shard", F.lit("ALL"))
+        .select("shard", "cent", "bucket_n")
+    )
+    both = hist.unionByName(merged)
+    wshard = Window.partitionBy("shard")
+    wcum = wshard.orderBy("cent").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = both.withColumn("cum_n", F.sum("bucket_n").over(wcum)).withColumn(
+        "total_n", F.sum("bucket_n").over(wshard)
+    )
+
+    def _q(cond):
+        return F.min(F.when(cond, F.col("cent")))
+
+    return (
+        ranked.groupBy("shard")
+        .agg(
+            F.max("total_n").cast("bigint").alias("n"),
+            _q(F.col("cum_n") * 4 >= F.col("total_n")).alias("c25"),
+            _q(F.col("cum_n") * 2 >= F.col("total_n")).alias("c50"),
+            _q(F.col("cum_n") * 4 >= F.col("total_n") * 3).alias("c75"),
+        )
+        .select(
+            "shard",
+            "n",
+            (F.col("c25").cast("double") / 100.0).alias("p25"),
+            (F.col("c50").cast("double") / 100.0).alias("p50"),
+            (F.col("c75").cast("double") / 100.0).alias("p75"),
+        )
+    )
+
+
 QUERIES = {
     "agg_groupby": agg_groupby,
     "agg_argmax": agg_argmax,
@@ -370,9 +431,39 @@ QUERIES = {
     "agg_incremental_merge": agg_incremental_merge,
     "agg_weighted_median": agg_weighted_median,
     "agg_weighted_quartiles": agg_weighted_quartiles,
+    "agg_quantile_shard_merge": agg_quantile_shard_merge,
 }
 
 ORACLES = {
+    "agg_quantile_shard_merge": """
+WITH hist AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS shard,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cent,
+         COUNT(*) AS bucket_n
+  FROM orders GROUP BY 1, 2
+),
+u AS (
+  SELECT shard, cent, bucket_n FROM hist
+  UNION ALL
+  SELECT 'ALL' AS shard, cent, SUM(bucket_n) AS bucket_n
+  FROM hist GROUP BY cent
+),
+r AS (
+  SELECT shard, cent,
+         SUM(bucket_n) OVER (PARTITION BY shard ORDER BY cent
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         SUM(bucket_n) OVER (PARTITION BY shard) AS total_n
+  FROM u
+)
+SELECT shard, CAST(MAX(total_n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cum_n * 4 >= total_n THEN cent END) AS DOUBLE)
+         / 100.0 AS p25,
+       CAST(MIN(CASE WHEN cum_n * 2 >= total_n THEN cent END) AS DOUBLE)
+         / 100.0 AS p50,
+       CAST(MIN(CASE WHEN cum_n * 4 >= total_n * 3 THEN cent END) AS DOUBLE)
+         / 100.0 AS p75
+FROM r GROUP BY shard
+""",
     "agg_weighted_quartiles": """
 WITH hist AS (
   SELECT l_returnflag,

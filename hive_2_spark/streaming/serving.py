@@ -71,9 +71,65 @@ def stream_cluster_monitor_builder(
     )
 
 
+def stream_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face: per-type anomaly census (count + worst modified z)
+    under the median/MAD model of ``core.timeseries.ts_anomaly_mad`` —
+    the robust-outlier twin of the k-means drift monitor above."""
+    from hive_2_spark.core.timeseries import ts_anomaly_mad
+
+    a = ts_anomaly_mad(spark, sf_dir)
+    return a.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_anomalies"),
+        F.max(F.abs(F.col("mz"))).alias("max_abs_mz"),
+    )
+
+
+def stream_anomaly_monitor_builder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming face: (median, MAD) fit on the static table at plan
+    build — per-type model state the size of the type dimension — then
+    each micro-batch is flagged through a stream-static broadcast join
+    and rolled up in complete mode. Same scale shape as the cluster
+    monitor: per-batch cost is a map pass + a |types|-row aggregate."""
+    from hive_2_spark.catalog import table_path
+    from hive_2_spark.core.timeseries import _MAD_CUT, _MAD_K
+    from hive_2_spark.streaming.windows import _read_stream_events
+
+    e_static = spark.read.parquet(table_path(sf_dir, "events"))
+    med = e_static.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e_static.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    stats = med.join(mad, "event_type").filter(F.col("mad") > 0)
+    stream = _read_stream_events(spark, sf_dir).select("event_type", "value")
+    z = _MAD_K * (F.col("value") - F.col("med")) / F.col("mad")
+    flagged = (
+        stream.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) >= _MAD_CUT)
+        .select(
+            "event_type",
+            (F.floor(z * 10000.0 + 0.5) / 10000.0).alias("mz"),
+        )
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_anomalies"),
+        F.max(F.abs(F.col("mz"))).alias("max_abs_mz"),
+    )
+
+
 QUERIES = {
     "stream_cluster_monitor": stream_cluster_monitor,
+    "stream_anomaly_monitor": stream_anomaly_monitor,
 }
+
+from hive_2_spark.core.timeseries import _MAD_CUT as _CUT  # noqa: E402
+from hive_2_spark.core.timeseries import _MAD_K as _K  # noqa: E402
 
 ORACLES = {
     "stream_cluster_monitor": (
@@ -81,4 +137,23 @@ ORACLES = {
         "SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n, "
         "ROUND(AVG(d2), 4) AS avg_d2 FROM a2 GROUP BY 1"
     ),
+    "stream_anomaly_monitor": f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+), a AS (
+  SELECT e.event_type,
+         FLOOR({_K} * (e.value - m.med) / d.mad * 10000.0 + 0.5)
+           / 10000.0 AS mz
+  FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+  WHERE d.mad > 0
+    AND abs({_K} * (e.value - m.med) / d.mad) >= {_CUT}
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_anomalies,
+       MAX(ABS(mz)) AS max_abs_mz
+FROM a GROUP BY event_type
+""",
 }

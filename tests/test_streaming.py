@@ -173,6 +173,16 @@ _EQUIV_CASES = {
             "hive_2_spark.streaming.ingest", fromlist=["ingest"]
         ).stream_doc_gate(s, SF_DIR),
     },
+    "anomaly_monitor": {
+        "builder": lambda s: __import__(
+            "hive_2_spark.streaming.serving", fromlist=["serving"]
+        ).stream_anomaly_monitor_builder(s, SF_DIR),
+        "mode": "complete",
+        "stream_sql": "SELECT event_type, n_anomalies, max_abs_mz FROM {t}",
+        "batch": lambda s: __import__(
+            "hive_2_spark.streaming.serving", fromlist=["serving"]
+        ).stream_anomaly_monitor(s, SF_DIR),
+    },
     "dedup": {
         "builder": lambda s: sw.stream_dedup_builder(s, SF_DIR),
         "mode": "append",
