@@ -122,6 +122,44 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_FUNNEL)
 
 
+# Windowed funnel: conversion only counts if it happens INSIDE the time
+# budget — first click within 1 hour of the first view, first purchase
+# within 24 hours of that click (the product-analytics semantics; the
+# plain funnel above accepts any later conversion). Portable SQL
+# (conditional MIN + interval arithmetic), one string for both engines.
+# Scale: three aggregations all keyed on user_id — after the first
+# shuffle the stage joins are co-partitioned on the same key, and each
+# stage output is one row per surviving user, strictly shrinking.
+_FUNNEL_WINDOWED = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+    AND e.ts <= v.t_view + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+    AND e.ts <= c.t_click + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_1h,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_24h
+"""
+
+
+def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_FUNNEL_WINDOWED)
+
+
 def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort triangle: users by first-seen epoch-week x epoch-week offset."""
     e = load_table(spark, sf_dir, "events")
@@ -419,6 +457,7 @@ def event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "event_sessionize": event_sessionize,
     "event_funnel": event_funnel,
+    "event_funnel_windowed": event_funnel_windowed,
     "event_retention": event_retention,
     "event_transitions": event_transitions,
     "event_paths": event_paths,
@@ -460,6 +499,7 @@ FROM per_user, anchor
 """,
     "event_sessionize": _SESSIONIZE_ORACLE,
     "event_funnel": _FUNNEL,
+    "event_funnel_windowed": _FUNNEL_WINDOWED,
     "event_retention": _RETENTION_ORACLE,
     "event_transitions": _TRANSITIONS_ORACLE,
     "event_paths": _PATHS_ORACLE,
