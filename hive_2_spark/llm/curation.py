@@ -347,6 +347,69 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# target language mixture (percent) for curation_mixture_balance
+_MIX_PCT = {"en": 40, "de": 15, "fr": 15, "es": 15, "zh": 15}
+
+
+def curation_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture balancer: select the LARGEST corpus
+    subset whose language shares hit the target percentages exactly
+    (en 40 / de 15 / fr 15 / es 15 / zh 15). The selection budget is
+    B = min over langs of (n_lang * 100 div pct) and each lang keeps
+    its first (pct * B div 100) docs in md5 order — all INTEGER
+    arithmetic, so no float quota boundary exists on either engine.
+
+    Scale: per-lang selection ranks are computed with the bucketed
+    prefix trick from ``win_global_rank`` — rank within (lang, 2-hex
+    md5 bucket) plus metadata-sized exclusive prefix offsets — NOT a
+    per-lang global sort (5 corpus-sized hot partitions at 100 TB, the
+    single-partition-window trap). Per-lang counts and the global
+    budget are scalar state broadcast back onto the scan. The oracle
+    is the naive single-window plan this must equal.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    wdf = spark.createDataFrame(
+        list(_MIX_PCT.items()), "lang string, pct long"
+    )
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    caps = counts.join(F.broadcast(wdf), "lang").select(
+        "lang", "pct", F.expr("n_l * 100 div pct").alias("cap")
+    )
+    budget = caps.agg(F.min("cap").alias("budget"))  # 1-row scalar
+    quota = (
+        caps.crossJoin(F.broadcast(budget))
+        .select("lang", F.expr("pct * budget div 100").alias("quota"))
+    )
+    # bucketed per-lang rank: bucket-local row_number + prefix offsets
+    b = d.withColumn("bk", F.substring("h", 1, 2))
+    bcounts = b.groupBy("lang", "bk").agg(F.count(F.lit(1)).alias("bn"))
+    woff = (
+        Window.partitionBy("lang")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.withColumn(
+        "off", F.coalesce(F.sum("bn").over(woff), F.lit(0))
+    ).select("lang", "bk", "off")
+    wrank = Window.partitionBy("lang", "bk").orderBy("h", "doc_id")
+    ranked = (
+        b.withColumn("rk", F.row_number().over(wrank))
+        .join(F.broadcast(offsets), ["lang", "bk"])
+        .select(
+            "doc_id", "lang", (F.col("off") + F.col("rk")).alias("sel_rank")
+        )
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("sel_rank") <= F.col("quota"))
+        .select("doc_id", "lang", F.col("sel_rank").cast("bigint").alias("sel_rank"))
+    )
+
+
 QUERIES = {
     "pii_redact": pii_redact,
     "doc_split": doc_split,
@@ -359,9 +422,38 @@ QUERIES = {
     # _FRONT (like this one) enter the registry behind it.
     "sample_source_token_cap": sample_source_token_cap,
     "sample_temperature": sample_temperature,
+    "curation_mixture_balance": curation_mixture_balance,
 }
 
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_PCT.items())
+
 ORACLES = {
+    # Naive single-window plan the bucketed-prefix implementation must
+    # equal (same relationship as win_global_rank and its oracle).
+    "curation_mixture_balance": f"""
+WITH w(lang, pct) AS (VALUES {_MIX_VALUES}),
+d AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+),
+counts AS (SELECT lang, COUNT(*) AS n_l FROM d GROUP BY lang),
+caps AS (
+  SELECT c.lang, w.pct, c.n_l * 100 // w.pct AS cap
+  FROM counts c JOIN w USING (lang)
+),
+budget AS (SELECT MIN(cap) AS budget FROM caps),
+quota AS (
+  SELECT lang, pct * b.budget // 100 AS quota FROM caps, budget b
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+           AS sel_rank
+  FROM d
+)
+SELECT r.doc_id, r.lang, CAST(r.sel_rank AS BIGINT) AS sel_rank
+FROM ranked r JOIN quota q USING (lang)
+WHERE r.sel_rank <= q.quota
+""",
     # Thresholds replay the 1/sqrt(p) derivation (correctly-rounded IEEE
     # ops — bit-identical to Spark); the md5-prefix integer is parsed by
     # positional hex arithmetic (DuckDB cannot cast hex strings/blobs to

@@ -34,6 +34,7 @@ CARTESIAN_OK = {
     "emb_whiten",           # same 1-row direction broadcast
     "event_rfm",            # 1-row broadcast global max-ts anchor —
                             # the scalar-subquery shape again
+    "curation_mixture_balance",  # 1-row broadcast global budget scalar
 }
 PYTHON_OK = {
     "udf_scalar",
