@@ -183,6 +183,112 @@ def ivf_centroids(e: DataFrame):
     return c_ids, cmat, np.sqrt(_fold_sq(cmat))
 
 
+_PQ_SUB = 8      # subspaces (64-dim -> 8 slices of 8)
+_PQ_DIMS = 8     # dims per subspace
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 8-byte codes + asymmetric-distance
+    top-5 — the memory-compression path of the similarity family (IVF
+    prunes WHICH vectors to score; PQ shrinks WHAT is stored: 64
+    doubles -> 8 code bytes, a 64x reduction that is the difference
+    between an in-memory index and spilling at 100 TB).
+
+    Codebooks are id-seeded like the IVF centroids (codeword j of
+    subspace s = the 8-dim slice s of seed vector j) — deterministic,
+    so DuckDB replays the whole encode+search. Encoding assigns each
+    vector's slice to its nearest codeword by squared L2, computed as
+    aa - 2ab + bb from fold-order dot products and ROUNDED to 6 before
+    the argmin (the same rank-robustness rule as the IVF oracle, ties
+    to the lowest codeword id). Search: per-query lookup tables
+    (3 x 8 x 32 doubles — driver model state) turn distance into 8
+    table gathers per row inside one Arrow kernel; only (vec_id,
+    8 codes) ever exists corpus-wide, vectors are never re-read.
+    Per-subspace distances are rounded to 6 (identical on both
+    engines) before the 8-term ADC sum, which is rounded to 4 for the
+    rank. Exactness is NOT the goal — test_ann_recall.py gates planted-
+    twin recovery (uniform random fixture vectors concentrate pairwise
+    distances, so generic top-k recall is uninformative; production PQ
+    shortlists then exactly re-ranks); THIS key's oracle proves the
+    pipeline (encode, LUT, ADC rank) is computed exactly as specified.
+    """
+    from hive_2_spark.llm.similarity import (
+        _collect_queries,
+        _fold_dot,
+        _fold_sq,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", _as_double(F.col("embedding"))
+    )
+    qq = _collect_queries(e)
+    if qq is None:
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, adc double, rk long"
+        )
+    qmat, _qn = qq
+    cents = ivf_centroids(e)
+    c_ids, cmat, _cn = cents
+    # codebooks[s]: (32, 8) slice s of each seed vector
+    books = [
+        cmat[:, s * _PQ_DIMS : (s + 1) * _PQ_DIMS] for s in range(_PQ_SUB)
+    ]
+    bb = [_fold_sq(b) for b in books]  # (32,) codeword self-dots
+
+    def _sub_d2(x_s: np.ndarray, s: int) -> np.ndarray:
+        """(n, 32) rounded squared L2 between rows of x_s and book s,
+        via aa - 2ab + bb with fold-order dots (both engines
+        identical)."""
+        aa = _fold_sq(x_s)
+        ab = _fold_dot(x_s, books[s])
+        return _round6_half_away(aa[:, None] - 2.0 * ab + bb[s][None, :])
+
+    # per-query LUTs: d2 between query slice s and every codeword
+    lut = np.stack(
+        [
+            np.stack(
+                [
+                    _sub_d2(qmat[q : q + 1, s * _PQ_DIMS : (s + 1) * _PQ_DIMS], s)[0]
+                    for s in range(_PQ_SUB)
+                ]
+            )
+            for q in range(qmat.shape[0])
+        ]
+    )  # (n_q, 8, 32)
+    n_q = qmat.shape[0]
+
+    @F.pandas_udf("adc_all array<double>")
+    def encode_score(vec: pd.Series) -> pd.DataFrame:
+        if len(vec) == 0:
+            return pd.DataFrame({"adc_all": pd.Series([], dtype=object)})
+        x = np.vstack(vec.to_numpy()).astype(np.float64)
+        adc = np.zeros((x.shape[0], n_q), dtype=np.float64)
+        for s in range(_PQ_SUB):
+            d2 = _sub_d2(x[:, s * _PQ_DIMS : (s + 1) * _PQ_DIMS], s)
+            codes = d2.argmin(axis=1)  # first min = lowest codeword id
+            # gather the rounded per-subspace term for every query
+            adc += lut[:, s, :][:, codes].T
+        return pd.DataFrame({"adc_all": list(adc)})
+
+    scored = e.withColumn("s", encode_score("vec")).select(
+        "vec_id", F.col("s.adc_all").alias("adc_all")
+    )
+    pairs = scored.select(
+        "vec_id", F.posexplode("adc_all").alias("q_id", "adc_raw")
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    w = W.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        pairs.select(
+            F.col("q_id").cast("long").alias("q_id"),
+            "vec_id",
+            (F.floor(F.col("adc_raw") * 10000.0 + 0.5) / 10000.0).alias("adc"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "vec_id", "adc", "rk")
+    )
+
+
 def ivf_invert(e: DataFrame, c_ids, cmat, cn) -> DataFrame:
     """(vec_id, c_id) nearest-centroid inverted list for a (vec_id,
     vec) frame against FIXED centroids — the index-refresh primitive:
@@ -488,6 +594,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_embedding": dedup_embedding,
     "sim_ivf_topk": sim_ivf_topk,  # recall ALSO asserted vs brute force
+    "sim_pq_topk": sim_pq_topk,    # recall gated in test_ann_recall.py
     "dedup_clusters": dedup_clusters,
     "sample_stratified": sample_stratified,
     "dedup_levenshtein": dedup_levenshtein,
@@ -600,6 +707,54 @@ SELECT q_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM (
          ROW_NUMBER() OVER (PARTITION BY q_id
            ORDER BY cos DESC, vec_id ASC) AS rk
   FROM cands
+) WHERE rk <= 5
+""",
+    # PQ replay: id-seeded codebooks, rounded-6 per-subspace d2
+    # (aa - 2ab + bb, fold-order dots), ordered 8-term fold for the ADC
+    # sum (list_reduce over s-ordered list == numpy's ascending
+    # accumulation), floor-round to 4 for the rank.
+    "sim_pq_topk": f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+           AS vec FROM embeddings),
+seeds AS (SELECT vec_id AS c_id, vec AS c_vec FROM e
+          WHERE vec_id % 50 = 0 AND vec_id < {_IVF_SEED_CAP}),
+sub AS (
+  SELECT e.vec_id, s.s, sd.c_id,
+         ROUND(
+           list_dot_product(list_slice(e.vec, s.s * 8 + 1, s.s * 8 + 8),
+                            list_slice(e.vec, s.s * 8 + 1, s.s * 8 + 8))
+           - 2 * list_dot_product(
+               list_slice(e.vec, s.s * 8 + 1, s.s * 8 + 8),
+               list_slice(sd.c_vec, s.s * 8 + 1, s.s * 8 + 8))
+           + list_dot_product(
+               list_slice(sd.c_vec, s.s * 8 + 1, s.s * 8 + 8),
+               list_slice(sd.c_vec, s.s * 8 + 1, s.s * 8 + 8)), 6) AS d2
+  FROM e
+  CROSS JOIN (SELECT unnest(range(0, {_PQ_SUB})) AS s) s
+  CROSS JOIN seeds sd
+),
+codes AS (
+  SELECT vec_id, s, c_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+              ORDER BY d2 ASC, c_id ASC) AS rk
+    FROM sub
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT vec_id AS q_id, s, c_id, d2 FROM sub WHERE vec_id < 3
+),
+adc AS (
+  SELECT l.q_id, c.vec_id,
+         FLOOR(list_reduce(list(l.d2 ORDER BY c.s), (a, b) -> a + b)
+               * 10000.0 + 0.5) / 10000.0 AS adc
+  FROM codes c JOIN lut l ON l.s = c.s AND l.c_id = c.c_id
+  WHERE c.vec_id != l.q_id
+  GROUP BY l.q_id, c.vec_id
+)
+SELECT q_id, vec_id, adc, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY adc ASC, vec_id ASC) AS rk
+  FROM adc
 ) WHERE rk <= 5
 """,
     "dedup_levenshtein": (

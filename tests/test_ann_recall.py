@@ -63,3 +63,49 @@ def test_lsh_candidates_subset_semantics(spark):
         key = (r["q_id"], r["vec_id"])
         if key in exact:
             assert abs(exact[key] - r["cos"]) < 1e-9
+
+
+def test_pq_recovers_planted_twins(spark):
+    """PQ quality gate: a near-twin (cos ~0.995, tiny L2 gap) must land
+    in the ADC top-5 of its seed for EVERY planted twin — quantization
+    maps near-identical slices to the same codes, so the twin sits in
+    the query's own code cell. (Uniform random vectors concentrate
+    pairwise distances, so generic top-k recall is not meaningful on
+    this fixture; in production PQ produces a shortlist that is exactly
+    re-ranked. sim_pq_topk's DuckDB oracle separately proves the
+    encode/LUT/ADC pipeline is computed exactly as specified.)"""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import hive_2_spark.llm.advanced as A
+    from hive_2_spark.catalog import load_table
+    from hive_2_spark.llm.similarity import _fold_dot, _fold_sq
+
+    tw = A.embeddings_with_twins(spark, SF_DIR).collect()
+    ids = np.array([r.vec_id for r in tw])
+    X = np.array([list(r.vec) for r in tw], dtype=np.float64)
+    e = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "vec", A._as_double(F.col("embedding"))
+    )
+    _c_ids, cmat, _cn = A.ivf_centroids(e)
+    books = [cmat[:, s * 8:(s + 1) * 8] for s in range(A._PQ_SUB)]
+
+    def subd2(xs, s):
+        aa, ab, bb = _fold_sq(xs), _fold_dot(xs, books[s]), _fold_sq(books[s])
+        return A._round6_half_away(aa[:, None] - 2.0 * ab + bb[None, :])
+
+    codes = np.zeros((X.shape[0], A._PQ_SUB), dtype=int)
+    for s in range(A._PQ_SUB):
+        codes[:, s] = subd2(X[:, s * 8:(s + 1) * 8], s).argmin(axis=1)
+    seeds = [i for i in range(len(ids))
+             if ids[i] % 25 == 0 and ids[i] < 1_000_000]
+    assert seeds
+    for si in seeds:
+        lut = np.stack(
+            [subd2(X[si:si + 1, s * 8:(s + 1) * 8], s)[0]
+             for s in range(A._PQ_SUB)]
+        )
+        adc = lut[np.arange(A._PQ_SUB)[:, None], codes.T].sum(axis=0)
+        adc[si] = np.inf
+        top5 = set(int(t) for t in ids[np.argsort(adc)[:5]])
+        assert int(ids[si]) + 1_000_000 in top5, ids[si]
