@@ -55,6 +55,8 @@ HEADLINE = [
     "ts_anomaly_mad",       # median/MAD robust outliers, 3 broadcast passes (r5)
     "ts_seasonal_decompose",  # one fact agg + metadata re-agg (r5)
     "retrieval_rrf_fusion", # bm25 + coverage ranker fusion (r5)
+    "sim_pq_topk",          # PQ encode + LUT ADC scoring Arrow kernel (r5)
+    "curation_mixture_balance",  # bucketed per-lang rank + integer quotas (r5)
 ]
 
 

@@ -166,6 +166,10 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.lit(1.0))
         .localCheckpoint()
     )
+    if ranks.isEmpty():  # empty graph: empty result, right schema
+        return spark.createDataFrame(
+            [], "node string, rank double, rounds long"
+        )
     rounds = 0
     for _ in range(_CONV_MAX_ROUNDS):
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
@@ -200,7 +204,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         raise RuntimeError(
             f"PageRank did not converge in {_CONV_MAX_ROUNDS} rounds "
-            f"(last delta {delta})"
+            f"(last delta {probe['d']}, max rank {probe['m']})"
         )
     out = ranks.select(
         _node_label("src").alias("node"), F.round("rank", 6).alias("rank")

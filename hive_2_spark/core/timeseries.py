@@ -268,34 +268,45 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (is 3am traffic low because it is always low, or anomalously?).
 
     ONE fact-sized aggregation: the (type, hour) hash agg carries
-    mergeable (n, sum, sum-of-squares) state; the per-type mean is then
+    mergeable (n, cent-sum, stddev) state; the per-type mean is then
     re-derived from the 24 cell rows (sum of sums / sum of counts — a
     metadata-sized second agg, NOT a second fact scan) and broadcast
-    back onto the cells. Sums are rounded only at the end.
+    back onto the cells. Values are 2-decimal, so the cell sums are
+    EXACT INTEGER CENTS — order-independent across engines, no
+    float-summation boundary exists for the means (the lesson from the
+    first cut of this op: a double SUM drifted one ULP and flipped a
+    ROUND(...,4) at sf0.001). stddev keeps the usual rounded-double
+    treatment.
     """
     e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     cells = (
-        e.select("event_type", F.hour("ts").alias("hh"), "value")
+        e.select("event_type", F.hour("ts").alias("hh"), "value",
+                 cents.alias("vc"))
         .groupBy("event_type", "hh")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("s"),
+            F.sum("vc").alias("sc"),
             F.stddev_pop("value").alias("sd"),
         )
     )
     tmean = cells.groupBy("event_type").agg(
-        (F.sum("s") / F.sum("n")).alias("type_avg")
+        F.sum("sc").alias("tsc"), F.sum("n").alias("tn")
     )
+    hour_avg_raw = F.col("sc").cast("double") / (100.0 * F.col("n"))
+    type_avg_raw = F.col("tsc").cast("double") / (100.0 * F.col("tn"))
+
+    def _r4(c):
+        return F.floor(c * 10000.0 + 0.5) / 10000.0
+
     return (
         cells.join(F.broadcast(tmean), "event_type")
         .select(
             "event_type",
             F.col("hh").cast("bigint").alias("hh"),
             "n",
-            F.round(F.col("s") / F.col("n"), 4).alias("hour_avg"),
-            F.round(F.col("s") / F.col("n") - F.col("type_avg"), 4).alias(
-                "seasonal"
-            ),
+            _r4(hour_avg_raw).alias("hour_avg"),
+            _r4(hour_avg_raw - type_avg_raw).alias("seasonal"),
             F.round("sd", 4).alias("resid_std"),
         )
     )
@@ -503,18 +514,25 @@ FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
 WHERE d.mad > 0
   AND abs({_MAD_K} * (e.value - m.med) / d.mad) >= {_MAD_CUT}
 """,
+    # exact integer cent sums (order-independent); divisions and the
+    # FLOOR rounding are expression-identical to the Spark side
     "ts_seasonal_decompose": """
 WITH cells AS (
   SELECT event_type, EXTRACT(hour FROM ts) AS hh,
-         COUNT(*) AS n, SUM(value) AS s, stddev_pop(value) AS sd
+         COUNT(*) AS n,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sc,
+         stddev_pop(value) AS sd
   FROM events GROUP BY 1, 2
 ), tmean AS (
-  SELECT event_type, SUM(s) / SUM(n) AS type_avg FROM cells
+  SELECT event_type, SUM(sc) AS tsc, SUM(n) AS tn FROM cells
   GROUP BY event_type
 )
 SELECT c.event_type, CAST(c.hh AS BIGINT) AS hh, c.n,
-       ROUND(c.s / c.n, 4) AS hour_avg,
-       ROUND(c.s / c.n - t.type_avg, 4) AS seasonal,
+       FLOOR(CAST(c.sc AS DOUBLE) / (100.0 * c.n) * 10000.0 + 0.5)
+         / 10000.0 AS hour_avg,
+       FLOOR((CAST(c.sc AS DOUBLE) / (100.0 * c.n)
+              - CAST(t.tsc AS DOUBLE) / (100.0 * t.tn)) * 10000.0 + 0.5)
+         / 10000.0 AS seasonal,
        ROUND(c.sd, 4) AS resid_std
 FROM cells c JOIN tmean t USING (event_type)
 """,

@@ -113,6 +113,18 @@ KEYS = [
     "catalog_view",
     "sim_cosine_topk",
     "sim_cosine_lsh",
+    # round-5 additions
+    "ts_anomaly_mad",
+    "ts_seasonal_decompose",
+    "retrieval_rrf_fusion",
+    "agg_quantile_shard_merge",
+    "stream_anomaly_monitor",
+    # event_funnel_windowed excluded: a global census legitimately
+    # returns ONE all-zero row on an empty corpus (scalar subqueries)
+    "curation_mixture_balance",
+    "sim_pq_topk",
+    "fingerprint_rolling",
+    "graph_pagerank_converged",
     "sim_ivf_topk",
     "agg_weighted_quartiles",
     "win_global_rank",

@@ -30,6 +30,9 @@ CHECKS = [
      r"Correctness as of round \d+: \d+/\d+ query keys",
      # keep whatever round number the doc states; only fix the counts
      None),
+    (REPO / "README.md",
+     r"— \d+ as\nof round \d+, \d+ hash-verified",
+     None),
 ]
 
 write = "--write" in sys.argv
@@ -41,10 +44,14 @@ for path, pattern, replacement in CHECKS:
         print(f"{path.name}: count line NOT FOUND (pattern: {pattern})")
         drift += 1
         continue
-    if replacement is None:
+    if replacement is None and path.name == "BASELINE.md":
         rnd = re.search(r"Correctness as of round (\d+)", m.group(0)).group(1)
         replacement = (f"Correctness as of round {rnd}: "
                        f"{n_oracles}/{n_keys} query keys")
+    elif replacement is None:  # README.md
+        rnd = re.search(r"of round (\d+)", m.group(0)).group(1)
+        replacement = (f"— {n_keys} as\nof round {rnd}, "
+                       f"{n_oracles} hash-verified")
     if m.group(0) == replacement:
         print(f"{path.name}: OK ({m.group(0)!r})")
         continue
