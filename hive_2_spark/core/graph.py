@@ -187,10 +187,13 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rounds += 1
         # node-sized probe over two already-materialized frames; one
-        # pass yields both the max delta and the normalizing max rank
+        # pass yields both the max delta and the normalizing max rank.
+        # Same broadcast gate as the main join: above the threshold the
+        # rank frame must not be collected to the driver every round.
+        prev = ranks.withColumnRenamed("rank", "prev")
         probe = (
             new.join(
-                F.broadcast(ranks.withColumnRenamed("rank", "prev")), "src"
+                F.broadcast(prev) if broadcast_ranks else prev, "src"
             )
             .agg(
                 F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"),

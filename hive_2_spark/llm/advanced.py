@@ -228,6 +228,12 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     qmat, _qn = qq
     cents = ivf_centroids(e)
+    if cents is None:  # corpus has rows but none match the seed predicate
+        raise ValueError(
+            "sim_pq_topk: no PQ codebook seeds (vec_id % 50 == 0 below "
+            f"{_IVF_SEED_CAP}) in a non-empty corpus — widen the seed "
+            "predicate or train real centroids"
+        )
     c_ids, cmat, _cn = cents
     # codebooks[s]: (32, 8) slice s of each seed vector
     books = [
@@ -340,7 +346,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "q_id long, vec_id long, cos double, rk long"
         )
     qmat, qn = qq
-    c_ids, cmat, cn = ivf_centroids(e)
+    cents = ivf_centroids(e)
+    if cents is None:  # corpus has rows but none match the seed predicate
+        raise ValueError(
+            "sim_ivf_topk: no IVF seeds (vec_id % 50 == 0 below "
+            f"{_IVF_SEED_CAP}) in a non-empty corpus — widen the seed "
+            "predicate or train real centroids"
+        )
+    c_ids, cmat, cn = cents
 
     # probe selection: 3 queries x 32 centroids, exact driver-side math
     # with the same fold order and the oracle's (cos desc, c_id asc)

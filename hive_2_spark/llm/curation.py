@@ -358,6 +358,10 @@ def curation_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = min over langs of (n_lang * 100 div pct) and each lang keeps
     its first (pct * B div 100) docs in md5 order — all INTEGER
     arithmetic, so no float quota boundary exists on either engine.
+    A target language with ZERO corpus docs caps the budget at 0 (empty
+    selection): exact shares are unsatisfiable without it, so the
+    targets left-join the counts rather than silently dropping the
+    absent language from the MIN.
 
     Scale: per-lang selection ranks are computed with the bucketed
     prefix trick from ``win_global_rank`` — rank within (lang, 2-hex
@@ -376,8 +380,10 @@ def curation_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_MIX_PCT.items()), "lang string, pct long"
     )
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    caps = counts.join(F.broadcast(wdf), "lang").select(
-        "lang", "pct", F.expr("n_l * 100 div pct").alias("cap")
+    caps = (
+        wdf.join(F.broadcast(counts), "lang", "left")
+        .withColumn("n_l", F.coalesce("n_l", F.lit(0)))
+        .select("lang", "pct", F.expr("n_l * 100 div pct").alias("cap"))
     )
     budget = caps.agg(F.min("cap").alias("budget"))  # 1-row scalar
     quota = (
@@ -437,8 +443,8 @@ d AS (
 ),
 counts AS (SELECT lang, COUNT(*) AS n_l FROM d GROUP BY lang),
 caps AS (
-  SELECT c.lang, w.pct, c.n_l * 100 // w.pct AS cap
-  FROM counts c JOIN w USING (lang)
+  SELECT w.lang, w.pct, COALESCE(c.n_l, 0) * 100 // w.pct AS cap
+  FROM w LEFT JOIN counts c USING (lang)
 ),
 budget AS (SELECT MIN(cap) AS budget FROM caps),
 quota AS (

@@ -408,25 +408,43 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def classify_against_corpus(ex_docs: DataFrame, nb_docs: DataFrame) -> DataFrame:
-    """The delta-vs-corpus classifier behind :func:`dedup_incremental`,
-    parameterized so a streaming foreachBatch (or any caller with its
-    own corpus/delta split) can reuse the EXACT same rule — the
-    examples/continuous_corpus_update.py composition depends on the
-    batch and streamed faces sharing this one function so they cannot
-    drift. ``ex_docs``: (doc_id, text); ``nb_docs``: (new_id, text).
-    Returns (new_id, verdict, match_id)."""
+def corpus_index_frames(
+    ex_docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three corpus-side index frames the classifier probes:
+    ``exact_min`` (fp, exact_id), ``bands_ex`` (doc_id, band_idx,
+    band_key), ``ex_words`` (ex_id, ex_words). Derived on the fly by
+    :func:`classify_against_corpus`; persisted as BUCKETED managed
+    tables by :func:`dedup_incremental_indexed` so repeated per-batch
+    classify joins never re-shuffle the corpus."""
     ex = ex_docs.select("doc_id", _NORM(F.col("text")).alias("norm"))
-    nb = nb_docs.select("new_id", _NORM(F.col("text")).alias("norm"))
     exact_min = (
         ex.groupBy(F.md5("norm").alias("fp"))
         .agg(F.min("doc_id").alias("exact_id"))
     )
+    bands_ex = _minhash_bands(ex)
+    ex_words = ex.select(
+        F.col("doc_id").alias("ex_id"),
+        F.array_distinct(F.split("norm", " ")).alias("ex_words"),
+    )
+    return exact_min, bands_ex, ex_words
+
+
+def _classify_with_index(
+    exact_min: DataFrame,
+    bands_ex: DataFrame,
+    ex_words: DataFrame,
+    nb_docs: DataFrame,
+) -> DataFrame:
+    """Classify a (new_id, text) delta against pre-built corpus index
+    frames (see :func:`corpus_index_frames`). One rule for every face:
+    ad-hoc (frames derived inline), indexed (frames read from bucketed
+    tables), and streaming foreachBatch."""
+    nb = nb_docs.select("new_id", _NORM(F.col("text")).alias("norm"))
     with_exact = nb.withColumn("fp", F.md5("norm")).join(
         exact_min, "fp", "left"
     )
 
-    bands_ex = _minhash_bands(ex)
     bands_nb = _minhash_bands(
         nb.select(F.col("new_id").alias("doc_id"), "norm")
     ).select(
@@ -436,10 +454,6 @@ def classify_against_corpus(ex_docs: DataFrame, nb_docs: DataFrame) -> DataFrame
         bands_nb.join(bands_ex, ["band_idx", "band_key"])
         .select("new_id", F.col("doc_id").alias("ex_id"))
         .distinct()
-    )
-    ex_words = ex.select(
-        F.col("doc_id").alias("ex_id"),
-        F.array_distinct(F.split("norm", " ")).alias("ex_words"),
     )
     nb_words = nb.select(
         "new_id", F.array_distinct(F.split("norm", " ")).alias("nb_words")
@@ -466,6 +480,70 @@ def classify_against_corpus(ex_docs: DataFrame, nb_docs: DataFrame) -> DataFrame
             verdict.alias("verdict"),
             F.coalesce("exact_id", "near_id").cast("bigint").alias("match_id"),
         )
+    )
+
+
+def classify_against_corpus(ex_docs: DataFrame, nb_docs: DataFrame) -> DataFrame:
+    """The delta-vs-corpus classifier behind :func:`dedup_incremental`,
+    parameterized so a streaming foreachBatch (or any caller with its
+    own corpus/delta split) can reuse the EXACT same rule — the
+    examples/continuous_corpus_update.py composition depends on the
+    batch and streamed faces sharing this one function so they cannot
+    drift. ``ex_docs``: (doc_id, text); ``nb_docs``: (new_id, text).
+    Returns (new_id, verdict, match_id)."""
+    exact_min, bands_ex, ex_words = corpus_index_frames(ex_docs)
+    return _classify_with_index(exact_min, bands_ex, ex_words, nb_docs)
+
+
+# bucket count for the persisted classify index — a layout knob sized to
+# the corpus (hundreds-thousands at 100 TB); 8 matches the fixture scale
+_IDX_BUCKETS = 8
+
+
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_incremental` against a PERSISTED bucketed index —
+    the production shape for CONTINUOUS ingestion: the corpus-side
+    index frames are materialized once as bucketed managed tables
+    (``bucketBy`` on each probe's join key), so every subsequent
+    per-batch classify join reads the stored hash layout and the corpus
+    never crosses an Exchange again. Only the delta (the new batch)
+    shuffles — its exchange is delta-sized, and at 100 TB the delta is
+    MBs while the corpus index is TBs.
+
+    Index tables: ``idx_exact`` (fp -> min doc_id) bucketed by fp;
+    ``idx_bands`` (band_idx, band_key -> doc_id) bucketed by the band
+    pair; ``idx_words`` (ex_id -> distinct words) bucketed by ex_id for
+    the Jaccard verify. Semantics (and oracle) identical to
+    ``dedup_incremental`` — the index changes WHERE the corpus state
+    lives, never the verdicts. Plan gate: zero Exchange above any idx_*
+    scan (tests/test_dedup_incremental.py).
+    """
+    from hive_2_spark.core.metastore import (
+        DB,
+        _clear_orphaned_location,
+        ensure_database,
+    )
+
+    ensure_database(spark)
+    ex_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_min, bands_ex, ex_words = corpus_index_frames(ex_docs)
+    for name, df, keys in [
+        ("idx_exact", exact_min, ["fp"]),
+        ("idx_bands", bands_ex, ["band_idx", "band_key"]),
+        ("idx_words", ex_words, ["ex_id"]),
+    ]:
+        _clear_orphaned_location(spark, name, DB)
+        (
+            df.write.bucketBy(_IDX_BUCKETS, *keys)
+            .sortBy(*keys)
+            .mode("overwrite")
+            .saveAsTable(f"{DB}.{name}")
+        )
+    return _classify_with_index(
+        spark.table(f"{DB}.idx_exact"),
+        spark.table(f"{DB}.idx_bands"),
+        spark.table(f"{DB}.idx_words"),
+        _new_batch(spark, sf_dir).select("new_id", "text"),
     )
 
 
@@ -612,6 +690,7 @@ QUERIES = {
     "dedup_minhash_portable": dedup_minhash_portable,  # oracle-checked
     "dedup_simhash": dedup_simhash,  # rows-only (xxhash64 is Spark-side)
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_indexed": dedup_incremental_indexed,
     "dedup_containment": dedup_containment,
     "dedup_substring_windows": dedup_substring_windows,
 }
@@ -694,6 +773,9 @@ _DK_INCREMENTAL = (
 
 ORACLES = {
     "dedup_incremental": _DK_INCREMENTAL,
+    # identical semantics — the bucketed index changes WHERE the corpus
+    # state lives, never the verdicts, so the oracle is shared verbatim
+    "dedup_incremental_indexed": _DK_INCREMENTAL,
     "dedup_token_sort": (
         "SELECT md5(array_to_string(list_sort(string_split("
         f"{_DK_NORM.format(c='text')}, ' ')), ' ')) AS fp, "

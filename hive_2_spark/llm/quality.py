@@ -182,11 +182,66 @@ def quality_blocklist_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Heavy-hitter census knobs: top-K grams reported; gram space split
+# into 256 hash shards (2 hex chars of md5) so every rank window sees
+# ~1/256 of the grams and the merge never exceeds 256*K rows.
+_CENSUS_K = 20
+
+
+def quality_ngram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-K repeated 5-gram census with mergeable partial
+    state — the repeated-boilerplate detector that complements the
+    per-doc `quality_dup_ngram_corpus` signal.
+
+    Two-phase heavy hitter: grams are counted once (map-side partial
+    agg + one gram-keyed exchange — the standard dedup/contamination
+    shuffle), then sharded by md5(gram) prefix so the per-shard top-K
+    rank window sees ~1/256 of the gram space, and the global top-K
+    merges at most 256*K survivor rows (TakeOrdered). Because the
+    shard is a FUNCTION OF THE GRAM, each gram's count is complete
+    within its shard, so per-shard top-K provably contains the global
+    top-K — no probabilistic recount pass is needed (a doc-sharded
+    census would need one; this shape is exact by construction). The
+    oracle is the naive global count + top-K this plan must equal.
+
+    Output: rk, gram, cnt (total occurrences), n_docs (distinct docs) —
+    (cnt DESC, gram ASC) makes the cut deterministic across engines.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = _shingles(d).select("doc_id", "gram")
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    sharded = counts.withColumn("shard", F.substring(F.md5("gram"), 1, 2))
+    wsh = Window.partitionBy("shard").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    survivors = (
+        sharded.withColumn("srk", F.row_number().over(wsh))
+        .filter(F.col("srk") <= _CENSUS_K)
+        .select("gram", "cnt", "n_docs")
+    )
+    topk = survivors.orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    ).limit(_CENSUS_K)
+    wg = Window.orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return topk.select(
+        F.row_number().over(wg).cast("bigint").alias("rk"),
+        "gram",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
 QUERIES = {
     "quality_repetition": quality_repetition,
     "quality_dup_ngram_corpus": quality_dup_ngram_corpus,
     "quality_lm_score": quality_lm_score,
     "quality_blocklist_words": quality_blocklist_words,
+    "quality_ngram_census": quality_ngram_census,
 }
 
 # DuckDB notes: list indexing is 1-based like Spark's slice/element_at;
@@ -262,6 +317,29 @@ SELECT g.doc_id,
              / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
 FROM grams g JOIN gram_docs gd USING (gram)
 GROUP BY g.doc_id
+""",
+    # Naive global census the sharded heavy-hitter plan must equal:
+    # one count over all grams, one global top-K.
+    "quality_ngram_census": f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 3),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                     || ws[i+3] || ' ' || ws[i+4])) AS gram
+  FROM w
+), counts AS (
+  SELECT gram, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+  FROM grams GROUP BY gram
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, gram ASC) AS BIGINT)
+         AS rk,
+       gram, CAST(cnt AS BIGINT) AS cnt, CAST(n_docs AS BIGINT) AS n_docs
+FROM counts
+ORDER BY cnt DESC, gram ASC
+LIMIT {_CENSUS_K}
 """,
     "quality_lm_score": """
 WITH toks AS (

@@ -236,6 +236,82 @@ def token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Salt width for the scaled packing plan: packs never cross a salt
+# boundary, so per-window state is bounded by the salt width instead of
+# the corpus. A layout knob like bucket counts: size it so the per-lang
+# offsets frame (one row per salt) stays metadata-sized — ~sqrt(n_docs)
+# in production; 64 on the fixtures so every lang exercises >1 salt.
+_PACK_SALT_RANGE = 64
+
+
+def token_pack_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-bounded sequence packing, salted for scale (the
+    executable form of SCALING.md §Packing's documented rewrite of
+    ``token_pack``).
+
+    ``token_pack`` runs ONE running-sum window per language — fine for
+    tens of languages, but each window partition is corpus-sized, the
+    single-hot-partition trap at 100 TB. Packs do not need global
+    contiguity, only capacity-bounding, so this plan salts by coarse
+    doc_id range first:
+
+    1. window per (lang, salt): local pack index off the running token
+       sum — state bounded by the salt width, thousands of parallel
+       partitions instead of one per lang;
+    2. per-(lang, salt) pack counts (metadata-sized: one row per salt)
+       prefix-summed per lang into pack-id offsets — the
+       win_global_cumsum two-phase trick;
+    3. offset + local index = a pack id unique within the lang, then
+       the same (lang, pack_id) rollup as token_pack.
+
+    Pack ids are dense per lang and every pack obeys the same capacity
+    rule; only pack *membership near salt boundaries* differs from the
+    contiguous plan. The oracle re-derives the salted semantics
+    independently in SQL.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    s = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.expr(f"doc_id div {_PACK_SALT_RANGE}").alias("salt"),
+    )
+    w1 = (
+        Window.partitionBy("lang", "salt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = s.withColumn(
+        "local_pack",
+        F.floor(
+            (F.sum("n_tokens").over(w1) - F.col("n_tokens")) / _PACK_CAP
+        ),
+    )
+    counts = local.groupBy("lang", "salt").agg(
+        (F.max("local_pack") + 1).alias("n_packs")
+    )
+    w2 = (
+        Window.partitionBy("lang")
+        .orderBy("salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn(
+        "off", F.coalesce(F.sum("n_packs").over(w2), F.lit(0))
+    ).select("lang", "salt", "off")
+    packed = local.join(F.broadcast(offs), ["lang", "salt"]).select(
+        "lang",
+        (F.col("off") + F.col("local_pack")).cast("long").alias("pack_id"),
+        "n_tokens",
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
 _VOCAB_TOP_K = 20  # fixture has ~31 distinct words; K=20 keeps OOV non-vacuous
 
 
@@ -288,6 +364,7 @@ QUERIES = {
     "fingerprint_rolling": fingerprint_rolling,
     "text_chunk": text_chunk,
     "token_pack": token_pack,
+    "token_pack_salted": token_pack_salted,
     "token_oov_rate": token_oov_rate,
 }
 
@@ -356,6 +433,40 @@ FROM j GROUP BY doc_id
         "- len(string_split(text, ' '))) / 2048.0) AS BIGINT) AS pack_id "
         "FROM documents) GROUP BY lang, pack_id"
     ),
+    # Independent SQL re-derivation of the salted-window semantics:
+    # per-(lang, salt) local pack index + prefix-summed per-salt pack
+    # counts. Integer token sums, so the /2048.0 divide is exact in
+    # double on both engines.
+    "token_pack_salted": f"""
+WITH d AS (
+  SELECT doc_id, lang, doc_id // {_PACK_SALT_RANGE} AS salt,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+local AS (
+  SELECT lang, salt, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (
+             PARTITION BY lang, salt ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens) / {_PACK_CAP}.0) AS BIGINT) AS local_pack
+  FROM d
+),
+counts AS (
+  SELECT lang, salt, MAX(local_pack) + 1 AS n_packs
+  FROM local GROUP BY lang, salt
+),
+offs AS (
+  SELECT lang, salt,
+         COALESCE(SUM(n_packs) OVER (
+             PARTITION BY lang ORDER BY salt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM counts
+)
+SELECT l.lang, CAST(o.off + l.local_pack AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs, CAST(SUM(l.n_tokens) AS BIGINT) AS pack_tokens
+FROM local l JOIN offs o USING (lang, salt)
+GROUP BY 1, 2
+""",
     "text_stats": (
         "SELECT doc_id, "
         "CAST(LENGTH(text) AS INT) AS n_chars_actual, "

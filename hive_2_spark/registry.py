@@ -70,36 +70,41 @@ _MODULES: list[str] = [
     "hive_2_spark.core.joins",
 ]
 
-# Round-5 rotation: keys 1-50 are the driver window — exactly the 48 keys
-# never inside any driver window across r1-r4 (union of
-# CORRECTNESS_r0{1..4}.json = 199 of 247 keys; the other 48 verified only by
-# the round-4 judge's identical re-run) plus the two similarity keys whose
-# oracles were upgraded from rows-only to full DuckDB replay in round 4
-# (sim_cosine_lsh, sim_ivf_topk — the driver has never hash-checked them).
-# After this window the entire registry has been proven by the hard signal
-# at least once. Everything behind _FRONT is driver-green and keeps module
-# order.
+# Round-6 rotation: keys 1-50 are the driver window. Every key present as
+# of round 4 has been driver-proven (union of CORRECTNESS_r0{1..5}.json =
+# 247 keys); this window covers (a) the 10-key backlog — the 9 operators
+# added in round 5 (never driver-checked; local-parity green at sf0.01 +
+# sf0.1 only) plus fingerprint_rolling, whose md5-prefix oracle replaced
+# the rows-only check in r5 but was last DRIVER-checked as rows-only in
+# r3 — (b) the operators added THIS round, and (c) re-verification of the
+# oldest-checked keys (latest driver check r1/r2 — fixtures have
+# regenerated twice since), prioritizing float/timestamp rounding
+# boundaries: win_*, agg_percentile/stats/corr, pricing_summary + the
+# TPC-H q2-q14 shapes. Everything behind _FRONT keeps module order.
 _FRONT: list[str] = [
-    # --- round-5 driver window (50) ---
-    "fn_lambda", "fn_variant", "fn_binary", "fn_url", "fn_explode_outer",
-    "fn_from_json",
-    "curation_funnel", "dedup_clusters_semantic", "curriculum_order",
-    "quality_entropy", "emb_pca_power", "emb_whiten",
-    "pivot_wide", "unpivot_long", "pivot_dynamic",
-    "join_salted", "agg_salted",
-    "zorder_layout", "compact_small_files", "catalog_bucketed_join",
-    "agg_histogram", "profile_orders", "quality_expectations",
-    "set_union_by_name", "set_union_all", "set_intersect", "set_except",
-    "set_intersect_all",
-    "agg_bitmap_distinct", "agg_incremental_merge",
-    "win_ntile", "win_distinct_rolling",
-    "token_oov_rate", "sample_source_token_cap", "sample_temperature",
-    "quality_blocklist_words", "dedup_url_canonical",
-    "curation_domain_filter", "mv_join_incremental", "profile_documents",
-    "agg_weighted_median", "agg_weighted_quartiles",
-    "win_global_cumsum", "win_global_rank",
-    "catalog_view", "stream_doc_gate", "dedup_token_sort", "event_rfm",
-    "sim_cosine_lsh", "sim_ivf_topk",
+    # --- (a) the 10-key backlog: r5 additions + fingerprint_rolling ---
+    "sim_pq_topk", "curation_mixture_balance", "event_funnel_windowed",
+    "ts_anomaly_mad", "ts_seasonal_decompose", "retrieval_rrf_fusion",
+    "agg_quantile_shard_merge", "stream_anomaly_monitor",
+    "graph_pagerank_converged", "fingerprint_rolling",
+    # --- (b) round-6 additions (inserted as they land) ---
+    "token_pack_salted", "dedup_incremental_indexed",
+    "quality_ngram_census",
+    # --- (c) oldest-checked re-verification (latest check r1/r2) ---
+    "win_rank", "win_running_sum", "win_range_frame", "win_range_time",
+    "win_first_last", "win_ignore_nulls", "win_lag_lead", "win_pct_rank",
+    "win_topk_per_group",
+    "pricing_summary",
+    "agg_percentile", "agg_stats", "agg_corr", "agg_mode", "agg_groupby",
+    "agg_distinct", "agg_cube", "agg_rollup", "agg_grouping_sets",
+    "agg_listagg", "agg_bitwise", "agg_approx", "agg_sketch_merge",
+    "sql_q2_min_cost_supplier", "sql_q3_shipping_priority",
+    "sql_q4_order_priority", "sql_q5_nation_volume",
+    "sql_q6_forecast_revenue", "sql_q7_binat_volume",
+    "sql_q8_market_share", "sql_q10_returned_items",
+    "sql_q11_revenue_concentration", "sql_q12_priority_lines",
+    "sql_q13_order_distribution", "sql_q14_promo_share",
+    "join_range", "sort_multi_key", "topk_nulls_last", "agg_filtered",
 ]
 assert len(_FRONT) == len(set(_FRONT)), (
     "duplicate keys in _FRONT: "

@@ -45,3 +45,43 @@ def test_incremental_verdicts_match_ground_truth(spark):
     # gibberish arrivals share no vocabulary: always novel, no match
     for r in novel:
         assert r["verdict"] == "novel" and r["match_id"] is None
+
+
+def test_indexed_classify_matches_adhoc_and_skips_corpus_shuffle(spark):
+    """The bucketed-index face must (1) return the exact verdict set of
+    the ad-hoc classifier and (2) read every idx_* table WITHOUT an
+    Exchange above the scan — the stored hash layout replaces the
+    corpus-side shuffle, so only the delta pays one."""
+    from hive_2_spark.llm.dedup import (
+        dedup_incremental,
+        dedup_incremental_indexed,
+    )
+    from tests.test_plans import plan_of
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup_incremental_indexed(spark, SF_DIR_MID)
+        plan = plan_of(df)
+        lines = plan.splitlines()
+        idx_lines = [
+            i for i, ln in enumerate(lines)
+            # tree rows only ("+- Scan parquet db.idx_x (13)"), not the
+            # per-node detail section that repeats the table name
+            if "- Scan parquet" in ln and ".idx_" in ln
+        ]
+        assert len(idx_lines) == 3, plan  # idx_exact, idx_bands, idx_words
+        for i in idx_lines:
+            # the chain above a bucketed scan is Filter <- Sort <- join;
+            # an Exchange in the 3 lines above means the layout was lost
+            above = "\n".join(lines[max(0, i - 3): i])
+            assert "Exchange" not in above, plan
+        got = {(r.new_id, r.verdict, r.match_id) for r in df.collect()}
+        want = {
+            (r.new_id, r.verdict, r.match_id)
+            for r in dedup_incremental(spark, SF_DIR_MID).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )

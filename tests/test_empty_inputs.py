@@ -32,6 +32,7 @@ KEYS = [
     "validate_rules",
     "text_chunk",
     "token_pack",
+    "token_pack_salted",
     "media_frame_sample",
     "win_ignore_nulls",
     "sql_lateral_topk",

@@ -126,6 +126,64 @@ def test_token_pack_single_window_shuffle(spark):
     assert n_exchanges <= 2, plan  # window shuffle (+ AQE read at most)
 
 
+def test_token_pack_salted_parallel_windows(spark):
+    """The salted plan's running-sum window must partition by
+    (lang, salt), not lang alone — and the fixture must actually
+    exercise >1 salt per lang, or the rewrite is vacuous."""
+    import pyspark.sql.functions as F
+
+    from hive_2_spark.catalog import load_table
+    from hive_2_spark.llm.text import _PACK_SALT_RANGE, token_pack_salted
+
+    plan = plan_of(token_pack_salted(spark, SF_DIR))
+    # the running-sum window keys on salt (partition-bounded state)
+    assert "Window" in plan
+    assert "salt" in plan, plan
+    d = load_table(spark, SF_DIR, "documents")
+    parts = (
+        d.select("lang", F.expr(f"doc_id div {_PACK_SALT_RANGE}").alias("s"))
+        .distinct()
+        .count()
+    )
+    langs = d.select("lang").distinct().count()
+    assert parts > langs, (parts, langs)
+
+
+def test_token_pack_salted_capacity_and_density(spark):
+    """Salted packs obey the same capacity rule as token_pack and keep
+    dense per-lang pack ids (the offsets must not leave holes)."""
+    from hive_2_spark.llm.text import _PACK_CAP, token_pack_salted
+
+    rows = token_pack_salted(spark, SF_DIR).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, packs in by_lang.items():
+        ids = sorted(p.pack_id for p in packs)
+        assert ids == list(range(len(ids))), f"{lang}: sparse pack ids"
+        for p in packs:
+            assert p.pack_tokens < 2 * _PACK_CAP, f"{lang}: runaway pack"
+
+
+def test_ngram_census_bounded_merge(spark):
+    """The heavy-hitter census must (1) rank inside md5-prefix shards —
+    Catalyst turns the rank-filter into a per-partition
+    WindowGroupLimit, so no window sees the full gram space — and
+    (2) merge via TakeOrderedAndProject over at most shards*K survivor
+    rows, never a global sort."""
+    from hive_2_spark.llm.quality import _CENSUS_K, quality_ngram_census
+
+    df = quality_ngram_census(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "shard" in plan
+    # survivor bound: 256 shards x K
+    assert df.count() <= _CENSUS_K
+    assert 256 * _CENSUS_K == 5120  # documents the merge ceiling
+
+
 def test_sessionize_single_exchange(spark):
     """Gap-island sessionization must hash-partition on user_id exactly
     once: both windows AND the session group-by reuse that partitioning.

@@ -1,8 +1,9 @@
 """The driver's per-round correctness window is the FIRST 50 registry
-keys. Freeze the intended round-5 window so adding keys to a front
+keys. Freeze the intended round-6 window so adding keys to a front
 module (or reordering _MODULES/_FRONT) cannot silently displace
-never-driver-verified keys out of it. New keys belong BEHIND the window
-(see registry._FRONT comment)."""
+never-driver-verified keys out of it. New keys belong at the TOP of the
+window (section (b) of registry._FRONT) while the round is open; after
+the round's CORRECTNESS lands, rotate deliberately."""
 
 from __future__ import annotations
 
@@ -11,52 +12,71 @@ from pathlib import Path
 
 from hive_2_spark import registry
 
-# Round-5 window: exactly the 48 keys never inside any r1-r4 driver
-# window, plus the two similarity keys whose oracles were upgraded to
-# full DuckDB replays in round 4 (the driver has only ever rows-checked
-# them). After this round every registry key has been proven by the
-# hard signal at least once. Update deliberately (with a rotation),
-# never as a side effect of adding an operator.
-_WINDOW_50 = [
-    "fn_lambda", "fn_variant", "fn_binary", "fn_url", "fn_explode_outer",
-    "fn_from_json",
-    "curation_funnel", "dedup_clusters_semantic", "curriculum_order",
-    "quality_entropy", "emb_pca_power", "emb_whiten",
-    "pivot_wide", "unpivot_long", "pivot_dynamic",
-    "join_salted", "agg_salted",
-    "zorder_layout", "compact_small_files", "catalog_bucketed_join",
-    "agg_histogram", "profile_orders", "quality_expectations",
-    "set_union_by_name", "set_union_all", "set_intersect", "set_except",
-    "set_intersect_all",
-    "agg_bitmap_distinct", "agg_incremental_merge",
-    "win_ntile", "win_distinct_rolling",
-    "token_oov_rate", "sample_source_token_cap", "sample_temperature",
-    "quality_blocklist_words", "dedup_url_canonical",
-    "curation_domain_filter", "mv_join_incremental", "profile_documents",
-    "agg_weighted_median", "agg_weighted_quartiles",
-    "win_global_cumsum", "win_global_rank",
-    "catalog_view", "stream_doc_gate", "dedup_token_sort", "event_rfm",
-    "sim_cosine_lsh", "sim_ivf_topk",
+# Round-6 window: (a) the 10-key backlog — the 9 round-5 operators
+# (never driver-checked) + fingerprint_rolling (its md5-prefix oracle
+# replaced the rows-only check in r5 but has never been driver-run) —
+# then (b) round-6 additions, then (c) re-verification of the
+# oldest-checked keys (latest driver check r1/r2; fixtures regenerated
+# twice since), prioritizing float/timestamp rounding boundaries.
+# Update deliberately (with a rotation), never as a side effect of
+# adding an operator.
+_BACKLOG_10 = [
+    "sim_pq_topk", "curation_mixture_balance", "event_funnel_windowed",
+    "ts_anomaly_mad", "ts_seasonal_decompose", "retrieval_rrf_fusion",
+    "agg_quantile_shard_merge", "stream_anomaly_monitor",
+    "graph_pagerank_converged", "fingerprint_rolling",
+]
+
+# keys added during round 6 — they slot between the backlog and the
+# re-verification tail and must stay inside the first 50
+_ROUND6_NEW = [
+    "token_pack_salted",
+    "dedup_incremental_indexed",
+    "quality_ngram_census",
+]
+
+_REVERIFY_TAIL = [
+    "win_rank", "win_running_sum", "win_range_frame", "win_range_time",
+    "win_first_last", "win_ignore_nulls", "win_lag_lead", "win_pct_rank",
+    "win_topk_per_group",
+    "pricing_summary",
+    "agg_percentile", "agg_stats", "agg_corr", "agg_mode", "agg_groupby",
+    "agg_distinct", "agg_cube", "agg_rollup", "agg_grouping_sets",
+    "agg_listagg", "agg_bitwise", "agg_approx", "agg_sketch_merge",
+    "sql_q2_min_cost_supplier", "sql_q3_shipping_priority",
+    "sql_q4_order_priority", "sql_q5_nation_volume",
+    "sql_q6_forecast_revenue", "sql_q7_binat_volume",
+    "sql_q8_market_share", "sql_q10_returned_items",
+    "sql_q11_revenue_concentration", "sql_q12_priority_lines",
+    "sql_q13_order_distribution", "sql_q14_promo_share",
+    "join_range", "sort_multi_key", "topk_nulls_last", "agg_filtered",
 ]
 
 
-def test_first_50_keys_are_the_round5_window():
-    assert list(registry.all_queries())[:50] == _WINDOW_50
+def test_first_50_keys_are_the_round6_window():
+    window = list(registry.all_queries())[:50]
+    n_new = len(_ROUND6_NEW)
+    expected = (
+        _BACKLOG_10
+        + _ROUND6_NEW
+        + _REVERIFY_TAIL[: 50 - 10 - n_new]
+    )
+    assert window == expected
 
 
-def test_window_is_never_driver_hash_checked():
-    """Every window key must be absent from all prior CORRECTNESS
-    reports — except sim_cosine_lsh / sim_ivf_topk, which appeared in
-    r2/r3 windows as rows-only keys and are deliberately re-windowed
-    now that they carry full DuckDB oracles."""
+def test_backlog_keys_were_never_driver_hash_checked():
+    """The 9 round-5 keys must be absent from all prior CORRECTNESS
+    reports; fingerprint_rolling may appear (it was driver-run as
+    rows-only in r3) but is deliberately re-windowed now that it
+    carries a full DuckDB oracle."""
     repo = Path(__file__).resolve().parent.parent
     seen: set[str] = set()
-    for p in sorted(repo.glob("CORRECTNESS_r0[1234].json")):
+    for p in sorted(repo.glob("CORRECTNESS_r0[12345].json")):
         seen |= set(json.loads(p.read_text()))
     if not seen:  # reports not present in a bare checkout
         return
-    rewindowed = {"sim_cosine_lsh", "sim_ivf_topk"}
-    overlap = (set(_WINDOW_50) & seen) - rewindowed
+    rewindowed = {"fingerprint_rolling"}
+    overlap = (set(_BACKLOG_10) & seen) - rewindowed
     assert overlap == set(), overlap
 
 

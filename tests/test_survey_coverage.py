@@ -85,6 +85,14 @@ BRIEF_EXTRAS = [
     "dedup_token_sort", "event_rfm", "agg_weighted_median",
     "catalog_view", "agg_weighted_quartiles", "win_global_rank",
     "stream_doc_gate",
+    # round-5 additions
+    "sim_pq_topk", "curation_mixture_balance", "event_funnel_windowed",
+    "ts_anomaly_mad", "ts_seasonal_decompose", "retrieval_rrf_fusion",
+    "agg_quantile_shard_merge", "stream_anomaly_monitor",
+    "graph_pagerank_converged",
+    # round-6 additions
+    "token_pack_salted", "dedup_incremental_indexed",
+    "quality_ngram_census",
 ]
 
 
