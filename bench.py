@@ -57,6 +57,9 @@ HEADLINE = [
     "retrieval_rrf_fusion", # bm25 + coverage ranker fusion (r5)
     "sim_pq_topk",          # PQ encode + LUT ADC scoring Arrow kernel (r5)
     "curation_mixture_balance",  # bucketed per-lang rank + integer quotas (r5)
+    "token_pack_salted",    # salted packing windows + prefix offsets (r6)
+    "quality_ngram_census", # sharded heavy-hitter top-K + bounded merge (r6)
+    "ts_acf",               # hourly-series autocorrelation, exact ints (r6)
 ]
 
 

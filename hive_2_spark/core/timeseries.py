@@ -417,6 +417,97 @@ def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACF_MAX_LAG = 6
+
+
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1..6) of each event_type's hourly
+    value series — the periodicity probe that complements
+    ``ts_seasonal_decompose`` (ACF spikes at lag 24 = daily cycle, etc.).
+
+    Scale shape: the fact table collapses to an HOURLY series first
+    (map-side partial agg + one exchange), so every window partition is
+    calendar-bounded — a year of events is 8,760 points per type no
+    matter how many trillions of raw rows fed it. One lead-window pass
+    produces all K lag products (stack + re-agg), never K self-joins.
+
+    Cross-engine exactness: hourly sums become integer CENTS, and the
+    classic mean-centering is rescaled by n^2 so numerator and
+    denominator are exact INTEGER sums — r_k = sum(y_t*y_{t+k}) /
+    sum(y_t^2) with y_t = n*x_t - S1 (the n^2 factors cancel). Both
+    engines divide the same two exact integers, so the quotient is
+    bit-identical (decimal(38) accumulation; DuckDB uses HUGEINT).
+    Missing hours are skipped, not zero-filled: this is the ACF of the
+    observed hourly sequence (``ts_resample`` owns gap filling).
+
+    Output: event_type, lag, n (series length), acf (null when fewer
+    than lag+1 points or a constant series).
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.round(F.sum("value") * 100)
+            .cast("decimal(38,0)")
+            .alias("x")
+        )
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s1"),
+    )
+    y = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "h",
+        F.col("n").cast("bigint").alias("n_pts"),
+        (F.col("n") * F.col("x") - F.col("s1"))
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    leads = y.select(
+        "event_type",
+        "n_pts",
+        "y",
+        *[
+            F.lead("y", k).over(w).alias(f"y{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    stack_args = ", ".join(
+        f"{k}, CAST(y * y{k} AS decimal(38,0))"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    pairs = leads.select(
+        "event_type",
+        "n_pts",
+        F.expr(f"stack({_ACF_MAX_LAG}, {stack_args}) AS (lag, p)"),
+    )
+    per_lag = pairs.groupBy("event_type", "lag").agg(
+        F.max("n_pts").alias("n"),
+        F.sum("p").alias("num"),
+    )
+    # denominator over the UNSTACKED series (the stack fans each row
+    # out 6x, which would inflate sum(y^2) by the lag count)
+    denom = y.groupBy("event_type").agg(
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("den")
+    )
+    acf = F.when(
+        F.col("num").isNotNull() & (F.col("den") != 0),
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ),
+    )
+    return per_lag.join(denom, "event_type").select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n"),
+        acf.alias("acf"),
+    )
+
+
 QUERIES = {
     "ts_resample": ts_resample,
     "ts_interpolate": ts_interpolate,
@@ -428,7 +519,16 @@ QUERIES = {
     "ts_trend": ts_trend,
     "ts_rollup_cascade": ts_rollup_cascade,
     "ts_forecast_linear": ts_forecast_linear,
+    "ts_acf": ts_acf,
 }
+
+_ACF_LAG_UNION = " UNION ALL ".join(
+    f"SELECT event_type, {k} AS lag, MAX(n_pts) AS n, SUM(p) AS num "
+    f"FROM (SELECT event_type, n_pts, "
+    f"      y * LEAD(y, {k}) OVER (PARTITION BY event_type ORDER BY h) AS p"
+    f"      FROM y) GROUP BY event_type"
+    for k in range(1, _ACF_MAX_LAG + 1)
+)
 
 _GRID_CTE = (
     "b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket, "
@@ -446,6 +546,33 @@ _GRID_CTE = (
 )
 
 ORACLES = {
+    # hourly cents + n^2-rescaled centering: numerator and denominator
+    # are exact integer sums (HUGEINT here, decimal(38) in Spark), so
+    # the double quotient is bit-identical across engines.
+    "ts_acf": f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(ROUND(SUM(value) * 100) AS HUGEINT) AS x
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s1
+  FROM hourly GROUP BY 1
+), y AS (
+  SELECT h.event_type, h.h, CAST(s.n AS BIGINT) AS n_pts,
+         s.n * h.x - s.s1 AS y
+  FROM hourly h JOIN stats s USING (event_type)
+), per_lag AS (
+  {_ACF_LAG_UNION}
+), denom AS (
+  SELECT event_type, SUM(y * y) AS den FROM y GROUP BY 1
+)
+SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag,
+       CAST(p.n AS BIGINT) AS n,
+       CASE WHEN p.num IS NOT NULL AND d.den <> 0
+            THEN ROUND(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6)
+       END AS acf
+FROM per_lag p JOIN denom d USING (event_type)
+""",
     "ts_resample": (
         "WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket, "
         "  event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value "

@@ -33,6 +33,7 @@ _ROUND6_NEW = [
     "token_pack_salted",
     "dedup_incremental_indexed",
     "quality_ngram_census",
+    "ts_acf",
 ]
 
 _REVERIFY_TAIL = [
