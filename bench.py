@@ -60,6 +60,7 @@ HEADLINE = [
     "token_pack_salted",    # salted packing windows + prefix offsets (r6)
     "quality_ngram_census", # sharded heavy-hitter top-K + bounded merge (r6)
     "ts_acf",               # hourly-series autocorrelation, exact ints (r6)
+    "retrieval_mmr",        # diversified top-5: kernel scan + greedy (r6)
 ]
 
 

@@ -308,13 +308,185 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MMR: relevance/diversity trade-off and candidate-pool knobs. MU is a
+# LITERAL 0.3, never computed as 1 - 0.7 (that float is
+# 0.30000000000000004 and would diverge from the oracle's 0.3).
+_MMR_LAMBDA = 0.7
+_MMR_MU = 0.3
+_MMR_CAND = 20
+_MMR_K = 5
+
+
+def retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-5 per query — the
+    dedup step of a retrieval pipeline: greedily pick the candidate
+    maximizing lambda*rel - mu*max_sim_to_already_selected, so near-
+    duplicate hits don't crowd the result list.
+
+    Scale shape: the corpus pays ONE distributed pass (the sim_cosine_
+    topk Arrow kernel + per-query candidate cut to _MMR_CAND rows via
+    the rank window Catalyst rewrites to WindowGroupLimit); the greedy
+    re-rank then runs driver-side over MODEL-SIZED state (3 queries x
+    20 candidate vectors — the IVF probe-selection pattern). The oracle
+    replays the full greedy unroll in SQL: candidate cut, pairwise
+    rounded cosines, and all 5 argmax steps with (mmr DESC, vec_id)
+    tie-breaks.
+
+    Output: q_id, rk (selection order 1..5), vec_id, mmr (score at
+    selection, rounded 6).
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", _as_double(F.col("embedding"))
+    )
+    q = _collect_queries(e)
+    if q is None:  # empty corpus -> empty result, right schema
+        return spark.createDataFrame(
+            [], "q_id long, rk long, vec_id long, mmr double"
+        )
+    qmat, qn = q
+
+    @F.pandas_udf("array<double>")
+    def cos_all(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(vec.to_numpy()).astype(np.float64)
+        nx = np.sqrt(_fold_sq(x))
+        cos = _fold_dot(x, qmat) / (nx[:, None] * qn[None, :])
+        return pd.Series(list(cos))
+
+    scored = e.select(
+        "vec_id", F.posexplode(cos_all("vec")).alias("q_pos", "cos_raw")
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored.filter(F.col("vec_id") != F.col("q_pos"))
+        .select(
+            F.col("q_pos").cast("long").alias("q_id"),
+            "vec_id",
+            F.round(F.col("cos_raw"), 6).alias("rel"),
+        )
+        .withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= _MMR_CAND)
+    )
+    # candidate vectors ride back on a broadcast join (corpus scanned
+    # once, nothing corpus-sized shuffles); <= 3 * _MMR_CAND rows reach
+    # the driver
+    cv = (
+        F.broadcast(cand)
+        .join(e.select("vec_id", "vec"), "vec_id")
+        .select("q_id", "vec_id", "rel", "vec")
+        .collect()
+    )
+    byq: dict[int, list] = {}
+    for r in cv:
+        byq.setdefault(r.q_id, []).append(r)
+    out = []
+    for q_id in sorted(byq):
+        out.extend(_mmr_greedy(q_id, byq[q_id]))
+    return spark.createDataFrame(
+        out, "q_id long, rk long, vec_id long, mmr double"
+    )
+
+
+def _mmr_greedy(q_id: int, cand_rows) -> list[tuple]:
+    """Driver-side greedy MMR over one query's model-sized candidate
+    list of (vec_id, rel, vec) rows. Split out so the planted-twin
+    behavioral test can drive it with a synthetic near-duplicate."""
+    from hive_2_spark.llm.advanced import _round6_half_away
+
+    rows = sorted(cand_rows, key=lambda r: (-r.rel, r.vec_id))
+    V = np.array([list(r.vec) for r in rows], dtype=np.float64)
+    nv = np.sqrt(_fold_sq(V))
+    S = _round6_half_away(_fold_dot(V, V) / (nv[:, None] * nv[None, :]))
+    rel = [float(r.rel) for r in rows]
+    ids = [int(r.vec_id) for r in rows]
+    selected: list[int] = []
+    avail = list(range(len(rows)))
+    out = []
+    for rk in range(1, _MMR_K + 1):
+        if not avail:
+            break
+        best = None
+        for i in avail:
+            ms = max((float(S[i, j]) for j in selected), default=0.0)
+            sc = _MMR_LAMBDA * rel[i] - _MMR_MU * ms
+            key = (-sc, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i, sc)
+        _, i, sc = best
+        selected.append(i)
+        avail.remove(i)
+        out.append(
+            (q_id, rk, ids[i], float(_round6_half_away(np.float64(sc))))
+        )
+    return out
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_cosine_lsh": sim_cosine_lsh,
     "sim_pairwise_label": sim_pairwise_label,
     "emb_normalize": emb_normalize,
     "emb_quantize_int8": emb_quantize_int8,
+    "retrieval_mmr": retrieval_mmr,
 }
+
+
+def _mmr_oracle() -> str:
+    """Full SQL unroll of the greedy MMR selection (built by loop so
+    the step count stays tied to _MMR_K)."""
+    cos = _dk_cos("e.vec", "q.q_vec")
+    ctes = [
+        "e AS (SELECT vec_id, "
+        f"{_DK_VEC.format(c='embedding')} AS vec FROM embeddings)",
+        "q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 3)",
+        "pairs AS (SELECT e.vec_id, q.q_id, "
+        f"ROUND({cos}, 6) AS rel, e.vec "
+        "FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)",
+        "cand AS (SELECT q_id, vec_id, rel, vec FROM ("
+        "SELECT q_id, vec_id, rel, vec, ROW_NUMBER() OVER ("
+        "PARTITION BY q_id ORDER BY rel DESC, vec_id) AS crk FROM pairs"
+        f") WHERE crk <= {_MMR_CAND})",
+        "sim AS (SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id, "
+        f"ROUND({_dk_cos('a.vec', 'b.vec')}, 6) AS s "
+        "FROM cand a JOIN cand b "
+        "ON a.q_id = b.q_id AND a.vec_id <> b.vec_id)",
+        f"s1 AS (SELECT q_id, vec_id, {_MMR_LAMBDA} * rel AS mmr FROM ("
+        "SELECT q_id, vec_id, rel, ROW_NUMBER() OVER ("
+        "PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rk FROM cand"
+        ") WHERE rk = 1)",
+        "sel1 AS (SELECT q_id, vec_id FROM s1)",
+    ]
+    for k in range(2, _MMR_K + 1):
+        p = k - 1
+        score = f"{_MMR_LAMBDA} * rel - {_MMR_MU} * ms"
+        ctes.append(
+            f"c{k} AS (SELECT c.q_id, c.vec_id, c.rel, MAX(s.s) AS ms "
+            f"FROM cand c "
+            f"LEFT JOIN sel{p} d ON d.q_id = c.q_id "
+            f"AND d.vec_id = c.vec_id "
+            f"JOIN sim s ON s.q_id = c.q_id AND s.a_id = c.vec_id "
+            f"JOIN sel{p} t ON t.q_id = s.q_id AND t.vec_id = s.b_id "
+            f"WHERE d.vec_id IS NULL GROUP BY 1, 2, 3)"
+        )
+        ctes.append(
+            f"s{k} AS (SELECT q_id, vec_id, mmr FROM ("
+            f"SELECT q_id, vec_id, {score} AS mmr, ROW_NUMBER() OVER ("
+            f"PARTITION BY q_id ORDER BY {score} DESC, vec_id) AS rk "
+            f"FROM c{k}) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"sel{k} AS (SELECT q_id, vec_id FROM sel{p} "
+            f"UNION ALL SELECT q_id, vec_id FROM s{k})"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT q_id, CAST({k} AS BIGINT) AS rk, vec_id, "
+        f"ROUND(mmr, 6) AS mmr FROM s{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + finals
 
 _DK_VEC = "list_transform({c}, x -> CAST(x AS DOUBLE))"
 _DK_DOT = "list_dot_product({a}, {b})"
@@ -328,6 +500,7 @@ def _dk_cos(a: str, b: str) -> str:
 
 
 ORACLES = {
+    "retrieval_mmr": _mmr_oracle(),
     # sin() exists in DuckDB, so the 12 deterministic hyperplanes are
     # fully replayable — this key was rows-only until round 4. Accepted
     # tolerance (documented): np.sin vs libm sin can differ in the last

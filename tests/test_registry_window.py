@@ -34,6 +34,7 @@ _ROUND6_NEW = [
     "dedup_incremental_indexed",
     "quality_ngram_census",
     "ts_acf",
+    "retrieval_mmr",
 ]
 
 _REVERIFY_TAIL = [

@@ -141,3 +141,49 @@ def test_keyword_and_requires_all_terms(spark, synth_dir):
         R._QUERIES = orig
     assert rows[1]["n_matching_docs"] == 2 and rows[1]["first_doc_id"] == 3
     assert 2 not in rows
+
+
+def test_mmr_demotes_planted_near_duplicate():
+    """A near-duplicate of the top hit must NOT be picked second by
+    MMR even though pure relevance would rank it there — the diversity
+    term is the point of the operator, and random fixture vectors
+    exercise it only mildly."""
+    from collections import namedtuple
+
+    import numpy as np
+
+    from hive_2_spark.llm.similarity import _MMR_K, _mmr_greedy
+
+    Row = namedtuple("Row", ["vec_id", "rel", "vec"])
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    twin = base + rng.normal(scale=1e-3, size=8)  # cosine ~ 1.0
+    cands = [
+        Row(10, 0.90, list(base)),
+        Row(11, 0.89, list(twin)),  # relevance runner-up, near-dup of 10
+    ]
+    # distinct fillers with relevance just below the twin
+    for i in range(6):
+        cands.append(Row(20 + i, 0.80 - i * 0.01, list(rng.normal(size=8))))
+    out = _mmr_greedy(0, cands)
+    picked = [vec_id for (_q, _rk, vec_id, _s) in out]
+    assert len(picked) == _MMR_K
+    assert picked[0] == 10          # pure relevance wins round 1
+    assert picked[1] != 11          # the near-dup is demoted...
+    assert 11 not in picked[:4]     # ...well below its relevance rank
+
+
+def test_mmr_differs_from_pure_topk_on_fixture(spark):
+    """On the real fixture the diversity term must change at least one
+    selection vs sim_cosine_topk — otherwise the op is vacuous here."""
+    from tests.conftest import SF_DIR
+    from hive_2_spark.llm.similarity import retrieval_mmr, sim_cosine_topk
+
+    mmr = {
+        (r.q_id, r.rk): r.vec_id for r in retrieval_mmr(spark, SF_DIR).collect()
+    }
+    top = {
+        (r.q_id, r.rk): r.vec_id
+        for r in sim_cosine_topk(spark, SF_DIR).collect()
+    }
+    assert any(mmr[k] != top.get(k) for k in mmr)

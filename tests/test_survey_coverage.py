@@ -92,7 +92,7 @@ BRIEF_EXTRAS = [
     "graph_pagerank_converged",
     # round-6 additions
     "token_pack_salted", "dedup_incremental_indexed",
-    "quality_ngram_census", "ts_acf",
+    "quality_ngram_census", "ts_acf", "retrieval_mmr",
 ]
 
 
