@@ -547,6 +547,149 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HZ = 50          # dedup horizon in ingest-seq units
+_HZ_SPACING = 10  # seq distance between consecutive base docs
+
+
+def corpus_with_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + an ingest sequence + horizon-controlled twins.
+
+    Base docs sit at seq = doc_id*10 (all ``% 10 == 0``). Each seed doc
+    (doc_id % 10 == 0) gets three planted twins whose seq residues can
+    never collide with a base doc or each other: an exact copy at
+    gap 5 (INSIDE the 50-unit horizon), a near copy (+' suffix') at
+    gap 15 (inside), and an exact copy at gap 503 (OUTSIDE — the one
+    `dedup_time_horizon` must NOT flag)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id", (F.col("doc_id") * _HZ_SPACING).alias("seq"), "text"
+    )
+    seeds = d.filter(F.col("doc_id") % 10 == 0)
+    sseq = F.col("doc_id") * _HZ_SPACING
+    ex_in = seeds.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        (sseq + 5).alias("seq"),
+        "text",
+    )
+    near_in = seeds.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        (sseq + 15).alias("seq"),
+        F.concat(F.col("text"), F.lit(" suffix")).alias("text"),
+    )
+    ex_out = seeds.select(
+        (F.col("doc_id") + 60_000_000).alias("doc_id"),
+        (sseq + 503).alias("seq"),
+        "text",
+    )
+    return base.unionByName(ex_in).unionByName(near_in).unionByName(ex_out)
+
+
+def dedup_time_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-windowed dedup: a document is a duplicate only if a
+    matching doc arrived within the last ``_HZ`` ingest-sequence units
+    — the BOUNDED-STATE production shape for an unbounded stream: at
+    100 TB/day you cannot hold (or join against) all history, so dedup
+    state is the trailing window and old content legitimately
+    re-enters the corpus (fresh crawls of changed pages).
+
+    Scale shape: candidates are BINNED, not history-joined — gap <= H
+    implies the partner lives in the same or previous H-wide seq
+    bucket, so each probe joins exactly 2 bucket keys (the
+    join_interval_binned rewrite applied to dedup). Both the exact
+    (fingerprint) and near (MinHash band) legs key on
+    (match key, bucket); nothing joins across more than 2H of history.
+    The oracle replays the semantics with the NAIVE unbinned join —
+    proving the binning loses nothing.
+
+    Output (flagged docs only): doc_id, verdict, match_id (most recent
+    prior match), gap (seq distance).
+    """
+    c = corpus_with_seq(spark, sf_dir).select(
+        "doc_id", "seq", _NORM(F.col("text")).alias("norm")
+    )
+    bkt = F.floor(F.col("seq") / _HZ).cast("long")
+    fpc = c.select(
+        "doc_id", "seq", F.md5("norm").alias("fp"), bkt.alias("bkt")
+    )
+    probe = fpc.withColumn(
+        "pbkt", F.explode(F.array(F.col("bkt"), F.col("bkt") - 1))
+    ).select("doc_id", "seq", "fp", "pbkt")
+    bside = fpc.select(
+        "fp",
+        F.col("bkt").alias("pbkt"),
+        F.col("doc_id").alias("b_id"),
+        F.col("seq").alias("b_seq"),
+    )
+    in_window = (F.col("b_seq") < F.col("seq")) & (
+        F.col("seq") - F.col("b_seq") <= _HZ
+    )
+    ex_best = (
+        probe.join(bside, ["fp", "pbkt"])
+        .filter(in_window)
+        .groupBy("doc_id", "seq")
+        .agg(F.max(F.struct("b_seq", "b_id")).alias("m"))
+        .select(
+            "doc_id",
+            "seq",
+            F.col("m.b_id").alias("exact_id"),
+            F.col("m.b_seq").alias("exact_seq"),
+        )
+    )
+    bands = _minhash_bands(c, "seq").withColumn("bkt", bkt)
+    nprobe = bands.withColumn(
+        "pbkt", F.explode(F.array(F.col("bkt"), F.col("bkt") - 1))
+    ).select("doc_id", "seq", "band_idx", "band_key", "pbkt")
+    nside = bands.select(
+        "band_idx",
+        "band_key",
+        F.col("bkt").alias("pbkt"),
+        F.col("doc_id").alias("b_id"),
+        F.col("seq").alias("b_seq"),
+    )
+    cand = (
+        nprobe.join(nside, ["band_idx", "band_key", "pbkt"])
+        .filter(in_window)
+        .select("doc_id", "seq", "b_id", "b_seq")
+        .distinct()
+    )
+    words = c.select(
+        "doc_id", F.array_distinct(F.split("norm", " ")).alias("w")
+    )
+    jac = F.size(F.array_intersect("w", "bw")) / F.size(
+        F.array_union("w", "bw")
+    )
+    near_best = (
+        cand.join(words, "doc_id")
+        .join(
+            words.select(
+                F.col("doc_id").alias("b_id"), F.col("w").alias("bw")
+            ),
+            "b_id",
+        )
+        .filter(jac >= 0.8)
+        .groupBy("doc_id", "seq")
+        .agg(F.max(F.struct("b_seq", "b_id")).alias("m"))
+        .select(
+            "doc_id",
+            "seq",
+            F.col("m.b_id").alias("near_id"),
+            F.col("m.b_seq").alias("near_seq"),
+        )
+    )
+    res = ex_best.join(near_best, ["doc_id", "seq"], "full")
+    verdict = F.when(F.col("exact_id").isNotNull(), "exact").otherwise(
+        "near"
+    )
+    return res.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        F.coalesce("exact_id", "near_id").cast("bigint").alias("match_id"),
+        (F.col("seq") - F.coalesce("exact_seq", "near_seq"))
+        .cast("bigint")
+        .alias("gap"),
+    )
+
+
 # Stopword-gram guard for the containment self-join: a shingle present
 # in more docs than this is boilerplate and generates no candidates, so
 # the pair space is sum_g min(df_g, CAP)^2 — linear in the corpus with a
@@ -691,6 +834,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,  # rows-only (xxhash64 is Spark-side)
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_indexed": dedup_incremental_indexed,
+    "dedup_time_horizon": dedup_time_horizon,
     "dedup_containment": dedup_containment,
     "dedup_substring_windows": dedup_substring_windows,
 }
@@ -771,8 +915,59 @@ _DK_INCREMENTAL = (
 )
 
 
+# NAIVE unbinned replay of the horizon semantics (the Spark plan bins
+# candidates into 2 bucket keys per probe; the oracle proves the
+# binning loses nothing).
+_DK_HORIZON = (
+    "WITH c0 AS ("
+    f"SELECT doc_id, doc_id * {_HZ_SPACING} AS seq, text FROM documents "
+    "UNION ALL SELECT doc_id + 20000000, "
+    f"doc_id * {_HZ_SPACING} + 5, text "
+    "FROM documents WHERE doc_id % 10 = 0 "
+    "UNION ALL SELECT doc_id + 10000000, "
+    f"doc_id * {_HZ_SPACING} + 15, text || ' suffix' "
+    "FROM documents WHERE doc_id % 10 = 0 "
+    "UNION ALL SELECT doc_id + 60000000, "
+    f"doc_id * {_HZ_SPACING} + 503, text "
+    "FROM documents WHERE doc_id % 10 = 0), "
+    f"c AS (SELECT doc_id, seq, {_DK_NORM.format(c='text')} AS norm "
+    "FROM c0), "
+    "exb AS (SELECT a.doc_id, a.seq, "
+    "max_by(b.doc_id, b.seq) AS exact_id, MAX(b.seq) AS exact_seq "
+    "FROM c a JOIN c b ON md5(a.norm) = md5(b.norm) "
+    f"AND b.seq < a.seq AND a.seq - b.seq <= {_HZ} "
+    "GROUP BY 1, 2), "
+    f"sg AS ({_dk_sig8('c', 'doc_id')}), "
+    f"bd0 AS ({_dk_bands('sg', 'doc_id')}), "
+    "bd AS (SELECT bd0.doc_id, c.seq, bd0.band_idx, bd0.band_key "
+    "FROM bd0 JOIN c USING (doc_id)), "
+    "ncand AS (SELECT DISTINCT a.doc_id, a.seq, "
+    "b.doc_id AS b_id, b.seq AS b_seq "
+    "FROM bd a JOIN bd b ON a.band_idx = b.band_idx "
+    "AND a.band_key = b.band_key "
+    f"AND b.seq < a.seq AND a.seq - b.seq <= {_HZ}), "
+    "w AS (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS ws "
+    "FROM c), "
+    "nvb AS (SELECT nc.doc_id, nc.seq, "
+    "max_by(nc.b_id, nc.b_seq) AS near_id, MAX(nc.b_seq) AS near_seq "
+    "FROM ncand nc JOIN w wa ON wa.doc_id = nc.doc_id "
+    "JOIN w wb ON wb.doc_id = nc.b_id "
+    "WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(wa.ws, wb.ws))) >= 0.8 "
+    "GROUP BY 1, 2) "
+    "SELECT COALESCE(e.doc_id, n.doc_id) AS doc_id, "
+    "CASE WHEN e.exact_id IS NOT NULL THEN 'exact' ELSE 'near' END "
+    "AS verdict, "
+    "CAST(COALESCE(e.exact_id, n.near_id) AS BIGINT) AS match_id, "
+    "CAST(COALESCE(e.seq, n.seq) - COALESCE(e.exact_seq, n.near_seq) "
+    "AS BIGINT) AS gap "
+    "FROM exb e FULL JOIN nvb n "
+    "ON e.doc_id = n.doc_id AND e.seq = n.seq"
+)
+
 ORACLES = {
     "dedup_incremental": _DK_INCREMENTAL,
+    "dedup_time_horizon": _DK_HORIZON,
     # identical semantics — the bucketed index changes WHERE the corpus
     # state lives, never the verdicts, so the oracle is shared verbatim
     "dedup_incremental_indexed": _DK_INCREMENTAL,

@@ -85,3 +85,33 @@ def test_indexed_classify_matches_adhoc_and_skips_corpus_shuffle(spark):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_time_horizon_flags_only_in_window_twins(spark):
+    """Planted ground truth: exact/near twins inside the 50-unit
+    horizon must flag with the right verdict and gap; the exact twin
+    planted 503 units later must NOT appear — old content re-entering
+    the corpus is legitimate under retention-windowed dedup."""
+    from hive_2_spark.llm.dedup import dedup_time_horizon
+
+    rows = dedup_time_horizon(spark, SF_DIR_MID).collect()
+    by_id = {r.doc_id: r for r in rows}
+    ex_in = [r for r in rows if 20_000_000 <= r.doc_id < 30_000_000]
+    near_in = [r for r in rows if 10_000_000 <= r.doc_id < 20_000_000]
+    assert not [r for r in rows if r.doc_id >= 60_000_000]
+    assert ex_in and all(
+        r.verdict == "exact"
+        and r.gap == 5
+        and r.match_id == r.doc_id - 20_000_000
+        for r in ex_in
+    )
+    # the near twin's most recent in-window partner is the exact twin
+    # planted 10 units before it (not the seed 15 back)
+    assert near_in and all(
+        r.verdict == "near" and r.gap == 10 for r in near_in
+    )
+    # every seed produced both in-window twins' flags
+    seeds = {r.doc_id - 20_000_000 for r in ex_in}
+    assert seeds == {r.doc_id - 10_000_000 for r in near_in}
+    assert all(s % 10 == 0 for s in seeds)
+    assert by_id  # non-vacuous

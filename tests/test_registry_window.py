@@ -35,6 +35,7 @@ _ROUND6_NEW = [
     "quality_ngram_census",
     "ts_acf",
     "retrieval_mmr",
+    "dedup_time_horizon",
 ]
 
 _REVERIFY_TAIL = [
