@@ -35,6 +35,10 @@ CARTESIAN_OK = {
     "event_rfm",            # 1-row broadcast global max-ts anchor —
                             # the scalar-subquery shape again
     "curation_mixture_balance",  # 1-row broadcast global budget scalar
+    "skew_report",          # two 1-row broadcast stat frames per relation
+                            # (n_keys/n_rows/max + percentile scalars) —
+                            # the scalar-subquery shape over a histogram
+                            # whose size is the count-of-counts domain
 }
 PYTHON_OK = {
     "udf_scalar",

@@ -36,6 +36,7 @@ _ROUND6_NEW = [
     "ts_acf",
     "retrieval_mmr",
     "dedup_time_horizon",
+    "skew_report",
 ]
 
 _REVERIFY_TAIL = [
