@@ -199,6 +199,125 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return small_pairs.unionByName(mega_pairs)
 
 
+# Exact-threshold self-join subset: every 5th doc plus the planted twins.
+# Keeps the NAIVE all-pairs oracle tractable at sf0.1 while the Spark
+# side runs the scale algorithm on the same rows.
+_PF_MOD = 5
+
+
+def _pf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = d.filter(F.col("doc_id") % 10 == 0)
+    return (
+        d.filter(F.col("doc_id") % _PF_MOD == 0)
+        .unionByName(
+            seeds.select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            seeds.select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" suffix")).alias("text"),
+            )
+        )
+    )
+
+
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.8 similarity self-join via AllPairs prefix
+    filtering (Bayardo/Ma/Srikant WWW'07) — no blocking recall loss.
+
+    Every other near-dup path here trades recall for scale (banded
+    MinHash finds *most* pairs). This one is exact at scale: sort each
+    doc's 3-gram shingle set rarest-first under the global (document
+    frequency, gram) total order; any pair with J >= t MUST share a
+    shingle within each other's first ``n - ceil(t*n) + 1`` shingles,
+    so an inverted index over just those prefixes generates a candidate
+    superset with zero false negatives. Rare-first ordering keeps
+    posting lists short (frequent boilerplate grams sort to the suffix
+    and never enter the index); candidate cost is sum(|postings|^2)
+    over rare grams, not O(n^2). The length filter (|b| within [t*|a|,
+    |a|/t], integer cross-multiplied — no float ceil) prunes before the
+    distinct. Verification joins candidate ids back to shingle arrays:
+    only candidate pairs ever see full arrays, and the >= t test is
+    integer cross-multiplied (5*|intersect| >= 4*|union|) so both
+    engines decide identically.
+
+    The oracle is the NAIVE all-pairs join with the same length filter
+    and threshold — a hash-match PROVES the prefix index missed no pair
+    (the exactness claim), which is why this key's oracle deliberately
+    shares no candidate-generation logic with the plan.
+    """
+    words = F.split(_NORM(F.col("text")), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (_MH_SHINGLE - 1)),
+            lambda i: F.array_join(F.slice(words, i, _MH_SHINGLE), " "),
+        )
+    )
+    docs = (
+        _pf_corpus(spark, sf_dir)
+        .filter(F.size(words) >= _MH_SHINGLE)
+        .select("doc_id", grams.alias("sh"))
+        .withColumn("nsh", F.size("sh"))
+    )
+    exploded = docs.select("doc_id", "nsh", F.explode("sh").alias("g"))
+    # global document frequency per shingle — the vocabulary-sized side
+    # of one shuffle join (NOT broadcast: vocab grows with the corpus)
+    df_tbl = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    ordered = (
+        exploded.join(df_tbl, "g")
+        .groupBy("doc_id", "nsh")
+        .agg(F.array_sort(F.collect_list(F.struct("gdf", "g"))).alias("osh"))
+    )
+    # prefix length n - ceil(0.8n) + 1, integer-exact: ceil(4n/5) =
+    # (4n + 4) div 5. Longer prefixes only ADD candidates, never lose.
+    plen = F.col("nsh") - F.floor((4 * F.col("nsh") + 4) / 5) + 1
+    postings = ordered.select(
+        "doc_id",
+        "nsh",
+        F.explode(F.slice(F.col("osh"), F.lit(1), plen.cast("int"))).alias(
+            "p"
+        ),
+    ).select("doc_id", "nsh", F.col("p.g").alias("g"))
+    a = postings.select(
+        "g", F.col("doc_id").alias("a_id"), F.col("nsh").alias("a_n")
+    )
+    b = postings.select(
+        "g", F.col("doc_id").alias("b_id"), F.col("nsh").alias("b_n")
+    )
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (5 * F.col("b_n") >= 4 * F.col("a_n"))
+            & (5 * F.col("a_n") >= 4 * F.col("b_n"))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sh = docs.select("doc_id", "sh")
+    it = F.size(F.array_intersect("a_sh", "b_sh"))
+    un = F.size(F.array_union("a_sh", "b_sh"))
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")),
+            "a_id",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")),
+            "b_id",
+        )
+        .filter(5 * it >= 4 * un)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(it.cast("double") / un.cast("double"), 4).alias("jac"),
+        )
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (rows-only check).
 
@@ -829,6 +948,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_sort": dedup_token_sort,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_prefix_filter": dedup_prefix_filter,
     "dedup_minhash_lsh": dedup_minhash_lsh,  # rows-only (engine hash seeds)
     "dedup_minhash_portable": dedup_minhash_portable,  # oracle-checked
     "dedup_simhash": dedup_simhash,  # rows-only (xxhash64 is Spark-side)
@@ -965,8 +1085,35 @@ _DK_HORIZON = (
     "ON e.doc_id = n.doc_id AND e.seq = n.seq"
 )
 
+# NAIVE all-pairs replay of dedup_prefix_filter — deliberately shares
+# nothing with the Spark plan's prefix index: a hash-match proves the
+# AllPairs candidate generation lost no pair. Integer cross-multiplied
+# length filter and threshold so both engines decide identically.
+_DK_PREFIX_FILTER = (
+    "WITH c0 AS ("
+    f"SELECT doc_id, text FROM documents WHERE doc_id % {_PF_MOD} = 0 "
+    "UNION ALL SELECT doc_id + 20000000, text FROM documents "
+    "WHERE doc_id % 10 = 0 "
+    "UNION ALL SELECT doc_id + 10000000, text || ' suffix' FROM documents "
+    "WHERE doc_id % 10 = 0), "
+    f"n AS (SELECT doc_id, string_split({_DK_NORM.format(c='text')}, ' ') "
+    "AS ws FROM c0), "
+    "w AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS sh "
+    "FROM n WHERE len(ws) >= 3), "
+    "v AS (SELECT doc_id, sh, len(sh) AS nsh FROM w) "
+    "SELECT a_id, b_id, ROUND(CAST(it AS DOUBLE) / un, 4) AS jac FROM ("
+    "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+    "len(list_intersect(a.sh, b.sh)) AS it, "
+    "len(list_distinct(list_concat(a.sh, b.sh))) AS un "
+    "FROM v a JOIN v b ON a.doc_id < b.doc_id "
+    "AND 5 * b.nsh >= 4 * a.nsh AND 5 * a.nsh >= 4 * b.nsh) "
+    "WHERE 5 * it >= 4 * un"
+)
+
 ORACLES = {
     "dedup_incremental": _DK_INCREMENTAL,
+    "dedup_prefix_filter": _DK_PREFIX_FILTER,
     "dedup_time_horizon": _DK_HORIZON,
     # identical semantics — the bucketed index changes WHERE the corpus
     # state lives, never the verdicts, so the oracle is shared verbatim

@@ -115,3 +115,23 @@ def test_time_horizon_flags_only_in_window_twins(spark):
     assert seeds == {r.doc_id - 10_000_000 for r in near_in}
     assert all(s % 10 == 0 for s in seeds)
     assert by_id  # non-vacuous
+
+
+def test_prefix_filter_finds_all_planted_twins_exactly(spark):
+    """AllPairs exactness ground truth: every planted exact twin of a
+    >=3-word doc in the %5 base must surface with jac == 1.0, and the
+    pair set must contain no self/reversed pairs. (The oracle's naive
+    all-pairs hash-match is the no-missed-pair proof; this pins the
+    planted positives independently of the oracle.)"""
+    from hive_2_spark.llm.dedup import dedup_prefix_filter
+
+    rows = dedup_prefix_filter(spark, SF_DIR_MID).collect()
+    pairs = {(r.a_id, r.b_id): r.jac for r in rows}
+    assert all(a < b for a, b in pairs)
+    # seeds (doc_id % 10 == 0) with a 3+ word text must pair with their
+    # +20M exact twin at jaccard exactly 1.0
+    exact_twins = {
+        (a, b) for (a, b) in pairs if b == a + 20_000_000 and a % 10 == 0
+    }
+    assert len(exact_twins) >= 40  # sf0.01: ~50 seeds
+    assert all(pairs[p] == 1.0 for p in exact_twins)

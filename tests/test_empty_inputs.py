@@ -28,6 +28,7 @@ KEYS = [
     "stream_tumbling",
     "text_stats",
     "dedup_exact",
+    "dedup_prefix_filter",
     "topk_limit",
     "validate_rules",
     "text_chunk",

@@ -37,6 +37,7 @@ _ROUND6_NEW = [
     "retrieval_mmr",
     "dedup_time_horizon",
     "skew_report",
+    "dedup_prefix_filter",
 ]
 
 _REVERIFY_TAIL = [

@@ -93,7 +93,7 @@ BRIEF_EXTRAS = [
     # round-6 additions
     "token_pack_salted", "dedup_incremental_indexed",
     "quality_ngram_census", "ts_acf", "retrieval_mmr",
-    "dedup_time_horizon", "skew_report",
+    "dedup_time_horizon", "skew_report", "dedup_prefix_filter",
 ]
 
 
