@@ -163,8 +163,104 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", o.prio_key.alias("prio_key"), "prio_rank")
 
 
+# ------------------------------------------- bloom-filter join pruning
+_BLOOM_K = 3  # hash probes per key
+_BLOOM_BITS_PER_KEY = 16  # ~0.1% fpp at k=3
+
+
+def _bloom_pos(col, i: int, m_bits: int):
+    """Bit position of hash probe ``i`` — MUST be expression-identical on
+    the build and probe sides (seed literal type included)."""
+    return F.pmod(F.xxhash64(F.lit(i), col), F.lit(m_bits))
+
+
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning: monthly order volume for one segment,
+    with the fact scan pruned by a Bloom filter over the filtered dim's
+    keys BEFORE the join shuffle.
+
+    The at-100-TB shape for selective dim filters when the dim is too
+    big to broadcast whole: ship an m-bit filter (16 bits/key, k=3 →
+    ~0.1% false positives) instead of the key set, drop non-matching
+    fact rows at the scan, and let the real join remove the few false
+    positives — so the result is EXACT (the oracle is the plain join)
+    while the shuffle carries ~segment-fraction of the fact table.
+    Spark's own runtime row-group bloom pruning inspires the shape; this
+    is the explicit, engine-independent version.
+
+    Build is fully distributed: key → k bit positions (explode), bit_or
+    of 64-bit words, dense array<long> assembled via map lookup — the
+    only driver-side value is the key COUNT that sizes m. The 1-row
+    filter frame broadcast is the scalar-subquery shape (CARTESIAN_OK).
+    """
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    keys = dim.select(F.col("c_custkey").alias("k"))
+    n_keys = max(1, keys.count())  # scalar action: sizes the filter only
+    m_words = (n_keys * _BLOOM_BITS_PER_KEY + 63) // 64
+    m_bits = m_words * 64
+
+    entries = keys.select(
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col("k"), i, m_bits) for i in range(_BLOOM_K)]
+            )
+        ).alias("p")
+    ).select(
+        (F.col("p") / 64).cast("long").alias("w"),
+        F.expr("shiftleft(1L, cast(p % 64 AS INT))").alias("m"),
+    )
+    bloom = (
+        entries.groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .groupBy()
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias(
+                "wm"
+            )
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("wm"), i.cast("long")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("bloom_bits")
+        )
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    probed = o.crossJoin(F.broadcast(bloom))
+    for i in range(_BLOOM_K):
+        probed = probed.withColumn(
+            f"p{i}", _bloom_pos(F.col("o_custkey"), i, m_bits)
+        )
+    hit = [
+        F.expr(
+            f"(element_at(bloom_bits, cast(p{i} / 64 AS INT) + 1) & "
+            f"shiftleft(1L, cast(p{i} % 64 AS INT))) <> 0"
+        )
+        for i in range(_BLOOM_K)
+    ]
+    pruned = probed.filter(hit[0] & hit[1] & hit[2]).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    # the real join erases bloom false positives — result is exact
+    return (
+        pruned.join(dim.select("c_custkey"), pruned.o_custkey == F.col("c_custkey"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
     "join_null_safe": join_null_safe,
+    "join_bloom_pruned": join_bloom_pruned,
     "join_lookup_one": join_lookup_one,
     "join_has_many": join_has_many,
     "join_many_to_many": join_many_to_many,
@@ -177,6 +273,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the plain join IS the oracle: a hash-match proves the bloom prune
+    # dropped no true match and the join erased every false positive
+    "join_bloom_pruned": (
+        "SELECT strftime(o_orderdate, '%Y-%m') AS month, "
+        "COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' GROUP BY 1"
+    ),
     "join_null_safe": (
         "WITH o AS (SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') "
         "  AS prio_key FROM orders), "
