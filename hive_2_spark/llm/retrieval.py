@@ -227,10 +227,74 @@ def keyword_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed literal phrases over the corpus vocabulary (2- and 3-grams,
+# incl. one with a repeated term to exercise multi-anchor contribution)
+_PHRASES: list[tuple[int, str]] = [
+    (1, "table scan merge"),
+    (2, "hash join order"),
+    (3, "sort merge"),
+    (4, "stream window"),
+    (5, "batch batch batch"),
+]
+
+
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact contiguous-phrase search via positional postings and the
+    aligned-anchor trick — the scale substitute for `LIKE '%a b c%'`.
+
+    A full-text LIKE forces every query to rescan every document. This
+    plan explodes tokens to positional postings ONCE, keeps only the
+    phrase vocabulary (isin BEFORE the exchange, like bm25's
+    posting-filtered explode), and maps each posting of phrase term i
+    at position p to anchor p - i: a phrase occurrence at anchor a is
+    exactly an anchor group containing ALL plen distinct term indexes.
+    ONE groupBy replaces the k-way positional self-join — no join in
+    the plan beyond the broadcast of the phrase terms; cost scales
+    with postings of the queried terms, not corpus size x queries.
+    A phrase with a repeated term still works: one posting contributes
+    a row per matching term_idx (distinct-count semantics).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rows = []
+    for qid, ph in _PHRASES:
+        ts = ph.split()
+        for i, t in enumerate(ts):
+            rows.append((qid, i, t, len(ts)))
+    q = spark.createDataFrame(
+        rows, "query_id int, term_idx int, term string, plen int"
+    )
+    all_terms = sorted({t for _, ph in _PHRASES for t in ph.split()})
+    postings = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term")
+    ).filter(F.col("term").isin(all_terms))
+    anchored = (
+        postings.join(F.broadcast(q), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            "plen",
+            (F.col("pos") - F.col("term_idx")).alias("anchor"),
+            "term_idx",
+        )
+        .filter(F.col("anchor") >= 0)
+    )
+    occ = (
+        anchored.groupBy("query_id", "doc_id", "plen", "anchor")
+        .agg(F.count_distinct("term_idx").alias("nt"))
+        .filter(F.col("nt") == F.col("plen"))
+    )
+    return occ.groupBy("query_id").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
     "keyword_search_and": keyword_search_and,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
+    "phrase_search_positional": phrase_search_positional,
 }
 
 _QUERY_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _QUERIES)
@@ -265,7 +329,26 @@ w AS (
   GROUP BY q.query_id, tf.doc_id
 )"""
 
+_PHRASE_VALUES = ", ".join(f"({i}, '{p}')" for i, p in _PHRASES)
+
 ORACLES = {
+    # NAIVE replay: every document scanned per query, every window
+    # compared — proves the anchor trick finds exactly the contiguous
+    # occurrences (positions 1-based; ws[i:i+plen-1] is plen tokens)
+    "phrase_search_positional": (
+        f"WITH q(query_id, phrase) AS (VALUES {_PHRASE_VALUES}), "
+        "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "x AS (SELECT q.query_id, q.phrase, "
+        "len(string_split(q.phrase, ' ')) AS plen, w.doc_id, w.ws "
+        "FROM q CROSS JOIN w), "
+        "occ AS (SELECT query_id, doc_id, "
+        "unnest(list_filter(range(1, len(ws) - plen + 2), "
+        "i -> array_to_string(ws[i:i+plen-1], ' ') = phrase)) AS anchor "
+        "FROM x) "
+        "SELECT query_id, COUNT(DISTINCT doc_id) AS n_docs, "
+        "COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc_id "
+        "FROM occ GROUP BY 1"
+    ),
     "bm25_topk": f"""
 WITH {_BM25_SCORED_CTES}
 SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank FROM (

@@ -35,6 +35,9 @@ CARTESIAN_OK = {
     "event_rfm",            # 1-row broadcast global max-ts anchor —
                             # the scalar-subquery shape again
     "curation_mixture_balance",  # 1-row broadcast global budget scalar
+    "join_bloom_pruned",    # 1-row broadcast bloom bit-array frame —
+                            # the scalar-subquery shape (the filter is
+                            # the scalar); the real join is hash-based
     "skew_report",          # two 1-row broadcast stat frames per relation
                             # (n_keys/n_rows/max + percentile scalars) —
                             # the scalar-subquery shape over a histogram

@@ -38,6 +38,8 @@ _ROUND6_NEW = [
     "dedup_time_horizon",
     "skew_report",
     "dedup_prefix_filter",
+    "join_bloom_pruned",
+    "phrase_search_positional",
 ]
 
 _REVERIFY_TAIL = [

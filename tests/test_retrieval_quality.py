@@ -187,3 +187,41 @@ def test_mmr_differs_from_pure_topk_on_fixture(spark):
         for r in sim_cosine_topk(spark, SF_DIR).collect()
     }
     assert any(mmr[k] != top.get(k) for k in mmr)
+
+
+def test_phrase_search_matches_pure_python_scan(spark):
+    """Engine-independent ground truth: a plain Python scan over the
+    raw text must agree with the anchor-trick result exactly."""
+    import duckdb
+
+    from hive_2_spark.llm.retrieval import (
+        _PHRASES,
+        phrase_search_positional,
+    )
+    from tests.conftest import SF_DIR_MID
+
+    texts = duckdb.connect().execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{SF_DIR_MID}/documents.parquet')"
+    ).fetchall()
+    expected = {}
+    for qid, phrase in _PHRASES:
+        ts = phrase.split(" ")
+        docs, occ = set(), 0
+        for doc_id, text in texts:
+            ws = text.split(" ")
+            hits = sum(
+                1
+                for i in range(len(ws) - len(ts) + 1)
+                if ws[i : i + len(ts)] == ts
+            )
+            if hits:
+                docs.add(doc_id)
+                occ += hits
+        if docs:
+            expected[qid] = (len(docs), occ, min(docs))
+    got = {
+        r.query_id: (r.n_docs, r.n_occurrences, r.first_doc_id)
+        for r in phrase_search_positional(spark, SF_DIR_MID).collect()
+    }
+    assert got == expected and expected
