@@ -508,7 +508,73 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOLT_A = 0.5  # level smoothing
+_HOLT_B = 0.3  # trend smoothing
+
+
+def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing of each event_type's
+    hourly value series + the one-step-ahead forecast.
+
+    The coupled recurrence (l_t depends on b_{t-1} and vice versa) is
+    beyond any frame window — it is ``ts_ewma``'s fold pattern lifted
+    to TWO states: one hash agg collects the calendar-bounded hourly
+    series in (hour) order, then a JVM ``aggregate`` lambda folds a
+    struct(l, b) accumulator left. Init l=y_2, b=y_2-y_1 (the
+    textbook two-point start, algebraically equal to l_1=y_1,
+    b_1=y_2-y_1 advanced one step); for t>=3:
+    l_t = a*y_t + (1-a)*(l+b);  b_t = g*(l_t - l) + (1-g)*b.
+
+    Cross-engine exactness: hourly sums are cents-rounded INTEGERS
+    cast to double before the fold, the fold expressions are written
+    token-for-token identically in the DuckDB lambda (same literals,
+    same association), and units divide back by 100 only once at the
+    end — so both engines run the same IEEE op sequence. Scale: the
+    fact table collapses to <= 8,760 points/type/year before anything
+    is collected; per-type state is that bounded series.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.round(F.sum("value") * 100)
+        .cast("long")
+        .cast("double")
+        .alias("x")
+    )
+    g = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "x"))).alias("seq")
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["x"])
+    n = F.size(vals)
+    y1, y2 = F.element_at(vals, 1), F.element_at(vals, 2)
+    zero = F.struct(y2.alias("l"), (y2 - y1).alias("b"))
+    tail = F.slice(vals, F.lit(3), F.greatest(n - 2, F.lit(0)))
+
+    def _step(acc, x):
+        l_new = F.lit(_HOLT_A) * x + F.lit(1 - _HOLT_A) * (
+            acc["l"] + acc["b"]
+        )
+        return F.struct(
+            l_new.alias("l"),
+            (
+                F.lit(_HOLT_B) * (l_new - acc["l"])
+                + F.lit(1 - _HOLT_B) * acc["b"]
+            ).alias("b"),
+        )
+
+    fin = F.aggregate(tail, zero, _step)
+    return g.filter(n >= 2).select(
+        "event_type",
+        n.cast("bigint").alias("n_pts"),
+        F.round(fin["l"] / 100, 4).alias("level"),
+        F.round(fin["b"] / 100, 4).alias("trend"),
+        F.round((fin["l"] + fin["b"]) / 100, 4).alias("forecast_next"),
+    )
+
+
 QUERIES = {
+    "ts_holt": ts_holt,
     "ts_resample": ts_resample,
     "ts_interpolate": ts_interpolate,
     "agg_histogram": agg_histogram,
@@ -546,6 +612,35 @@ _GRID_CTE = (
 )
 
 ORACLES = {
+    # recursive-CTE replay of the recurrence with the SAME literals and
+    # association as the Spark _step lambda. NOT list_reduce: DuckDB
+    # mutates a struct accumulator IN PLACE field-by-field, so a 2-state
+    # fold's second field sees the already-updated first field.
+    "ts_holt": (
+        "WITH RECURSIVE hourly AS ("
+        "SELECT event_type, date_trunc('hour', ts) AS h, "
+        "CAST(CAST(ROUND(SUM(value) * 100) AS BIGINT) AS DOUBLE) AS x "
+        "FROM events GROUP BY 1, 2), "
+        "ord AS (SELECT event_type, x, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i "
+        "FROM hourly), "
+        "npts AS (SELECT event_type, MAX(i) AS n FROM ord GROUP BY 1), "
+        "step AS ("
+        "SELECT o2.event_type, 2 AS i, o2.x AS l, o2.x - o1.x AS b "
+        "FROM ord o2 JOIN ord o1 ON o1.event_type = o2.event_type "
+        "AND o1.i = 1 AND o2.i = 2 "
+        "UNION ALL "
+        "SELECT s.event_type, s.i + 1, "
+        "0.5 * o.x + 0.5 * (s.l + s.b), "
+        "0.3 * ((0.5 * o.x + 0.5 * (s.l + s.b)) - s.l) + 0.7 * s.b "
+        "FROM step s JOIN ord o ON o.event_type = s.event_type "
+        "AND o.i = s.i + 1) "
+        "SELECT s.event_type, CAST(npts.n AS BIGINT) AS n_pts, "
+        "ROUND(s.l / 100, 4) AS level, ROUND(s.b / 100, 4) AS trend, "
+        "ROUND((s.l + s.b) / 100, 4) AS forecast_next "
+        "FROM step s JOIN npts ON s.event_type = npts.event_type "
+        "WHERE s.i = npts.n"
+    ),
     # hourly cents + n^2-rescaled centering: numerator and denominator
     # are exact integer sums (HUGEINT here, decimal(38) in Spark), so
     # the double quotient is bit-identical across engines.

@@ -40,6 +40,7 @@ _ROUND6_NEW = [
     "dedup_prefix_filter",
     "join_bloom_pruned",
     "phrase_search_positional",
+    "ts_holt",
 ]
 
 _REVERIFY_TAIL = [

@@ -94,7 +94,7 @@ BRIEF_EXTRAS = [
     "token_pack_salted", "dedup_incremental_indexed",
     "quality_ngram_census", "ts_acf", "retrieval_mmr",
     "dedup_time_horizon", "skew_report", "dedup_prefix_filter",
-    "join_bloom_pruned", "phrase_search_positional",
+    "join_bloom_pruned", "phrase_search_positional", "ts_holt",
 ]
 
 

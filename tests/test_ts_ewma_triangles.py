@@ -97,3 +97,44 @@ def test_zscore_outliers_are_actually_extreme(spark):
             if sigma > 0 and abs((r["value"] - mu) / sigma) >= 3.0:
                 expect.add(r["event_id"])
     assert set(got) == expect
+
+
+def test_holt_matches_pure_python_fold(spark):
+    """Engine-independent ground truth for ts_holt: replay the Holt
+    recurrence in plain Python over the same cents-rounded hourly
+    series and compare all outputs at 4 decimals."""
+    import duckdb
+
+    from hive_2_spark.core.timeseries import _HOLT_A, _HOLT_B, ts_holt
+    from tests.conftest import SF_DIR_MID
+
+    rows = duckdb.connect().execute(
+        "SELECT event_type, CAST(CAST(ROUND(SUM(value) * 100) AS BIGINT) "
+        "AS DOUBLE) AS x FROM read_parquet("
+        f"'{SF_DIR_MID}/events.parquet') "
+        "GROUP BY event_type, date_trunc('hour', ts) "
+        "ORDER BY event_type, date_trunc('hour', ts)"
+    ).fetchall()
+    series: dict[str, list[float]] = {}
+    for et, x in rows:
+        series.setdefault(et, []).append(x)
+    expected = {}
+    for et, vals in series.items():
+        if len(vals) < 2:
+            continue
+        lv, b = vals[1], vals[1] - vals[0]
+        for x in vals[2:]:
+            ln = _HOLT_A * x + (1 - _HOLT_A) * (lv + b)
+            b = _HOLT_B * (ln - lv) + (1 - _HOLT_B) * b
+            lv = ln
+        expected[et] = (
+            len(vals),
+            round(lv / 100, 4),
+            round(b / 100, 4),
+            round((lv + b) / 100, 4),
+        )
+    got = {
+        r.event_type: (r.n_pts, r.level, r.trend, r.forecast_next)
+        for r in ts_holt(spark, SF_DIR_MID).collect()
+    }
+    assert got == expected and expected
