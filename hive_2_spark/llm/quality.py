@@ -236,7 +236,84 @@ def quality_ngram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PMI_MIN_PAIR = 20  # collocation support floor
+_PMI_TOP = 20
+
+
+def quality_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by PMI lift — the phrase-mining signal behind
+    tokenizer-vocabulary and stop-phrase decisions.
+
+    lift(a,b) = p(ab) / (p(a) p(b)) as one deterministic double
+    expression: (n_pair * N_u * N_u) / (N_b * c_a * c_b), every
+    operand cast to double FIRST and multiplied left-to-right in the
+    same order in both engines (no transcendental log — lift orders
+    identically to PMI and stays rational, so cross-engine doubles
+    are bit-identical). Unigram/bigram counts are mergeable map-side
+    aggs over vocabulary-sized key spaces; the two corpus totals ride
+    ONE 1-row broadcast (scalar-subquery shape); top-K is
+    TakeOrderedAndProject on (rounded lift desc, w1, w2) — no global
+    rank window ever sees the pair space.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    uni = (
+        d.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        d.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        F.element_at(ws, i).alias("w1"),
+                        F.element_at(ws, (i + 1).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _PMI_MIN_PAIR)
+    )
+    # N_b = total bigrams: re-derive from doc lengths (sum(len-1)) so
+    # the count does not depend on the support-filtered bi frame
+    nb = d.select(
+        F.sum(F.greatest(F.size(ws) - 1, F.lit(0)))
+        .cast("double")
+        .alias("n_b")
+    )
+    nu = uni.agg(F.sum("c").cast("double").alias("n_u"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    lift = (
+        F.col("n_pair").cast("double") * F.col("n_u") * F.col("n_u")
+    ) / (
+        F.col("n_b") * F.col("c1").cast("double") * F.col("c2").cast("double")
+    )
+    # unigram joins stay un-hinted: vocab is broadcastable here, but at
+    # web scale (heaps-law tens of millions of types) AQE should decide
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(_PMI_TOP)
+    )
+
+
 QUERIES = {
+    "quality_pmi_bigrams": quality_pmi_bigrams,
     "quality_repetition": quality_repetition,
     "quality_dup_ngram_corpus": quality_dup_ngram_corpus,
     "quality_lm_score": quality_lm_score,
@@ -248,6 +325,26 @@ QUERIES = {
 # range(a, b) is stop-exclusive so range(1, len) yields 1..len-1 — one
 # start per bigram. list_distinct mirrors array_distinct.
 ORACLES = {
+    # every operand cast to DOUBLE first, multiplied in the same order
+    # as the Spark lift expression — rational arithmetic, no log
+    "quality_pmi_bigrams": (
+        "WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents), "
+        "uni AS (SELECT w, COUNT(*) AS c FROM "
+        "(SELECT unnest(ws) AS w FROM w) GROUP BY 1), "
+        "bi AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n_pair FROM "
+        "(SELECT unnest(list_transform(range(1, len(ws)), "
+        "i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p FROM w) "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_PAIR}), "
+        "nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_u FROM uni), "
+        "nb AS (SELECT CAST(SUM(GREATEST(len(ws) - 1, 0)) AS DOUBLE) "
+        "AS n_b FROM w) "
+        "SELECT b.w1, b.w2, b.n_pair, "
+        "ROUND((CAST(b.n_pair AS DOUBLE) * n_u * n_u) / "
+        "(n_b * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)), 6) AS lift "
+        "FROM bi b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w "
+        "CROSS JOIN nu CROSS JOIN nb "
+        f"ORDER BY lift DESC, b.w1, b.w2 LIMIT {_PMI_TOP}"
+    ),
     "quality_blocklist_words": f"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -35,6 +35,8 @@ CARTESIAN_OK = {
     "event_rfm",            # 1-row broadcast global max-ts anchor —
                             # the scalar-subquery shape again
     "curation_mixture_balance",  # 1-row broadcast global budget scalar
+    "quality_pmi_bigrams",  # two 1-row broadcast corpus totals (N_u, N_b)
+                            # — the scalar-subquery shape
     "join_bloom_pruned",    # 1-row broadcast bloom bit-array frame —
                             # the scalar-subquery shape (the filter is
                             # the scalar); the real join is hash-based

@@ -41,6 +41,7 @@ _ROUND6_NEW = [
     "join_bloom_pruned",
     "phrase_search_positional",
     "ts_holt",
+    "quality_pmi_bigrams",
 ]
 
 _REVERIFY_TAIL = [
