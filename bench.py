@@ -61,6 +61,11 @@ HEADLINE = [
     "quality_ngram_census", # sharded heavy-hitter top-K + bounded merge (r6)
     "ts_acf",               # hourly-series autocorrelation, exact ints (r6)
     "retrieval_mmr",        # diversified top-5: kernel scan + greedy (r6)
+    "dedup_prefix_filter",  # exact AllPairs prefix-filtered Jaccard (r6)
+    "join_bloom_pruned",    # bloom-pruned fact scan + exact join (r6)
+    "phrase_search_positional",  # aligned-anchor phrase match (r6)
+    "quality_pmi_bigrams",  # rational-PMI collocation mining (r6)
+    "ts_holt",              # 2-state Holt fold over hourly series (r6)
 ]
 
 

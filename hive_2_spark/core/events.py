@@ -454,7 +454,72 @@ def event_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECAY_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback, micros
+
+
+def event_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every touch in the 7 days
+    before a purchase shares that purchase's revenue, weighted linearly
+    by recency — the multi-touch model event_attribution's docstring
+    promises (first-touch changes only the credit expression).
+
+    Exactness by construction: the decay weight is the INTEGER
+    microsecond remainder (lookback − age), so the per-purchase weight
+    sum is exact integer arithmetic in both engines; the only float op
+    is one division + multiply per touch and the final rounded revenue
+    sum (the same class as every revenue rollup here).
+
+    Scale: the touch×purchase join is user-keyed (equi key first,
+    range residual inside the match — never a cross product), bounded
+    by per-user panel sizes like sessionization; the per-purchase
+    normalization window re-keys by purchase id, whose cardinality is
+    the conversion count, not the event count.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    t = e.select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.unix_micros("ts").alias("t_us"),
+        F.col("event_type").alias("touch_type"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.unix_micros("ts").alias("p_us"),
+        F.col("value").alias("revenue"),
+    )
+    j = (
+        t.join(p, "user_id")
+        .filter(
+            (F.col("t_us") < F.col("p_us"))
+            & (F.col("p_us") - F.col("t_us") <= _DECAY_LOOKBACK_US)
+        )
+        .withColumn(
+            "w",
+            (
+                F.lit(_DECAY_LOOKBACK_US) - (F.col("p_us") - F.col("t_us"))
+            ).cast("long"),
+        )
+    )
+    shared = j.withColumn(
+        "sw", F.sum("w").over(Window.partitionBy("p_id"))
+    ).withColumn(
+        "credited",
+        F.col("w").cast("double")
+        / F.col("sw").cast("double")
+        * F.col("revenue"),
+    )
+    return shared.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.count_distinct("p_id").alias("n_conversions"),
+        F.round(F.sum("credited"), 2).alias("credited_revenue"),
+    )
+
+
 QUERIES = {
+    "event_attribution_decay": event_attribution_decay,
     "event_sessionize": event_sessionize,
     "event_funnel": event_funnel,
     "event_funnel_windowed": event_funnel_windowed,
@@ -466,7 +531,32 @@ QUERIES = {
     "event_rfm": event_rfm,
 }
 
+_ATTRIBUTION_DECAY_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, event_id AS t_id, epoch_us(ts) AS t_us,
+         event_type AS touch_type
+  FROM events
+), p AS (
+  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+         value AS revenue
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT t.touch_type, p.p_id, p.revenue,
+         CAST({_DECAY_LOOKBACK_US} - (p.p_us - t.t_us) AS BIGINT) AS w
+  FROM t JOIN p ON t.user_id = p.user_id
+   AND t.t_us < p.p_us AND p.p_us - t.t_us <= {_DECAY_LOOKBACK_US}
+), s AS (
+  SELECT *, SUM(w) OVER (PARTITION BY p_id) AS sw FROM j
+)
+SELECT touch_type, COUNT(*) AS n_touches,
+       COUNT(DISTINCT p_id) AS n_conversions,
+       ROUND(SUM(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) * revenue), 2)
+         AS credited_revenue
+FROM s GROUP BY 1
+"""
+
 ORACLES = {
+    "event_attribution_decay": _ATTRIBUTION_DECAY_ORACLE,
     # DATEDIFF('day', ...) on timestamps truncates to days in DuckDB the
     # same way Spark datediff(cast-to-date) does ONLY for date inputs —
     # cast both to DATE explicitly on both... Spark datediff already

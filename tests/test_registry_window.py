@@ -42,6 +42,7 @@ _ROUND6_NEW = [
     "phrase_search_positional",
     "ts_holt",
     "quality_pmi_bigrams",
+    "event_attribution_decay",
 ]
 
 _REVERIFY_TAIL = [
