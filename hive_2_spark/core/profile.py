@@ -125,7 +125,101 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# planted-orphan residues: deterministic key corruption so the audit is
+# non-vacuous (the raw fixtures are referentially intact)
+_FK_ORPHAN_OFF = 900_000_000
+
+
+def quality_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-relationship referential-integrity audit: one row per FK
+    with row/orphan/distinct-orphan-key counts and the smallest
+    offending key — the cross-table health report a warehouse runs
+    nightly (quality_expectations checks ONE edge; this walks the
+    schema's FK graph).
+
+    Orphans are PLANTED by deterministic in-place key corruption
+    (residue classes shifted by +900M), so every fact edge reports
+    real violations while customer→nation stays clean as the passing
+    control row. Each edge is a left-anti join: dims broadcast or
+    shuffle per optimizer choice (at 100 TB customer is no longer
+    broadcastable — the plan is the same anti-join either way). All
+    aggregates are scalar (min/count), never a collected key list, so
+    a pathological orphan flood cannot blow driver memory.
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 500 == 0,
+            F.col("o_custkey") + _FK_ORPHAN_OFF,
+        ).otherwise(F.col("o_custkey")),
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn(
+            "l_partkey",
+            F.when(
+                F.col("l_orderkey") % 777 == 0,
+                F.col("l_partkey") + _FK_ORPHAN_OFF,
+            ).otherwise(F.col("l_partkey")),
+        )
+        .withColumn(
+            "l_suppkey",
+            F.when(
+                F.col("l_orderkey") % 555 == 0,
+                F.col("l_suppkey") + _FK_ORPHAN_OFF,
+            ).otherwise(F.col("l_suppkey")),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer")
+    edges = [
+        ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        (
+            "lineitem.l_partkey->part",
+            li,
+            "l_partkey",
+            load_table(spark, sf_dir, "part"),
+            "p_partkey",
+        ),
+        (
+            "lineitem.l_suppkey->supplier",
+            li,
+            "l_suppkey",
+            load_table(spark, sf_dir, "supplier"),
+            "s_suppkey",
+        ),
+        (
+            "customer.c_nationkey->nation",
+            c,
+            "c_nationkey",
+            load_table(spark, sf_dir, "nation"),
+            "n_nationkey",
+        ),
+    ]
+    parts = []
+    for name, fact, fk, dim, pk in edges:
+        orphans = fact.join(
+            dim.select(pk), fact[fk] == dim[pk], "left_anti"
+        )
+        parts.append(
+            fact.agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            ).crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orphans"),
+                    F.count_distinct(fk).alias("n_orphan_keys"),
+                    F.min(fk).alias("min_orphan_key"),
+                )
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
+    "quality_fk_audit": quality_fk_audit,
     "profile_orders": profile_orders,
     "quality_expectations": quality_expectations,
     "profile_documents": profile_documents,
@@ -146,7 +240,42 @@ def _dk_col_profile(col: str, numeric: bool) -> str:
     )
 
 
+_FK_EDGE_SQL = """
+SELECT '{name}' AS fk,
+       (SELECT COUNT(*) FROM {fact}) AS n_rows,
+       COUNT(*) AS n_orphans,
+       COUNT(DISTINCT {fk}) AS n_orphan_keys,
+       MIN({fk}) AS min_orphan_key
+FROM {fact} f WHERE NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{pk} = f.{fk})
+"""
+
+_FK_AUDIT_ORACLE = (
+    "WITH o AS (SELECT o_orderkey, CASE WHEN o_orderkey % 500 = 0 "
+    f"THEN o_custkey + {_FK_ORPHAN_OFF} ELSE o_custkey END AS o_custkey "
+    "FROM orders), "
+    "li AS (SELECT l_orderkey, "
+    "CASE WHEN l_orderkey % 777 = 0 "
+    f"THEN l_partkey + {_FK_ORPHAN_OFF} ELSE l_partkey END AS l_partkey, "
+    "CASE WHEN l_orderkey % 555 = 0 "
+    f"THEN l_suppkey + {_FK_ORPHAN_OFF} ELSE l_suppkey END AS l_suppkey "
+    "FROM lineitem) "
+    + " UNION ALL ".join(
+        _FK_EDGE_SQL.format(name=n, fact=f, fk=k, dim=d, pk=p)
+        for n, f, k, d, p in [
+            ("orders.o_custkey->customer", "o", "o_custkey",
+             "customer", "c_custkey"),
+            ("lineitem.l_partkey->part", "li", "l_partkey",
+             "part", "p_partkey"),
+            ("lineitem.l_suppkey->supplier", "li", "l_suppkey",
+             "supplier", "s_suppkey"),
+            ("customer.c_nationkey->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+        ]
+    )
+)
+
 ORACLES = {
+    "quality_fk_audit": _FK_AUDIT_ORACLE,
     "profile_documents": (
         "SELECT source, COUNT(*) AS n_docs, "
         "COUNT(DISTINCT lang) AS n_langs, "

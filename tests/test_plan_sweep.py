@@ -35,6 +35,9 @@ CARTESIAN_OK = {
     "event_rfm",            # 1-row broadcast global max-ts anchor —
                             # the scalar-subquery shape again
     "curation_mixture_balance",  # 1-row broadcast global budget scalar
+    "quality_fk_audit",     # per-edge 1-row (n_rows) x 1-row (orphan
+                            # stats) scalar crossJoin — scalar-subquery
+                            # shape, 4 edges
     "quality_pmi_bigrams",  # two 1-row broadcast corpus totals (N_u, N_b)
                             # — the scalar-subquery shape
     "join_bloom_pruned",    # 1-row broadcast bloom bit-array frame —

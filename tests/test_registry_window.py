@@ -43,6 +43,7 @@ _ROUND6_NEW = [
     "ts_holt",
     "quality_pmi_bigrams",
     "event_attribution_decay",
+    "quality_fk_audit",
 ]
 
 _REVERIFY_TAIL = [
