@@ -573,7 +573,83 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event_type hourly series: the
+    split index k* maximizing |n·S_k − k·S_n| (the integer-rescaled
+    max-deviation-from-trend statistic), plus the before/after means —
+    the level-shift detector that complements MAD (point outliers) and
+    seasonal decompose (cycles).
+
+    Exactness: hourly sums are integer cents and the statistic is kept
+    as n·S_k − k·S_n in decimal(38,0) (ts_acf's overflow-proof
+    rescaling — the division by n·k that textbooks apply cancels for
+    the argmax), so both engines take an argmax over EXACT integers.
+    Ties break to the smallest k via (max-stat join + MIN(k)), not an
+    engine-specific arg_max. Means divide once at the end, rounded 4.
+
+    Scale: the fact table collapses to the calendar-bounded hourly
+    series first; the cumsum window and the argmax ride per-type
+    partitions of <= 8,760 rows/year.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.round(F.sum("value") * 100)
+        .cast("decimal(38,0)")
+        .alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    cum = hourly.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).cast("decimal(38,0)").alias("k"),
+        F.sum("x")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(38,0)")
+        .alias("sk"),
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sn"),
+    )
+    d = (
+        cum.join(F.broadcast(tot), "event_type")
+        .filter((F.col("k") < F.col("n")) & (F.col("n") >= 2))
+        .withColumn(
+            "stat",
+            F.abs(
+                (F.col("n") * F.col("sk") - F.col("k") * F.col("sn")).cast(
+                    "decimal(38,0)"
+                )
+            ),
+        )
+    )
+    best = d.groupBy("event_type").agg(F.max("stat").alias("max_stat"))
+    at = (
+        d.join(F.broadcast(best), "event_type")
+        .filter(F.col("stat") == F.col("max_stat"))
+        .groupBy("event_type")
+        .agg(F.min(F.struct("k", "h", "sk", "n", "sn")).alias("b"))
+    )
+    kk = F.col("b.k").cast("double")
+    nn = F.col("b.n").cast("double")
+    sk = F.col("b.sk").cast("double")
+    sn = F.col("b.sn").cast("double")
+    return at.select(
+        "event_type",
+        F.col("b.n").cast("bigint").alias("n_pts"),
+        F.col("b.k").cast("bigint").alias("cp_k"),
+        F.col("b.h").alias("cp_hour"),
+        F.round(sk / kk / 100, 4).alias("mean_before"),
+        F.round((sn - sk) / (nn - kk) / 100, 4).alias("mean_after"),
+    )
+
+
 QUERIES = {
+    "ts_changepoint": ts_changepoint,
     "ts_holt": ts_holt,
     "ts_resample": ts_resample,
     "ts_interpolate": ts_interpolate,
@@ -612,6 +688,35 @@ _GRID_CTE = (
 )
 
 ORACLES = {
+    # HUGEINT keeps n*S_k - k*S_n exact (the decimal(38,0) twin); means
+    # divide in the same sequence as the Spark expression
+    "ts_changepoint": (
+        "WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, "
+        "CAST(ROUND(SUM(value) * 100) AS HUGEINT) AS x "
+        "FROM events GROUP BY 1, 2), "
+        "cum AS (SELECT event_type, h, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS k, "
+        "SUM(x) OVER (PARTITION BY event_type ORDER BY h "
+        "ROWS UNBOUNDED PRECEDING) AS sk FROM hourly), "
+        "tot AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sn "
+        "FROM hourly GROUP BY 1), "
+        "d AS (SELECT c.event_type, c.h, c.k, c.sk, t.n, t.sn, "
+        "ABS(t.n * c.sk - c.k * t.sn) AS stat "
+        "FROM cum c JOIN tot t USING (event_type) "
+        "WHERE c.k < t.n AND t.n >= 2), "
+        "best AS (SELECT event_type, MAX(stat) AS ms FROM d GROUP BY 1), "
+        "at AS (SELECT d.event_type, MIN(d.k) AS mk FROM d "
+        "JOIN best ON d.event_type = best.event_type AND d.stat = best.ms "
+        "GROUP BY 1) "
+        "SELECT d.event_type, CAST(d.n AS BIGINT) AS n_pts, "
+        "CAST(d.k AS BIGINT) AS cp_k, d.h AS cp_hour, "
+        "ROUND(CAST(d.sk AS DOUBLE) / CAST(d.k AS DOUBLE) / 100, 4) "
+        "AS mean_before, "
+        "ROUND((CAST(d.sn AS DOUBLE) - CAST(d.sk AS DOUBLE)) / "
+        "(CAST(d.n AS DOUBLE) - CAST(d.k AS DOUBLE)) / 100, 4) "
+        "AS mean_after "
+        "FROM d JOIN at ON d.event_type = at.event_type AND d.k = at.mk"
+    ),
     # recursive-CTE replay of the recurrence with the SAME literals and
     # association as the Spark _step lambda. NOT list_reduce: DuckDB
     # mutates a struct accumulator IN PLACE field-by-field, so a 2-state

@@ -44,6 +44,7 @@ _ROUND6_NEW = [
     "quality_pmi_bigrams",
     "event_attribution_decay",
     "quality_fk_audit",
+    "ts_changepoint",
 ]
 
 _REVERIFY_TAIL = [
