@@ -518,7 +518,59 @@ def event_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: pairwise Jaccard of the user sets of
+    every event_type pair — the segment-overlap report behind
+    cannibalization and cross-sell analyses.
+
+    Set Jaccard WITHOUT materializing user sets: distinct (user, type)
+    memberships self-join on user_id (per-user pair fan-out bounded by
+    |types|² — a constant, not data-sized), pair co-occurrence counts
+    aggregate map-side, and |A ∪ B| = |A| + |B| − |A ∩ B| comes from
+    the per-type distinct counts — so the Jaccard is a ratio of exact
+    integers (one double division, rounded 4; bit-identical across
+    engines). The type-count join broadcasts (|types| rows).
+    """
+    m = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    sizes = m.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = m.select("user_id", F.col("event_type").alias("t_a"))
+    b = m.select("user_id", F.col("event_type").alias("t_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("t_a"),
+                                     F.col("n").alias("n_a"))), "t_a")
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("t_b"),
+                                     F.col("n").alias("n_b"))), "t_b")
+        .select(
+            "t_a",
+            "t_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
 QUERIES = {
+    "event_audience_overlap": event_audience_overlap,
     "event_attribution_decay": event_attribution_decay,
     "event_sessionize": event_sessionize,
     "event_funnel": event_funnel,
@@ -555,7 +607,24 @@ SELECT touch_type, COUNT(*) AS n_touches,
 FROM s GROUP BY 1
 """
 
+_AUDIENCE_OVERLAP_ORACLE = """
+WITH m AS (SELECT DISTINCT user_id, event_type FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM m GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS t_a, b.event_type AS t_b, COUNT(*) AS n_both
+  FROM m a JOIN m b ON a.user_id = b.user_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.t_a, p.t_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+       ROUND(CAST(p.n_both AS DOUBLE) /
+             CAST(sa.n + sb.n - p.n_both AS DOUBLE), 4) AS jaccard
+FROM pairs p JOIN sizes sa ON p.t_a = sa.event_type
+JOIN sizes sb ON p.t_b = sb.event_type
+"""
+
 ORACLES = {
+    "event_audience_overlap": _AUDIENCE_OVERLAP_ORACLE,
     "event_attribution_decay": _ATTRIBUTION_DECAY_ORACLE,
     # DATEDIFF('day', ...) on timestamps truncates to days in DuckDB the
     # same way Spark datediff(cast-to-date) does ONLY for date inputs —

@@ -45,6 +45,7 @@ _ROUND6_NEW = [
     "event_attribution_decay",
     "quality_fk_audit",
     "ts_changepoint",
+    "event_audience_overlap",
 ]
 
 _REVERIFY_TAIL = [
