@@ -76,6 +76,38 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE batch ``session_window`` aggregation (30-min gap)
+    — the engine-builtin face of the lag/cumsum island pattern, with a
+    DuckDB oracle proving the two formulations agree cell-for-cell.
+
+    Boundary semantics differ subtly from the shared ``sessionized``
+    helper: a native session window is [start, last_ts + gap), so an
+    event arriving EXACTLY gap after its predecessor starts a NEW
+    session (>=), where the island pattern's ``> gap`` check would
+    extend the old one — the oracle encodes the native (>=) rule.
+    Scale: one user-keyed exchange + in-partition merge, the same
+    shape Structured Streaming runs incrementally with state eviction.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end_bound"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ------------------------------------------------------- stateful dedup
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful dedup, batch face: first event per (user_id, event_type)."""
@@ -182,10 +214,28 @@ QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
     "stream_session": stream_session,
+    "win_session_native": win_session_native,
     "stream_dedup": stream_dedup,
 }
 
 ORACLES = {
+    # the island-pattern replay of the NATIVE session_window semantics:
+    # >= gap starts a new session (window is [start, last+gap)), and the
+    # reported end is last_ts + gap, not max(ts)
+    "win_session_native": (
+        "WITH g AS (SELECT user_id, ts, value, "
+        "  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
+        "  FROM events), "
+        "m AS (SELECT *, CASE WHEN prev_ts IS NULL OR "
+        "  epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 "
+        "  THEN 1 ELSE 0 END AS new_sess FROM g), "
+        "s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
+        "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+        "SELECT user_id, MIN(ts) AS session_start, "
+        "MAX(ts) + INTERVAL 30 MINUTE AS session_end_bound, "
+        "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+        "FROM s GROUP BY user_id, sid"
+    ),
     "stream_tumbling": (
         "SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, "
         "event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value "

@@ -46,6 +46,7 @@ _ROUND6_NEW = [
     "quality_fk_audit",
     "ts_changepoint",
     "event_audience_overlap",
+    "win_session_native",
 ]
 
 _REVERIFY_TAIL = [

@@ -96,7 +96,7 @@ BRIEF_EXTRAS = [
     "dedup_time_horizon", "skew_report", "dedup_prefix_filter",
     "join_bloom_pruned", "phrase_search_positional", "ts_holt",
     "quality_pmi_bigrams", "event_attribution_decay", "quality_fk_audit",
-    "ts_changepoint", "event_audience_overlap",
+    "ts_changepoint", "event_audience_overlap", "win_session_native",
 ]
 
 
