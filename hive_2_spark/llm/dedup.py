@@ -10,8 +10,9 @@
   itself is array_intersect/array_union, JVM-side.
 - ``dedup_minhash_lsh``: MinHash + banded LSH via pyspark.ml's MinHashLSH
   (rows-only: hash seeds are engine-internal).
-- ``dedup_simhash``: 64-bit SimHash over word hashes with Hamming-radius
-  bucketing (rows-only: relies on Spark's xxhash64).
+- ``dedup_simhash``: 64-bit SimHash over PORTABLE md5-derived word
+  hashes with Hamming-radius band bucketing (fully oracle-checked —
+  DuckDB replays every bit vote).
 
 The corpus's 500/5k/50k docs are all unique, so candidates are
 synthesized deterministically: every doc with ``doc_id % 10 == 0`` gets a
@@ -346,17 +347,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc + 8x8-bit LSH band ids (rows-only check).
+    """64-bit SimHash per doc + 8x8-bit LSH band ids, fully
+    oracle-checked: word hashes are PORTABLE md5-derived 64-bit values
+    (two 32-bit halves via ``conv``, assembled hi<<32|lo — the
+    fingerprint_rolling trick extended to the full word), so DuckDB
+    replays every bit vote exactly instead of trusting Spark's
+    engine-internal xxhash64 (this key was rows-only until round 6).
 
-    Each word hashes to 64 bits (xxhash64); the SimHash bit b is the sign
-    of sum(+1/-1 over words at bit b). Computed with JVM-side bit ops via
-    an aggregate over the word array — no Python row path.
+    The SimHash bit b is the sign of sum(+1/-1 over distinct words at
+    bit b) — 64 unrolled JVM ``aggregate`` votes in one codegen'd
+    projection, no Python row path. Output: the 8 band ids (the LSH
+    join keys; pigeonhole guarantees a shared band at Hamming <= 7)
+    plus the hex digest assembled FROM the bands, so both engines
+    derive every output column from the same integers.
     """
     c = corpus_with_dups(spark, sf_dir).withColumn(
         "words", F.array_distinct(F.split(_NORM(F.col("text")), " "))
     )
     hashed = c.withColumn(
-        "whashes", F.transform("words", lambda w: F.xxhash64(w))
+        "whashes",
+        F.transform(
+            "words",
+            lambda w: F.shiftleft(
+                F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"), 32
+            ).bitwiseOR(
+                F.conv(F.substring(F.md5(w), 9, 8), 16, 10).cast("long")
+            ),
+        ),
     )
     # Per-bit vote: sum over words of (bit set ? +1 : -1). Shift amounts
     # must be Python literals (shiftleft takes no Column), so the 64 bit
@@ -369,21 +386,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
         )
 
-    simhash = None
-    for b in range(64):
-        bit = F.lit(1 << b).cast("long") if b < 63 else F.lit(-(1 << 63))
-        piece = F.when(vote(b) > 0, bit).otherwise(F.lit(0).cast("long"))
-        simhash = piece if simhash is None else simhash.bitwiseOR(piece)
-    out = hashed.withColumn("simhash", simhash)
-    # 8 bands of 8 bits: pigeonhole guarantees a shared band for any pair
-    # with Hamming distance <= 7 (measured near-dup twins: 74% fall there)
+    out = hashed
+    # 8 bands of 8 bits, each assembled directly from its 8 bit votes
     for i in range(8):
-        out = out.withColumn(
-            f"band{i}",
-            F.shiftrightunsigned(F.col("simhash"), i * 8).bitwiseAND(F.lit(0xFF)),
-        )
+        band = None
+        for j in range(8):
+            piece = F.when(vote(i * 8 + j) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            band = piece if band is None else band + piece
+        out = out.withColumn(f"band{i}", band.cast("int"))
+    hexs = F.concat(
+        *[
+            F.lpad(F.lower(F.hex(F.col(f"band{i}"))), 2, "0")
+            for i in range(7, -1, -1)
+        ]
+    )
     return out.select(
-        "doc_id", "simhash", *[f"band{i}" for i in range(8)]
+        "doc_id",
+        hexs.alias("simhash_hex"),
+        *[f"band{i}" for i in range(8)],
     )
 
 
@@ -951,7 +973,7 @@ QUERIES = {
     "dedup_prefix_filter": dedup_prefix_filter,
     "dedup_minhash_lsh": dedup_minhash_lsh,  # rows-only (engine hash seeds)
     "dedup_minhash_portable": dedup_minhash_portable,  # oracle-checked
-    "dedup_simhash": dedup_simhash,  # rows-only (xxhash64 is Spark-side)
+    "dedup_simhash": dedup_simhash,  # oracle-checked (portable md5 hashes)
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_indexed": dedup_incremental_indexed,
     "dedup_time_horizon": dedup_time_horizon,
@@ -1111,9 +1133,38 @@ _DK_PREFIX_FILTER = (
     "WHERE 5 * it >= 4 * un"
 )
 
+# exact bit-vote replay of the portable SimHash: same md5-derived
+# 64-bit word hashes ('0x'-cast of the first 16 hex chars = the Spark
+# side's hi<<32|lo assembly), same sign rule, bands re-assembled from
+# the votes and the hex digest from the bands
+_DK_SIMHASH = (
+    "WITH c0 AS (SELECT doc_id, "
+    f"{_DK_NORM.format(c='text')} AS norm FROM ({_DK_CORPUS})), "
+    "w AS (SELECT doc_id, "
+    "unnest(list_distinct(string_split(norm, ' '))) AS word FROM c0), "
+    "h AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5(word), 1, 16)) AS UBIGINT) AS hv FROM w), "
+    "v AS (SELECT doc_id, b, "
+    "SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote "
+    "FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) GROUP BY 1, 2), "
+    "bands AS (SELECT doc_id, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN b // 8 = {i} AND vote > 0 "
+        f"THEN 1 << (b % 8) ELSE 0 END) AS INT) AS band{i}"
+        for i in range(8)
+    )
+    + " FROM v GROUP BY 1) "
+    "SELECT doc_id, "
+    + " || ".join(f"printf('%02x', band{i})" for i in range(7, -1, -1))
+    + " AS simhash_hex, "
+    + ", ".join(f"band{i}" for i in range(8))
+    + " FROM bands"
+)
+
 ORACLES = {
     "dedup_incremental": _DK_INCREMENTAL,
     "dedup_prefix_filter": _DK_PREFIX_FILTER,
+    "dedup_simhash": _DK_SIMHASH,
     "dedup_time_horizon": _DK_HORIZON,
     # identical semantics — the bucketed index changes WHERE the corpus
     # state lives, never the verdicts, so the oracle is shared verbatim

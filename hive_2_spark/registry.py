@@ -95,6 +95,9 @@ _FRONT: list[str] = [
     "quality_pmi_bigrams", "event_attribution_decay", "quality_fk_audit",
     "ts_changepoint", "event_audience_overlap", "win_session_native",
     "ts_crosscorr",
+    # upgraded from rows-only to a full oracle in round 6 — the oracle
+    # itself has never been driver-run, so it re-enters the window
+    "dedup_simhash",
     # --- (c) oldest-checked re-verification (latest check r1/r2) ---
     "win_rank", "win_running_sum", "win_range_frame", "win_range_time",
     "win_first_last", "win_ignore_nulls", "win_lag_lead", "win_pct_rank",

@@ -48,6 +48,8 @@ _ROUND6_NEW = [
     "event_audience_overlap",
     "win_session_native",
     "ts_crosscorr",
+    # upgraded rows-only -> full oracle this round; oracle never driver-run
+    "dedup_simhash",
 ]
 
 _REVERIFY_TAIL = [
@@ -100,7 +102,6 @@ def test_rows_only_keys_are_deliberate():
     a forgotten oracle shows up here, not as a silent weaker check."""
     expected = {
         "agg_approx", "agg_sketch_merge", "dedup_minhash_lsh",
-        "dedup_simhash",
         "media_features", "media_phash_dedup",
         # fixpoint loops: the data-dependent round count is the point
         # of these keys and cannot be a fixed SQL unroll; accuracy is

@@ -40,8 +40,10 @@ def test_simhash_semantics(spark):
     ham_near, band_hits = [], 0
     for seed in range(0, 500, 10):
         orig, exact, near = rows[seed], rows[seed + 20_000_000], rows[seed + 10_000_000]
-        assert orig["simhash"] == exact["simhash"]  # identical content
-        ham = bin(orig["simhash"] ^ near["simhash"]).count("1")
+        assert orig["simhash_hex"] == exact["simhash_hex"]  # identical content
+        ham = bin(
+            int(orig["simhash_hex"], 16) ^ int(near["simhash_hex"], 16)
+        ).count("1")
         ham_near.append(ham)
         bands_match = sum(
             orig[f"band{i}"] == near[f"band{i}"] for i in range(8)
