@@ -279,14 +279,16 @@ def quality_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= _PMI_MIN_PAIR)
     )
-    # N_b = total bigrams: re-derive from doc lengths (sum(len-1)) so
-    # the count does not depend on the support-filtered bi frame
-    nb = d.select(
+    # BOTH corpus totals from ONE length-only scan (no explode): total
+    # unigrams = sum(len) — identical to sum over uni counts — and
+    # total bigrams = sum(len-1); merging them removed two of the five
+    # corpus scans the first version's plan showed
+    tots = d.agg(
+        F.sum(F.size(ws)).cast("double").alias("n_u"),
         F.sum(F.greatest(F.size(ws) - 1, F.lit(0)))
         .cast("double")
-        .alias("n_b")
+        .alias("n_b"),
     )
-    nu = uni.agg(F.sum("c").cast("double").alias("n_u"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     lift = (
@@ -299,8 +301,7 @@ def quality_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bi.join(u1, "w1")
         .join(u2, "w2")
-        .crossJoin(F.broadcast(nu))
-        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(tots))
         .select(
             "w1",
             "w2",
@@ -335,14 +336,13 @@ ORACLES = {
         "(SELECT unnest(list_transform(range(1, len(ws)), "
         "i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p FROM w) "
         f"GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_PAIR}), "
-        "nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_u FROM uni), "
-        "nb AS (SELECT CAST(SUM(GREATEST(len(ws) - 1, 0)) AS DOUBLE) "
-        "AS n_b FROM w) "
+        "tots AS (SELECT CAST(SUM(len(ws)) AS DOUBLE) AS n_u, "
+        "CAST(SUM(GREATEST(len(ws) - 1, 0)) AS DOUBLE) AS n_b FROM w) "
         "SELECT b.w1, b.w2, b.n_pair, "
         "ROUND((CAST(b.n_pair AS DOUBLE) * n_u * n_u) / "
         "(n_b * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)), 6) AS lift "
         "FROM bi b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w "
-        "CROSS JOIN nu CROSS JOIN nb "
+        "CROSS JOIN tots "
         f"ORDER BY lift DESC, b.w1, b.w2 LIMIT {_PMI_TOP}"
     ),
     "quality_blocklist_words": f"""
