@@ -689,10 +689,15 @@ def ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("he")).alias("he_y"),
         F.col("x").alias("vy"),
     )
+    # BOTH lead directions for lag >= 1 ("x leads y" is not "y leads
+    # x"); lag 0 is symmetric, so one row per unordered pair suffices
     j = a.join(
         b,
         (F.col("he_y") == F.col("he") + F.col("lag"))
-        & (F.col("t_x") < F.col("t_y")),
+        & (
+            ((F.col("lag") > 0) & (F.col("t_x") != F.col("t_y")))
+            | ((F.col("lag") == 0) & (F.col("t_x") < F.col("t_y")))
+        ),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = j.groupBy("t_x", "t_y", "lag").agg(
@@ -775,7 +780,9 @@ ORACLES = {
         "j AS (SELECT a.event_type AS t_x, b.event_type AS t_y, l.lag, "
         "CAST(a.x AS HUGEINT) AS vx, CAST(b.x AS HUGEINT) AS vy "
         "FROM hourly a CROSS JOIN lags l JOIN hourly b "
-        "ON b.he = a.he + l.lag AND a.event_type < b.event_type), "
+        "ON b.he = a.he + l.lag AND "
+        "((l.lag > 0 AND a.event_type <> b.event_type) OR "
+        "(l.lag = 0 AND a.event_type < b.event_type))), "
         "s AS (SELECT t_x, t_y, lag, CAST(COUNT(*) AS HUGEINT) AS m, "
         "SUM(vx) AS sx, SUM(vy) AS sy, SUM(vx * vy) AS sxy, "
         "SUM(vx * vx) AS sxx, SUM(vy * vy) AS syy "

@@ -262,18 +262,21 @@ def quality_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # <2-word docs must be guarded: sequence(1, 0) is the DESCENDING
+    # [1, 0] in Spark and element_at(ws, 2) would throw (the
+    # quality_repetition guard, line ~45) — yield no bigrams instead
+    grams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, (i + 1).cast("int")).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bi = (
-        d.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - 1),
-                    lambda i: F.struct(
-                        F.element_at(ws, i).alias("w1"),
-                        F.element_at(ws, (i + 1).cast("int")).alias("w2"),
-                    ),
-                )
-            ).alias("p")
-        )
+        d.select(F.explode(grams).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))

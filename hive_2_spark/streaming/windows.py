@@ -81,13 +81,14 @@ def win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the engine-builtin face of the lag/cumsum island pattern, with a
     DuckDB oracle proving the two formulations agree cell-for-cell.
 
-    Boundary semantics differ subtly from the shared ``sessionized``
-    helper: a native session window is [start, last_ts + gap), so an
-    event arriving EXACTLY gap after its predecessor starts a NEW
-    session (>=), where the island pattern's ``> gap`` check would
-    extend the old one — the oracle encodes the native (>=) rule.
-    Scale: one user-keyed exchange + in-partition merge, the same
-    shape Structured Streaming runs incrementally with state eviction.
+    Boundary semantics, verified empirically against Spark 4.x: an
+    event arriving EXACTLY gap after its predecessor MERGES into the
+    running session (a new session starts only when the silence is
+    STRICTLY greater than the gap — the same ``>`` rule the island
+    pattern uses), and the reported window end is last_ts + gap, not
+    max(ts). The oracle encodes exactly that. Scale: one user-keyed
+    exchange + in-partition merge, the same shape Structured
+    Streaming runs incrementally with state eviction.
     """
     e = load_table(spark, sf_dir, "events")
     return (
@@ -219,15 +220,16 @@ QUERIES = {
 }
 
 ORACLES = {
-    # the island-pattern replay of the NATIVE session_window semantics:
-    # >= gap starts a new session (window is [start, last+gap)), and the
-    # reported end is last_ts + gap, not max(ts)
+    # the island-pattern replay of the NATIVE session_window semantics
+    # (verified empirically): an exact-gap arrival MERGES — a new
+    # session needs silence STRICTLY > gap — and the reported end is
+    # last_ts + gap, not max(ts)
     "win_session_native": (
         "WITH g AS (SELECT user_id, ts, value, "
         "  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
         "  FROM events), "
         "m AS (SELECT *, CASE WHEN prev_ts IS NULL OR "
-        "  epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 "
+        "  epoch_us(ts) - epoch_us(prev_ts) > 1800000000 "
         "  THEN 1 ELSE 0 END AS new_sess FROM g), "
         "s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
         "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) "

@@ -529,3 +529,58 @@ def test_versioned_sink_time_travel(spark, tmp_path):
         assert prev.count() > 0
     with _pytest.raises(FileNotFoundError, match="not retained"):
         scdc.read_versioned(spark, root, version=cur + 7)
+
+
+def test_session_native_exact_gap_boundary(spark, tmp_path):
+    """Planted boundary data the fixtures lack: an event EXACTLY gap
+    after its predecessor must MERGE (verified native behavior); one
+    microsecond over must split. The oracle must agree cell-for-cell."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    from hive_2_spark.streaming.windows import ORACLES, win_session_native
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # user 1: exact 30-min gaps -> ONE session of 3 events
+        (1, base, 1.0),
+        (1, base + timedelta(minutes=30), 1.0),
+        (1, base + timedelta(minutes=60), 1.0),
+        # user 2: 30 min + 1 us -> TWO sessions
+        (2, base, 1.0),
+        (2, base + timedelta(minutes=30, microseconds=1), 1.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    d = str(tmp_path / "sess_gap")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+
+    rows_out = win_session_native(spark, d).collect()
+    u1 = [r for r in rows_out if r.user_id == 1]
+    u2 = [r for r in rows_out if r.user_id == 2]
+    assert len(u1) == 1 and u1[0].n_events == 3  # exact gaps merge
+    assert len(u2) == 2 and all(r.n_events == 1 for r in u2)  # 1us over splits
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    from hive_2_spark.parity import compare
+
+    assert not compare(
+        win_session_native(spark, d), con, ORACLES["win_session_native"]
+    )
