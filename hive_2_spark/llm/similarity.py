@@ -424,7 +424,110 @@ def _mmr_greedy(q_id: int, cand_rows) -> list[tuple]:
     return out
 
 
+# MaxSim: synthesized multi-vector "passages" (8 consecutive vectors),
+# first 2 passages are the queries, top-3 passages returned per query
+_MS_GROUP = 8
+_MS_NQ = 2
+_MS_K = 3
+
+
+def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: score(Q, D) =
+    sum over query vectors of max over doc vectors of cos(qv, dv),
+    over multi-vector passages (8 consecutive embeddings per doc_id =
+    vec_id div 8; the first 2 passages act as queries).
+
+    Exactness end-to-end: vectors are int8-quantized with the
+    emb_quantize_int8 recipe (per-vector scale, floor(x/scale + 0.5) —
+    bit-identical everywhere), so dots and squared norms are EXACT
+    INTEGER folds; each cosine becomes integer micro-units via
+    floor(cos*1e6 + 0.5) computed from identical doubles (IEEE sqrt is
+    correctly rounded), and the MaxSim sum is an exact BIGINT sum of
+    those micro-units — no float accumulation anywhere between the
+    quantized ints and the final display division.
+
+    Scale shape: the 16 query vectors broadcast as a scoring scan over
+    the corpus (the late-interaction standard — each corpus vector is
+    scored against the model-sized query token set in one pass; the
+    100 TB pre-filter is an IVF/LSH candidate cut composed upstream,
+    exactly as sim_ivf_topk does for single vectors). MAX collapses
+    per (query, passage, query-vector) map-side; the rank window runs
+    over passage-count rows per query (WindowGroupLimit).
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", _as_double(F.col("embedding"))
+    )
+    maxabs = F.array_max(F.transform(F.col("vec"), F.abs))
+    scale = F.greatest(maxabs, F.lit(1e-12)) / F.lit(127.0)
+    qints = F.transform(
+        F.col("vec"), lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")
+    )
+    sq = F.aggregate(
+        F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    v = e.select(
+        (F.col("vec_id") / _MS_GROUP).cast("long").alias("doc_id"),
+        F.col("vec_id"),
+        qints.alias("q"),
+    ).withColumn("sq", sq)
+    qside = v.filter(F.col("doc_id") < _MS_NQ).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("vec_id").alias("q_vec"),
+        F.col("q").alias("qq"),
+        F.col("sq").alias("qsq"),
+    )
+    dside = v.select(
+        F.col("doc_id").alias("d_doc"), F.col("q").alias("dq"), "sq"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("dq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # zero-norm guard: an all-zero quantized vector scores 0, not NaN
+    # (DuckDB refuses CAST(NaN AS BIGINT); Spark would null-propagate)
+    cos_micro = F.when(
+        (F.col("qsq") > 0) & (F.col("sq") > 0),
+        F.floor(
+            dot.cast("double")
+            / (
+                F.sqrt(F.col("qsq").cast("double"))
+                * F.sqrt(F.col("sq").cast("double"))
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    scored = (
+        dside.crossJoin(F.broadcast(qside))
+        .filter(F.col("d_doc") != F.col("q_doc"))
+        .select("q_doc", "q_vec", "d_doc", cos_micro.alias("cm"))
+    )
+    best = scored.groupBy("q_doc", "q_vec", "d_doc").agg(
+        F.max("cm").alias("best_cm")
+    )
+    msum = best.groupBy("q_doc", "d_doc").agg(
+        F.sum("best_cm").alias("maxsim_micro")
+    )
+    w = Window.partitionBy("q_doc").orderBy(
+        F.col("maxsim_micro").desc(), F.col("d_doc").asc()
+    )
+    return (
+        msum.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MS_K)
+        .select(
+            "q_doc",
+            "d_doc",
+            "maxsim_micro",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
 QUERIES = {
+    "sim_maxsim_topk": sim_maxsim_topk,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_cosine_lsh": sim_cosine_lsh,
     "sim_pairwise_label": sim_pairwise_label,
@@ -500,6 +603,42 @@ def _dk_cos(a: str, b: str) -> str:
 
 
 ORACLES = {
+    # same int8 quantization recipe, exact integer dot/norm folds
+    # (order-free — integer addition commutes), same micro-unit floor,
+    # exact BIGINT MaxSim sums, same (score desc, d_doc) tie-break
+    "sim_maxsim_topk": (
+        "WITH e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+        "FROM embeddings), "
+        "s AS (SELECT vec_id, vec, "
+        "GREATEST(list_max(list_transform(vec, x -> ABS(x))), 1e-12) "
+        "/ 127.0 AS scale FROM e), "
+        "q0 AS (SELECT vec_id, "
+        f"CAST(vec_id // {_MS_GROUP} AS BIGINT) AS doc_id, "
+        "list_transform(vec, x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT)) "
+        "AS q FROM s), "
+        "v AS (SELECT doc_id, vec_id, q, "
+        "list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) "
+        "AS sq FROM q0), "
+        f"qs AS (SELECT doc_id AS q_doc, vec_id AS q_vec, q AS qq, "
+        f"sq AS qsq FROM v WHERE doc_id < {_MS_NQ}), "
+        "pair AS (SELECT qs.q_doc, qs.q_vec, v.doc_id AS d_doc, "
+        "CASE WHEN qs.qsq > 0 AND v.sq > 0 THEN "
+        "CAST(FLOOR(CAST(list_reduce(list_transform("
+        "range(1, len(qs.qq) + 1), i -> qs.qq[i] * v.q[i]), "
+        "(a, b) -> a + b) AS DOUBLE) / "
+        "(SQRT(CAST(qs.qsq AS DOUBLE)) * SQRT(CAST(v.sq AS DOUBLE))) "
+        "* 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS cm "
+        "FROM v CROSS JOIN qs WHERE v.doc_id <> qs.q_doc), "
+        "best AS (SELECT q_doc, q_vec, d_doc, MAX(cm) AS best_cm "
+        "FROM pair GROUP BY 1, 2, 3), "
+        "msum AS (SELECT q_doc, d_doc, SUM(best_cm) AS maxsim_micro "
+        "FROM best GROUP BY 1, 2), "
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_doc "
+        "ORDER BY maxsim_micro DESC, d_doc ASC) AS rk FROM msum) "
+        "SELECT q_doc, d_doc, CAST(maxsim_micro AS BIGINT) "
+        f"AS maxsim_micro, rk FROM rk WHERE rk <= {_MS_K}"
+    ),
     "retrieval_mmr": _mmr_oracle(),
     # sin() exists in DuckDB, so the 12 deterministic hyperplanes are
     # fully replayable — this key was rows-only until round 4. Accepted

@@ -95,6 +95,7 @@ _FRONT: list[str] = [
     "quality_pmi_bigrams", "event_attribution_decay", "quality_fk_audit",
     "ts_changepoint", "event_audience_overlap", "win_session_native",
     "ts_crosscorr",
+    "sim_maxsim_topk",
     # upgraded from rows-only to a full oracle in round 6 — the oracle
     # itself has never been driver-run, so it re-enters the window
     "dedup_simhash",

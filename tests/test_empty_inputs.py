@@ -148,6 +148,7 @@ KEYS = [
     "dedup_time_horizon",
     "retrieval_mmr",
     "ts_acf",
+    "sim_maxsim_topk",
     # quality_fk_audit + skew_report excluded: per-edge/per-relation
     # REPORT rows (counts land at 0) are their correct empty output
 ]

@@ -35,6 +35,9 @@ CARTESIAN_OK = {
     "event_rfm",            # 1-row broadcast global max-ts anchor —
                             # the scalar-subquery shape again
     "curation_mixture_balance",  # 1-row broadcast global budget scalar
+    "sim_maxsim_topk",      # 16-row query-token broadcast x corpus —
+                            # the late-interaction scoring scan (model-
+                            # sized side; IVF prefilter is the scale cut)
     "quality_fk_audit",     # per-edge 1-row (n_rows) x 1-row (orphan
                             # stats) scalar crossJoin — scalar-subquery
                             # shape, 4 edges

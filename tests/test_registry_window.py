@@ -48,6 +48,7 @@ _ROUND6_NEW = [
     "event_audience_overlap",
     "win_session_native",
     "ts_crosscorr",
+    "sim_maxsim_topk",
     # upgraded rows-only -> full oracle this round; oracle never driver-run
     "dedup_simhash",
 ]

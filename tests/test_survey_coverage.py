@@ -97,7 +97,7 @@ BRIEF_EXTRAS = [
     "join_bloom_pruned", "phrase_search_positional", "ts_holt",
     "quality_pmi_bigrams", "event_attribution_decay", "quality_fk_audit",
     "ts_changepoint", "event_audience_overlap", "win_session_native",
-    "ts_crosscorr",
+    "ts_crosscorr", "sim_maxsim_topk",
 ]
 
 
