@@ -149,6 +149,7 @@ KEYS = [
     "retrieval_mmr",
     "ts_acf",
     "sim_maxsim_topk",
+    "stream_lateness_report",
     # quality_fk_audit + skew_report excluded: per-edge/per-relation
     # REPORT rows (counts land at 0) are their correct empty output
 ]

@@ -98,6 +98,9 @@ BRIEF_EXTRAS = [
     "quality_pmi_bigrams", "event_attribution_decay", "quality_fk_audit",
     "ts_changepoint", "event_audience_overlap", "win_session_native",
     "ts_crosscorr", "sim_maxsim_topk",
+    # added after the round-6 window filled — explicit r7 verification
+    # backlog (NOTES.md): behind slot 50 by design
+    "stream_lateness_report",
 ]
 
 
