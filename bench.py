@@ -66,6 +66,9 @@ HEADLINE = [
     "phrase_search_positional",  # aligned-anchor phrase match (r6)
     "quality_pmi_bigrams",  # rational-PMI collocation mining (r6)
     "ts_holt",              # 2-state Holt fold over hourly series (r6)
+    "sim_maxsim_topk",      # MaxSim late-interaction scoring scan (r6)
+    "dedup_paragraph",      # corpus boilerplate-segment removal (r6)
+    "event_concurrency_peak",  # sweep-line interval overlap (r6)
 ]
 
 

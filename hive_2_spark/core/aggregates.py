@@ -412,7 +412,76 @@ def agg_quantile_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of per-customer revenue — the
+    inequality/concentration audit (is 1% of customers 90% of revenue?).
+
+    gini = (2*S2 - (n+1)*S1) / (n*S1) with per-customer totals x_i
+    sorted ascending, i = 1..n, S1 = sum(x_i), S2 = sum(i * x_i).
+
+    The global rank i comes from the `win_global_rank` two-phase plan
+    (per-band local row_number + band-count prefix offsets), never a
+    single-partition global window: band id = total_cents DIV 10^7
+    ($100k bands — bounded by the per-customer revenue DOMAIN (orders
+    per customer x price cap), not by customer count, so the offsets
+    table stays tiny while customers scale to billions). All money in
+    integer cents and the rank products accumulated in decimal(38,0)
+    (i ~ 1e9 customers x cents ~ 1e9 overflows bigint at 100 TB scale),
+    so S1/S2/n are exact in both engines; the single final division is
+    correctly-rounded IEEE — bit-identical — and rounded to 6.
+
+    Output: one row — n_customers, total_cents, gini.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    per_cust = (
+        o.select(F.col("o_custkey"), cents.alias("cent"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cent").alias("x"))
+        .withColumn("bid", F.expr("x DIV 10000000"))
+    )
+    wloc = Window.partitionBy("bid").orderBy(
+        F.col("x").asc(), F.col("o_custkey").asc()
+    )
+    local = per_cust.withColumn("local_rn", F.row_number().over(wloc))
+    counts = per_cust.groupBy("bid").agg(F.count(F.lit(1)).alias("bn"))
+    woff = Window.orderBy(F.col("bid").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "bid",
+        F.coalesce(F.sum("bn").over(woff), F.lit(0))
+        .cast("bigint")
+        .alias("off"),
+    )
+    ranked = local.join(F.broadcast(offs), "bid").select(
+        "x", (F.col("off") + F.col("local_rn")).alias("i")
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s1"),
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        F.col("s1").cast("bigint").alias("total_cents"),
+        F.round(
+            (
+                F.lit(2).cast("decimal(38,0)") * F.col("s2")
+                - (F.col("n") + 1).cast("decimal(38,0)") * F.col("s1")
+            ).cast("double")
+            / (F.col("n").cast("double") * F.col("s1").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
 QUERIES = {
+    "agg_gini": agg_gini,
     "agg_groupby": agg_groupby,
     "agg_argmax": agg_argmax,
     "agg_mode": agg_mode,
@@ -435,6 +504,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    # HUGEINT accumulation mirrors the Spark side's decimal(38,0); the
+    # one double division is correctly-rounded IEEE in both engines
+    "agg_gini": """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, o_custkey ASC) AS i
+  FROM per_cust
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS s1,
+         SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS s2
+  FROM ranked
+)
+SELECT n AS n_customers,
+       CAST(s1 AS BIGINT) AS total_cents,
+       ROUND(CAST(2 * s2 - (n + 1) * s1 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)), 6) AS gini
+FROM s
+""",
     "agg_quantile_shard_merge": """
 WITH hist AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS shard,

@@ -569,7 +569,222 @@ def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOUR_US = 3600 * 1_000_000
+
+
+def event_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per calendar hour — the sweep-line
+    interval-overlap aggregate (capacity planning / load audit).
+
+    Sessions come from the shared `sessionized` core (one user_id
+    shuffle); each becomes two boundary deltas: +1 at its first event,
+    -1 one microsecond AFTER its last (inclusive interval). Because
+    ends sort before starts at an equal instant, the running maximum is
+    reached only at post-instant values, so collapsing boundaries to a
+    per-instant NET delta loses nothing. The global running sum is the
+    `win_global_cumsum` two-phase plan keyed by calendar hour (the
+    data-derived range id): per-hour local cumsums run in parallel; the
+    hour-totals window is calendar-bounded. Per-row peak candidate is
+    GREATEST(cum, cum - net) — the second term is the hour's carry-in
+    at its first row, so an all-ends hour still reports the level it
+    started at. Only hours containing a boundary are reported
+    (concurrency is constant elsewhere). Everything is exact integer
+    microseconds/counts — no float boundary anywhere.
+
+    Output: hour_ts, n_points (distinct boundary instants),
+    peak_concurrent.
+    """
+    e = sessionized(load_table(spark, sf_dir, "events"))
+    sess = e.groupBy("user_id", "session_id").agg(
+        F.min("us").alias("s"), F.max("us").alias("t")
+    )
+    bounds = sess.select(
+        F.col("s").alias("us"), F.lit(1).alias("d")
+    ).unionAll(sess.select((F.col("t") + 1).alias("us"), F.lit(-1).alias("d")))
+    net = (
+        bounds.groupBy("us")
+        .agg(F.sum("d").alias("net"))
+        .withColumn("hour", F.expr(f"us DIV {HOUR_US}"))
+    )
+    wloc = (
+        Window.partitionBy("hour")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = net.withColumn("lcum", F.sum("net").over(wloc))
+    hsum = net.groupBy("hour").agg(F.sum("net").alias("hnet"))
+    woff = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)
+    offs = hsum.select(
+        "hour", F.coalesce(F.sum("hnet").over(woff), F.lit(0)).alias("off")
+    )
+    return (
+        local.join(F.broadcast(offs), "hour")
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.max(
+                F.greatest(
+                    F.col("off") + F.col("lcum"),
+                    F.col("off") + F.col("lcum") - F.col("net"),
+                )
+            )
+            .cast("bigint")
+            .alias("peak_concurrent"),
+        )
+        .select(
+            F.timestamp_micros(F.col("hour") * HOUR_US).alias("hour_ts"),
+            "n_points",
+            "peak_concurrent",
+        )
+    )
+
+
+_CONCURRENCY_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), numbered AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER
+           (PARTITION BY user_id ORDER BY us, event_id) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id, MIN(us) AS s, MAX(us) AS t
+  FROM numbered GROUP BY 1, 2
+), bounds AS (
+  SELECT s AS us, 1 AS d FROM sess
+  UNION ALL SELECT t + 1 AS us, -1 AS d FROM sess
+), net AS (
+  SELECT us, SUM(d) AS net FROM bounds GROUP BY us
+), cum AS (
+  SELECT us, net, us // {HOUR_US} AS hour,
+         SUM(net) OVER (ORDER BY us) AS c
+  FROM net
+)
+SELECT make_timestamp(hour * {HOUR_US}) AS hour_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MAX(GREATEST(c, c - net)) AS BIGINT) AS peak_concurrent
+FROM cum GROUP BY hour
+"""
+
+
+def event_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + EXACT cumulative distinct reach — the DAU /
+    total-reach report, computed scalably: cumulative COUNT(DISTINCT)
+    up to each day is NOT re-counted per day (quadratic rescans) but
+    derived from each user's FIRST-SEEN day — cum_reach(d) = prefix
+    sum of new-user counts, the mergeable reformulation that works at
+    any scale. The only window runs over the per-day table (calendar-
+    bounded); the data-sized work is two hash aggs ((day,user) distinct
+    and user-keyed first-seen).
+
+    Output: day, n_active, n_new, cum_reach.
+    """
+    e = load_table(spark, sf_dir, "events")
+    au = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    daily = au.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    news = (
+        au.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(news, "day", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+        .withColumn("cum_reach", F.sum("n_new").over(w))
+        .select(
+            # DATE is not a hash-stable output type — emit midnight ts
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.col("cum_reach").cast("bigint").alias("cum_reach"),
+        )
+    )
+
+
+_REACH_ORACLE = """
+WITH au AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), daily AS (
+  SELECT day, COUNT(*) AS n_active FROM au GROUP BY day
+), news AS (
+  SELECT day, COUNT(*) AS n_new FROM (
+    SELECT user_id, MIN(day) AS day FROM au GROUP BY user_id
+  ) GROUP BY day
+)
+SELECT CAST(d.day AS TIMESTAMP) AS day,
+       CAST(d.n_active AS BIGINT) AS n_active,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_reach
+FROM daily d LEFT JOIN news n USING (day)
+"""
+
+
+def event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands variant over DAYS (sessionize islands over
+    microsecond gaps; this islands over the calendar). day_id - rn is
+    constant within a run of consecutive days, so one per-user window
+    + one (user, island) agg does it. Integer day ids only; both
+    windows and the final agg ride ONE user-keyed exchange.
+
+    Output: user_id, n_active_days, n_streaks, max_streak.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_id")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_id")
+    isl = days.withColumn(
+        "grp", F.col("day_id") - F.row_number().over(w)
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("max_streak"),
+    )
+
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_id
+  FROM events
+), isl AS (
+  SELECT user_id, day_id,
+         day_id - ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY day_id) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS max_streak
+FROM streaks GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "event_cumulative_reach": event_cumulative_reach,
+    "event_streaks": event_streaks,
+    "event_concurrency_peak": event_concurrency_peak,
     "event_audience_overlap": event_audience_overlap,
     "event_attribution_decay": event_attribution_decay,
     "event_sessionize": event_sessionize,
@@ -624,6 +839,9 @@ JOIN sizes sb ON p.t_b = sb.event_type
 """
 
 ORACLES = {
+    "event_cumulative_reach": _REACH_ORACLE,
+    "event_streaks": _STREAKS_ORACLE,
+    "event_concurrency_peak": _CONCURRENCY_ORACLE,
     "event_audience_overlap": _AUDIENCE_OVERLAP_ORACLE,
     "event_attribution_decay": _ATTRIBUTION_DECAY_ORACLE,
     # DATEDIFF('day', ...) on timestamps truncates to days in DuckDB the

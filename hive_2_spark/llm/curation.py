@@ -416,7 +416,74 @@ def curation_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-based domain upsampling: per-source token budgets are met
+    by REPEATING the source — m full epochs plus a partial epoch of
+    the first docs (md5 order) until the remainder budget is spent.
+    This is how under-represented domains (code, math, wiki) are
+    upweighted in a training mixture without changing the sampler.
+
+    Budgets are source-DERIVED so the op is non-vacuous at every
+    scale: source srcN gets (N % 3 + 1/2) x its own token count — i.e.
+    m = N % 3 full epochs and a half-token-count partial epoch. All
+    integer arithmetic (token counts, DIV) — no float quota boundary.
+
+    The partial-epoch cutoff needs a per-source cumulative token sum;
+    that runs as the `win_global_rank` bucketed two-phase plan (local
+    cumsum within (source, 2-hex md5 bucket) + metadata-sized prefix
+    offsets), never a per-source global window — at 100 TB a single
+    source is itself petabytes.
+
+    Output: doc_id, source, n_toks, n_epochs.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    m = F.expr("CAST(substring(source, 4) AS BIGINT) % 3")
+    totals = d.groupBy("source").agg(F.sum("n_toks").alias("t_s"))
+    rem = totals.select(
+        "source", F.expr("t_s DIV 2").alias("r_s")
+    )
+    b = d.withColumn("bk", F.substring("h", 1, 2))
+    bsums = b.groupBy("source", "bk").agg(F.sum("n_toks").alias("bt"))
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bsums.withColumn(
+        "off", F.coalesce(F.sum("bt").over(woff), F.lit(0))
+    ).select("source", "bk", "off")
+    wloc = (
+        Window.partitionBy("source", "bk")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        b.withColumn("lcum", F.sum("n_toks").over(wloc))
+        .join(F.broadcast(offsets), ["source", "bk"])
+        .withColumn("cum_toks", F.col("off") + F.col("lcum"))
+    )
+    return (
+        cum.join(F.broadcast(rem), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            (m + (F.col("cum_toks") <= F.col("r_s")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_epochs"),
+        )
+    )
+
+
 QUERIES = {
+    "curation_repeat_upsample": curation_repeat_upsample,
     "pii_redact": pii_redact,
     "doc_split": doc_split,
     "contamination_ngram": contamination_ngram,
@@ -434,6 +501,28 @@ QUERIES = {
 _MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_PCT.items())
 
 ORACLES = {
+    # Naive per-source single-window cumsum the bucketed two-phase
+    # plan must equal (the win_global_rank oracle relationship).
+    "curation_repeat_upsample": """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), t AS (
+  SELECT source, SUM(n_toks) // 2 AS r_s FROM d GROUP BY source
+), c AS (
+  SELECT doc_id, source, n_toks,
+         SUM(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+  FROM d
+)
+SELECT c.doc_id, c.source, c.n_toks,
+       CAST(CAST(substr(c.source, 4) AS BIGINT) % 3
+            + CASE WHEN c.cum_toks <= t.r_s THEN 1 ELSE 0 END
+            AS BIGINT) AS n_epochs
+FROM c JOIN t USING (source)
+""",
     # Naive single-window plan the bucketed-prefix implementation must
     # equal (same relationship as win_global_rank and its oracle).
     "curation_mixture_balance": f"""

@@ -966,7 +966,98 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEG_W = 10  # words per boilerplate segment
+
+
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-segment removal (the CCNet/RefinedWeb
+    line-dedup step): any 10-word segment that appears verbatim in
+    MORE THAN ONE document is stripped from every document, and the
+    cleaned text is reassembled in order.
+
+    Documents are cut into NON-overlapping 10-word segments (the <10
+    word tail is always kept — it is not a full segment). One segment
+    explode + one segment-keyed countDistinct (the standard dedup
+    shuffle — fingerprint-sized rows), then a doc_id-keyed rebuild:
+    collect_list skips the NULLs the kept-filter leaves, and
+    sort_array on (i, seg) structs restores document order without a
+    window. Linear in corpus token count; no pair space anywhere.
+
+    Output: doc_id, n_segs, n_removed, cleaned_text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    nseg = F.expr(f"size(split(text, ' ')) DIV {_SEG_W}")
+    base = d.select(
+        "doc_id",
+        nseg.alias("nseg"),
+        F.array_join(
+            F.slice(ws, nseg * _SEG_W + 1, F.greatest(
+                F.size(ws) - nseg * _SEG_W, F.lit(0))),
+            " ",
+        ).alias("tail"),
+    )
+    segs = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                nseg >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), (nseg - 1).cast("int")),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.array_join(
+                            F.slice(ws, i * _SEG_W + 1, _SEG_W), " "
+                        ).alias("seg"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:int,seg:string>>")),
+        ).alias("s"),
+    ).select("doc_id", "s.i", "s.seg")
+    seg_docs = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    rolled = (
+        segs.join(seg_docs, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum((F.col("nd") > 1).cast("bigint")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("nd") == 1,
+                                F.struct(F.col("i"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("kept"),
+        )
+    )
+    return (
+        base.join(rolled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_segs"), F.lit(0)).cast("bigint").alias("n_segs"),
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.nullif(F.coalesce(F.col("kept"), F.lit("")), F.lit("")),
+                F.nullif(F.col("tail"), F.lit("")),
+            ).alias("cleaned_text"),
+        )
+    )
+
+
 QUERIES = {
+    "dedup_paragraph": dedup_paragraph,
     "dedup_exact": dedup_exact,
     "dedup_token_sort": dedup_token_sort,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1161,7 +1252,38 @@ _DK_SIMHASH = (
     + " FROM bands"
 )
 
+_DK_PARAGRAPH = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) // {_SEG_W} AS INT) AS nseg
+  FROM documents
+), segs AS (
+  SELECT doc_id, i,
+         list_aggregate(ws[i*{_SEG_W}+1 : i*{_SEG_W}+{_SEG_W}],
+                        'string_agg', ' ') AS seg
+  FROM (SELECT doc_id, ws, unnest(range(0, nseg)) AS i FROM w)
+), sd AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg
+), rolled AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_segs,
+         SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_removed,
+         string_agg(CASE WHEN nd = 1 THEN seg END, ' ' ORDER BY i) AS kept
+  FROM segs s JOIN sd USING (seg)
+  GROUP BY s.doc_id
+)
+SELECT w.doc_id,
+       CAST(COALESCE(n_segs, 0) AS BIGINT) AS n_segs,
+       CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+       concat_ws(' ',
+         NULLIF(COALESCE(kept, ''), ''),
+         NULLIF(list_aggregate(ws[nseg*{_SEG_W}+1 : len(ws)],
+                               'string_agg', ' '), '')) AS cleaned_text
+FROM w LEFT JOIN rolled USING (doc_id)
+"""
+
 ORACLES = {
+    "dedup_paragraph": _DK_PARAGRAPH,
     "dedup_incremental": _DK_INCREMENTAL,
     "dedup_prefix_filter": _DK_PREFIX_FILTER,
     "dedup_simhash": _DK_SIMHASH,

@@ -316,7 +316,55 @@ def quality_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benford's-law leading-digit audit. Expected per-mille shares are
+# FIXED integer literals (floor(1000*log10(1+1/d)+0.5)) interpolated
+# into BOTH engines — no transcendental evaluated at query time.
+_BENFORD_PM = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+_BENFORD_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN {pm}" for d, pm in _BENFORD_PM.items()
+) + " END"
+
+
+def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-significant-digit distribution of order totals vs the
+    Benford expectation — the classic synthetic-/fabricated-numbers
+    audit for ingested tabular data.
+
+    One map-side pass extracts the digit (FLOOR before the string cast:
+    DuckDB's double->BIGINT cast ROUNDS while Spark truncates — the
+    `win_median_rolling` lesson), then a 9-key hash agg. The corpus
+    total rides a partition-less window over the 9-row aggregated
+    frame — bounded by the digit DOMAIN, never the data, so the
+    single-partition sort is constant-size at any scale. All outputs
+    integer per-mille (integer division — no float boundary).
+
+    Output: d (leading digit), n, share_pm, benford_pm, dev_pm.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    counts = (
+        o.select(digit.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.withColumn("share_pm", F.expr("n * 1000 DIV SUM(n) OVER ()"))
+        .select(
+            "d",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("share_pm").cast("bigint").alias("share_pm"),
+            F.expr(_BENFORD_CASE).cast("bigint").alias("benford_pm"),
+            (F.col("share_pm") - F.expr(_BENFORD_CASE))
+            .cast("bigint")
+            .alias("dev_pm"),
+        )
+    )
+
+
 QUERIES = {
+    "quality_benford": quality_benford,
     "quality_pmi_bigrams": quality_pmi_bigrams,
     "quality_repetition": quality_repetition,
     "quality_dup_ngram_corpus": quality_dup_ngram_corpus,
@@ -329,6 +377,22 @@ QUERIES = {
 # range(a, b) is stop-exclusive so range(1, len) yields 1..len-1 — one
 # start per bigram. list_distinct mirrors array_distinct.
 ORACLES = {
+    # FLOOR before the bigint cast (DuckDB's double->int cast rounds);
+    # the Benford expectation is the same interpolated literal CASE
+    "quality_benford": f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS d,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT d, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000 // SUM(n) OVER () AS BIGINT) AS share_pm,
+       CAST({_BENFORD_CASE} AS BIGINT) AS benford_pm,
+       CAST(n * 1000 // SUM(n) OVER () - ({_BENFORD_CASE}) AS BIGINT)
+         AS dev_pm
+FROM counts
+""",
     # every operand cast to DOUBLE first, multiplied in the same order
     # as the Spark lift expression — rational arithmetic, no log
     "quality_pmi_bigrams": (

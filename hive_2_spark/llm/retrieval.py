@@ -290,7 +290,89 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import math as _math
+
+_NDCG_DEPTH = 10
+# integer discount weights w_pos = round(1e6 / log2(pos+1)): FIXED
+# literals interpolated into BOTH engines, so the irrational log2 is
+# never evaluated at query time (the Benford-table trick)
+_NDCG_W = {p: round(1_000_000 / _math.log2(p + 1)) for p in range(1, _NDCG_DEPTH + 1)}
+_NDCG_W_CASE = "CASE {r} " + " ".join(
+    f"WHEN {p} THEN {w}" for p, w in _NDCG_W.items()
+) + " ELSE 0 END"
+# deterministic synthetic graded relevance, shared literal: the gain
+# 2^rel - 1 directly (rel 3/2/1/0 -> 7/3/1/0)
+_NDCG_GAIN_CASE = (
+    "CASE WHEN {d} % 17 = 0 THEN 7 WHEN {d} % 7 = 0 THEN 3 "
+    "WHEN {d} % 3 = 0 THEN 1 ELSE 0 END"
+)
+
+
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranking against deterministic synthetic
+    graded relevance — the ranking-quality evaluation harness every
+    retrieval stack runs after an index or scorer change.
+
+    DCG is computed in EXACT integers: gains are the literal 2^rel - 1
+    table keyed on doc_id, discounts the fixed micro-scaled
+    round(1e6/log2(pos+1)) weights — both interpolated as literals
+    into both engines, so no transcendental is evaluated at query
+    time and the only float op is the final dcg/idcg division
+    (correctly-rounded IEEE, rounded to 6). The ideal ranking is the
+    corpus-wide top-10 gains via TakeOrderedAndProject (never a global
+    rank window over the corpus); its 10-row frame feeds a
+    domain-bounded window and a 1-row broadcast.
+
+    Output: query_id, dcg_m, idcg_m, ndcg (micro-scaled integers).
+    """
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NDCG_DEPTH)
+    )
+    dcg = (
+        top.select(
+            "query_id",
+            (
+                F.expr(_NDCG_GAIN_CASE.format(d="doc_id"))
+                * F.expr(_NDCG_W_CASE.format(r="rank"))
+            ).alias("contrib"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("contrib").cast("bigint").alias("dcg_m"))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    ideal = (
+        d.select(
+            "doc_id", F.expr(_NDCG_GAIN_CASE.format(d="doc_id")).alias("g")
+        )
+        .orderBy(F.col("g").desc(), F.col("doc_id").asc())
+        .limit(_NDCG_DEPTH)
+    )
+    wpos = Window.orderBy(F.col("g").desc(), F.col("doc_id").asc())
+    idcg = (
+        ideal.withColumn("pos", F.row_number().over(wpos))
+        .agg(
+            F.sum(F.col("g") * F.expr(_NDCG_W_CASE.format(r="pos")))
+            .cast("bigint")
+            .alias("idcg_m")
+        )
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "query_id",
+        "dcg_m",
+        "idcg_m",
+        F.round(
+            F.col("dcg_m").cast("double") / F.col("idcg_m").cast("double"), 6
+        ).alias("ndcg"),
+    )
+
+
 QUERIES = {
+    "retrieval_ndcg": retrieval_ndcg,
     "bm25_topk": bm25_topk,
     "keyword_search_and": keyword_search_and,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
@@ -332,6 +414,35 @@ w AS (
 _PHRASE_VALUES = ", ".join(f"({i}, '{p}')" for i, p in _PHRASES)
 
 ORACLES = {
+    "retrieval_ndcg": f"""
+WITH {_BM25_SCORED_CTES},
+top AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_NDCG_DEPTH}
+),
+dcg AS (
+  SELECT query_id,
+         SUM(({_NDCG_GAIN_CASE.format(d="doc_id")})
+             * ({_NDCG_W_CASE.format(r="rnk")})) AS dcg_m
+  FROM top GROUP BY query_id
+),
+ideal AS (
+  SELECT g, ROW_NUMBER() OVER (ORDER BY g DESC, doc_id ASC) AS pos
+  FROM (SELECT doc_id, {_NDCG_GAIN_CASE.format(d="doc_id")} AS g
+        FROM documents)
+  QUALIFY pos <= {_NDCG_DEPTH}
+),
+idcg AS (
+  SELECT SUM(g * ({_NDCG_W_CASE.format(r="pos")})) AS idcg_m FROM ideal
+)
+SELECT query_id, CAST(dcg_m AS BIGINT) AS dcg_m,
+       CAST(idcg_m AS BIGINT) AS idcg_m,
+       ROUND(CAST(dcg_m AS DOUBLE) / CAST(idcg_m AS DOUBLE), 6) AS ndcg
+FROM dcg, idcg
+""",
     # NAIVE replay: every document scanned per query, every window
     # compared — proves the anchor trick finds exactly the contiguous
     # occurrences (positions 1-based; ws[i:i+plen-1] is plen tokens)

@@ -49,6 +49,7 @@ _MODULES: list[str] = [
     "hive_2_spark.core.graph",
     "hive_2_spark.core.profile",
     "hive_2_spark.core.analytics3",
+    "hive_2_spark.core.basket",
     "hive_2_spark.core.setops",
     "hive_2_spark.core.analytics2",
     "hive_2_spark.core.aggregates",

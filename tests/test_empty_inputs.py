@@ -152,6 +152,16 @@ KEYS = [
     "stream_lateness_report",
     # quality_fk_audit + skew_report excluded: per-edge/per-relation
     # REPORT rows (counts land at 0) are their correct empty output
+    # round-6 later-session additions (agg_gini excluded: a global
+    # scalar agg legitimately returns ONE null-gini row on empty input)
+    "quality_benford",
+    "event_concurrency_peak",
+    "dedup_paragraph",
+    "retrieval_ndcg",
+    "curation_repeat_upsample",
+    "event_cumulative_reach",
+    "event_streaks",
+    "basket_pair_lift",
 ]
 
 

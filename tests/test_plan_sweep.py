@@ -43,6 +43,12 @@ CARTESIAN_OK = {
                             # shape, 4 edges
     "quality_pmi_bigrams",  # two 1-row broadcast corpus totals (N_u, N_b)
                             # — the scalar-subquery shape
+    "retrieval_ndcg",       # embeds the bm25 corpus-stats broadcast plus
+                            # a 1-row broadcast IDCG scalar — two
+                            # scalar-subquery shapes
+    "basket_pair_lift",     # 1-row broadcast order-count scalar — the
+                            # scalar-subquery shape (pairs themselves
+                            # join hash-wise within the order key)
     "join_bloom_pruned",    # 1-row broadcast bloom bit-array frame —
                             # the scalar-subquery shape (the filter is
                             # the scalar); the real join is hash-based
