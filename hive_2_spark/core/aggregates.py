@@ -412,6 +412,122 @@ def agg_quantile_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable HyperLogLog: m = 256 registers (8-bit bucket from the first
+# 2 md5 hex chars), rho = leading-zero count over the next 56 bits + 1.
+# alpha_256 = 0.7213/(1 + 1.079/256), interpolated as the SAME double
+# literal into both engines.
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
+_HLL_M = 256
+_HLL_P57 = float(2**57)  # exact double (power of two)
+
+
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog distinct-count sketch, oracle-verified —
+    the engine-neutral twin of `agg_approx`/`agg_sketch_merge` (whose
+    HLL register layouts are engine-internal and therefore rows-only).
+    Proves the MERGEABILITY contract in the hash gate itself: the ALL
+    row's registers are the bucket-wise MAX of the monthly shard
+    registers — the facts are never rescanned, exactly how per-shard
+    sketches merge into a corpus count at 100 TB.
+
+    Register math is exact end-to-end: bucket = first 2 md5 hex chars;
+    rho = 4*(leading '0' nibbles) + nibble-CLZ + 1 over the next 14
+    nibbles (pure string/CASE ops, identical in both engines); the
+    harmonic sum accumulates SHIFTED-INTEGER weights 2^(57-rho) in
+    decimal(38,0)/HUGEINT (a double sum of 2^-rho terms needs a 57-bit
+    window — accumulation order could flip the last bit). The ONE
+    float step is the final alpha*m^2*2^57/S division from identical
+    literals — bit-identical. Empty registers (rho=0) come from a
+    metadata-sized (shard x 256) spine. No linear-counting correction
+    (ln is transcendental); the raw estimate plus n_zero_reg and the
+    exact count are all reported, so the bias regime is visible.
+
+    Output: shard, n_exact, est_hll, n_zero_reg.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("shard"),
+        F.md5(F.col("o_custkey").cast("string")).alias("h"),
+    )
+    nib = F.substring("h", 3, 14)
+    k0 = F.length(F.regexp_extract(nib, "^(0*)", 1))
+    v = F.conv(F.substring(nib, (k0 + 1).cast("int"), 1), 16, 10).cast("int")
+    nlz = (
+        F.when(v >= 8, 0).when(v >= 4, 1).when(v >= 2, 2).otherwise(3)
+    )
+    rho = F.when(k0 == 14, F.lit(57)).otherwise(4 * k0 + nlz + 1)
+    keyed = o.select(
+        "shard",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
+        rho.alias("rho"),
+        "h",
+    )
+    regs = keyed.groupBy("shard", "bucket").agg(F.max("rho").alias("r"))
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .withColumn("shard", F.lit("ALL"))
+        .select("shard", "bucket", "r")
+    )
+    all_regs = regs.unionByName(merged)
+    # (shard x 256) spine so empty registers contribute rho = 0
+    spine = (
+        all_regs.select("shard")
+        .distinct()
+        .select(
+            "shard",
+            F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("bucket"),
+        )
+    )
+    full = spine.join(all_regs, ["shard", "bucket"], "left").withColumn(
+        "r", F.coalesce("r", F.lit(0))
+    )
+    est = (
+        full.groupBy("shard")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT), 57 - r)"
+                    " AS DECIMAL(38,0))"
+                )
+            ).alias("s"),
+            F.sum((F.col("r") == 0).cast("bigint")).alias("n_zero_reg"),
+        )
+    )
+    exact = keyed.groupBy("shard").agg(
+        F.countDistinct("h").alias("n_exact")
+    )
+    exact_all = keyed.select("h").distinct().select(
+        F.lit("ALL").alias("shard"), F.lit(1).alias("one")
+    ).groupBy("shard").agg(F.count(F.lit(1)).alias("n_exact"))
+    exacts = exact.unionByName(exact_all)
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.lit(_HLL_P57)
+        / F.col("s").cast("double")
+    )
+    # linear-counting correction in the small-range regime (raw <=
+    # 2.5m, empty registers exist): m*ln(m/V). ln IS transcendental,
+    # but its domain here is the 256 possible V values — checked
+    # offline: every m*ln(m/V) sits >=1.6e-4 from a half-cent ROUND
+    # boundary, while cross-engine libm drift is ~1e-11, so ROUND(,2)
+    # is provably engine-stable (the raw branch is bit-identical
+    # anyway: exact ints + shared literals).
+    lc = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M)) / F.col("n_zero_reg").cast("double")
+    )
+    corrected = F.when(
+        (F.col("n_zero_reg") > 0) & (raw <= F.lit(2.5 * _HLL_M)), lc
+    ).otherwise(raw)
+    return est.join(exacts, "shard").select(
+        "shard",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round(raw, 2).alias("est_hll"),
+        F.round(corrected, 2).alias("est_corrected"),
+        F.col("n_zero_reg").cast("bigint").alias("n_zero_reg"),
+    )
+
+
 def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini concentration coefficient of per-customer revenue — the
     inequality/concentration audit (is 1% of customers 90% of revenue?).
@@ -481,6 +597,7 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "agg_hll_portable": agg_hll_portable,
     "agg_gini": agg_gini,
     "agg_groupby": agg_groupby,
     "agg_argmax": agg_argmax,
@@ -504,6 +621,76 @@ QUERIES = {
 }
 
 ORACLES = {
+    # nibble->int via strpos on the hex alphabet (DuckDB has no conv);
+    # the shifted-weight sum is HUGEINT like the Spark decimal(38,0);
+    # the single double division uses the same interpolated literals
+    "agg_hll_portable": f"""
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS shard,
+         md5(CAST(o_custkey AS VARCHAR)) AS h
+  FROM orders
+), keyed AS (
+  SELECT shard, h,
+         16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+         CASE WHEN length(regexp_extract(substr(h, 3, 14), '^(0*)', 1)) = 14
+              THEN 57
+              ELSE 4 * length(regexp_extract(substr(h, 3, 14), '^(0*)', 1))
+                   + (CASE WHEN strpos('0123456789abcdef',
+                            substr(substr(h, 3, 14),
+                              length(regexp_extract(substr(h, 3, 14),
+                                     '^(0*)', 1)) + 1, 1)) - 1 >= 8 THEN 0
+                           WHEN strpos('0123456789abcdef',
+                            substr(substr(h, 3, 14),
+                              length(regexp_extract(substr(h, 3, 14),
+                                     '^(0*)', 1)) + 1, 1)) - 1 >= 4 THEN 1
+                           WHEN strpos('0123456789abcdef',
+                            substr(substr(h, 3, 14),
+                              length(regexp_extract(substr(h, 3, 14),
+                                     '^(0*)', 1)) + 1, 1)) - 1 >= 2 THEN 2
+                           ELSE 3 END) + 1
+         END AS rho
+  FROM o
+), regs AS (
+  SELECT shard, bucket, MAX(rho) AS r FROM keyed GROUP BY 1, 2
+), all_regs AS (
+  SELECT shard, bucket, r FROM regs
+  UNION ALL
+  SELECT 'ALL' AS shard, bucket, MAX(r) AS r FROM regs GROUP BY bucket
+), spine AS (
+  SELECT s.shard, b.bucket
+  FROM (SELECT DISTINCT shard FROM all_regs) s
+  CROSS JOIN (SELECT unnest(range(0, {_HLL_M})) AS bucket) b
+), full_regs AS (
+  SELECT sp.shard, sp.bucket, COALESCE(ar.r, 0) AS r
+  FROM spine sp LEFT JOIN all_regs ar
+    ON sp.shard = ar.shard AND sp.bucket = ar.bucket
+), est AS (
+  SELECT shard,
+         SUM(CAST(CAST(1 AS BIGINT) << (57 - r) AS HUGEINT)) AS s,
+         SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS n_zero_reg
+  FROM full_regs GROUP BY shard
+), exacts AS (
+  SELECT shard, COUNT(DISTINCT h) AS n_exact FROM keyed GROUP BY shard
+  UNION ALL
+  SELECT 'ALL' AS shard, COUNT(DISTINCT h) AS n_exact FROM keyed
+)
+SELECT e.shard,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       ROUND(((CAST({_HLL_ALPHA!r} AS DOUBLE) * 65536.0) * {_HLL_P57!r})
+             / CAST(e.s AS DOUBLE), 2) AS est_hll,
+       ROUND(CASE WHEN e.n_zero_reg > 0
+                   AND ((CAST({_HLL_ALPHA!r} AS DOUBLE) * 65536.0)
+                        * {_HLL_P57!r}) / CAST(e.s AS DOUBLE)
+                       <= {2.5 * _HLL_M!r}
+             THEN {float(_HLL_M)!r}
+                  * ln({float(_HLL_M)!r} / CAST(e.n_zero_reg AS DOUBLE))
+             ELSE ((CAST({_HLL_ALPHA!r} AS DOUBLE) * 65536.0)
+                   * {_HLL_P57!r}) / CAST(e.s AS DOUBLE)
+             END, 2) AS est_corrected,
+       CAST(e.n_zero_reg AS BIGINT) AS n_zero_reg
+FROM est e JOIN exacts x ON e.shard = x.shard
+""",
     # HUGEINT accumulation mirrors the Spark side's decimal(38,0); the
     # one double division is correctly-rounded IEEE in both engines
     "agg_gini": """

@@ -727,7 +727,211 @@ def ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LTTB_T = 12  # output points per series (first + 10 buckets + last)
+
+
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of each
+    event_type's hourly series to 12 points — the shape-preserving
+    reduction dashboards run before plotting (keeps peaks/valleys a
+    uniform stride would miss).
+
+    LTTB is inherently SEQUENTIAL (each bucket's pick is the triangle
+    with the PREVIOUS pick and the next bucket's centroid), so like
+    ts_ewma/ts_holt it is a fold: one hash agg collects each type's
+    calendar-bounded hourly series, then a JVM ``aggregate`` over the
+    10 interior bucket indices carries struct(prev_pick, selected[])
+    left to right. EXACT integer geometry: x = epoch-hour id, y =
+    summed cents; the next-bucket centroid (Sx/c, Sy/c) is cleared of
+    its division by multiplying the triangle area through by c, so
+    the argmax compares BIGINTs — no float ever, tie to smallest x
+    via (area, -x) struct-max. Series with <= 12 points pass through
+    unchanged. The oracle replays all 10 picks as unrolled CTE rounds
+    (the kmeans-unroll pattern; DuckDB's list_reduce mutates struct
+    state in place — the ts_holt lesson — so folds with struct state
+    replay as chained CTEs/recursion, never list_reduce).
+
+    Scale: the fact scan collapses to <= 8,760 hourly rows per type
+    per year BEFORE collection; the fold state is one 12-point array.
+
+    Output: event_type, sel_idx, x (epoch hour), y_cents, y.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("y")
+    ).select(
+        "event_type",
+        F.expr("unix_micros(h) div 3600000000").alias("x"),
+        "y",
+    )
+    g = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("x", "y"))).alias("seq")
+    )
+    n = F.size("seq")
+    T, B = _LTTB_T, _LTTB_T - 2
+
+    small = (
+        g.filter(n <= T)
+        .select("event_type", F.posexplode("seq").alias("pos", "p"))
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("bigint").alias("sel_idx"),
+            F.col("p.x").alias("x"),
+            F.col("p.y").alias("y_cents"),
+        )
+    )
+
+    big = g.filter(n > T)
+    seq = F.col("seq")
+    first = F.element_at(seq, 1)
+    last = F.element_at(seq, n)
+
+    def _step(acc, i):
+        # bucket bounds: floor() over exact integer ratios — the
+        # ratios stay far below 2^53 (hourly series are calendar-
+        # bounded), so the double floor equals integer division
+        lo = F.floor(((i - 1) * (n - 2)) / B) + 2
+        hi = F.floor((i * (n - 2)) / B) + 1
+        bucket = F.slice(seq, lo.cast("int"), (hi - lo + 1).cast("int"))
+        lo2 = F.floor((i * (n - 2)) / B) + 2
+        hi2 = F.floor(((i + 1) * (n - 2)) / B) + 1
+        nxt = F.when(
+            i < F.lit(B),
+            F.slice(seq, lo2.cast("int"), (hi2 - lo2 + 1).cast("int")),
+        ).otherwise(F.slice(seq, n.cast("int"), 1))
+        sx = F.aggregate(
+            nxt, F.lit(0).cast("bigint"), lambda a, p: a + p["x"]
+        )
+        sy = F.aggregate(
+            nxt, F.lit(0).cast("bigint"), lambda a, p: a + p["y"]
+        )
+        c = F.size(nxt).cast("bigint")
+        px, py = acc["prev"]["x"], acc["prev"]["y"]
+        scored = F.transform(
+            bucket,
+            lambda p: F.struct(
+                F.abs(
+                    (px * c - sx) * (p["y"] - py)
+                    - (px - p["x"]) * (sy - py * c)
+                ).alias("area"),
+                (-p["x"]).alias("negx"),
+                p.alias("p"),
+            ),
+        )
+        best = F.array_max(scored)["p"]
+        return F.struct(
+            best.alias("prev"),
+            F.concat(acc["sel"], F.array(best)).alias("sel"),
+        )
+
+    zero = F.struct(first.alias("prev"), F.array(first).alias("sel"))
+    fin = F.aggregate(F.sequence(F.lit(1), F.lit(B)), zero, _step)
+    big_out = (
+        big.select(
+            "event_type",
+            F.posexplode(F.concat(fin["sel"], F.array(last))).alias(
+                "pos", "p"
+            ),
+        )
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("bigint").alias("sel_idx"),
+            F.col("p.x").alias("x"),
+            F.col("p.y").alias("y_cents"),
+        )
+    )
+    return (
+        small.unionByName(big_out)
+        .select(
+            "event_type",
+            "sel_idx",
+            "x",
+            "y_cents",
+            (F.col("y_cents").cast("double") / 100.0).alias("y"),
+        )
+    )
+
+
+def _lttb_oracle() -> str:
+    """Unrolled-CTE replay: sel0 = first point; each round i joins the
+    previous pick, scores bucket i's candidates with the SAME integer
+    area, and keeps ROW_NUMBER() = 1 over (area DESC, x ASC)."""
+    B = _LTTB_T - 2
+    parts = [
+        f"""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS x,
+         CAST(ROUND(SUM(value) * 100) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT event_type, x, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn
+  FROM hourly
+), st AS (
+  SELECT event_type, COUNT(*) AS n FROM series GROUP BY 1
+), small AS (
+  SELECT s.event_type, s.rn AS sel_idx, s.x, s.y
+  FROM series s JOIN st USING (event_type) WHERE st.n <= {_LTTB_T}
+), sel0 AS (
+  SELECT s.event_type, s.x, s.y
+  FROM series s JOIN st USING (event_type)
+  WHERE st.n > {_LTTB_T} AND s.rn = 1
+)"""
+    ]
+    for i in range(1, B + 1):
+        lo = f"(({i} - 1) * (n - 2)) // {B} + 2"
+        hi = f"({i} * (n - 2)) // {B} + 1"
+        if i < B:
+            lo2 = f"({i} * (n - 2)) // {B} + 2"
+            hi2 = f"(({i} + 1) * (n - 2)) // {B} + 1"
+            nxt_cond = f"s.rn BETWEEN {lo2} AND {hi2}"
+        else:
+            nxt_cond = "s.rn = n"
+        parts.append(f""",
+nx{i} AS (
+  SELECT s.event_type, SUM(s.x) AS sx, SUM(s.y) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM series s JOIN st ON s.event_type = st.event_type
+  WHERE {nxt_cond} GROUP BY 1
+), sel{i} AS (
+  SELECT event_type, x, y FROM (
+    SELECT s.event_type, s.x, s.y,
+           ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY
+             ABS((p.x * nx.c - nx.sx) * (s.y - p.y)
+                 - (p.x - s.x) * (nx.sy - p.y * nx.c)) DESC,
+             s.x ASC) AS rk
+    FROM series s
+    JOIN st ON s.event_type = st.event_type
+    JOIN sel{i - 1} p ON s.event_type = p.event_type
+    JOIN nx{i} nx ON s.event_type = nx.event_type
+    WHERE s.rn BETWEEN {lo} AND {hi}
+  ) WHERE rk = 1
+)""")
+    sel_union = "\nUNION ALL\n".join(
+        f"SELECT event_type, {k + 1} AS sel_idx, x, y FROM sel{k}"
+        for k in range(0, B + 1)
+    )
+    parts.append(f""",
+lastp AS (
+  SELECT s.event_type, {B + 2} AS sel_idx, s.x, s.y
+  FROM series s JOIN st USING (event_type)
+  WHERE st.n > {_LTTB_T} AND s.rn = st.n
+), allsel AS (
+  {sel_union}
+  UNION ALL SELECT event_type, sel_idx, x, y FROM lastp
+  UNION ALL SELECT event_type, sel_idx, x, y FROM small
+)
+SELECT event_type, CAST(sel_idx AS BIGINT) AS sel_idx, x,
+       y AS y_cents, CAST(y AS DOUBLE) / 100.0 AS y
+FROM allsel""")
+    return "".join(parts)
+
+
 QUERIES = {
+    "ts_downsample_lttb": ts_downsample_lttb,
     "ts_crosscorr": ts_crosscorr,
     "ts_changepoint": ts_changepoint,
     "ts_holt": ts_holt,
@@ -768,6 +972,7 @@ _GRID_CTE = (
 )
 
 ORACLES = {
+    "ts_downsample_lttb": _lttb_oracle(),
     # exact-integer moments (HUGEINT); same double cast points and op
     # order as the Spark expression; IEEE sqrt is correctly rounded
     "ts_crosscorr": (

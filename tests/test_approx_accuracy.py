@@ -66,3 +66,23 @@ def test_hll_sketch_merge_within_5pct(spark):
     row = agg_sketch_merge(spark, SF_DIR_MID).first()
     _assert_close(row.distinct_parts, exact, "hll_union distinct_parts")
     assert row.total_rows == li.count()
+
+
+def test_hll_portable_accuracy(spark):
+    """The PORTABLE HLL uses m=256 registers => ~6.5% rsd (wider than
+    the lgK=12 engine sketches), and the monthly shards sit in the
+    linear-counting regime (~5-7% rsd) — so the per-shard gate is 3
+    sigma (±20%, ~37 shards make one 3-sigma outlier likely) and the
+    merged ALL row, where HLL proper operates, gets the tight ±10%."""
+    from hive_2_spark.core.aggregates import agg_hll_portable
+
+    rows = agg_hll_portable(spark, SF_DIR_MID).collect()
+    all_row = next(r for r in rows if r.shard == "ALL")
+    rel_all = abs(all_row.est_corrected - all_row.n_exact) / all_row.n_exact
+    assert rel_all <= 0.10, f"ALL: {all_row}"
+    for r in rows:
+        rel = abs(r.est_corrected - r.n_exact) / r.n_exact
+        assert rel <= 0.20, (
+            f"hll_portable[{r.shard}]: est={r.est_corrected} "
+            f"exact={r.n_exact} rel={rel:.4f}"
+        )

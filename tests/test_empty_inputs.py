@@ -162,6 +162,8 @@ KEYS = [
     "event_cumulative_reach",
     "event_streaks",
     "basket_pair_lift",
+    "agg_hll_portable",
+    "ts_downsample_lttb",
 ]
 
 
