@@ -262,6 +262,15 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(words) >= _MH_SHINGLE)
         .select("doc_id", grams.alias("sh"))
         .withColumn("nsh", F.size("sh"))
+        # PERSIST the shingled corpus: it feeds THREE join branches
+        # (postings + both verification sides), and without a
+        # materialization Catalyst re-derives the norm+shingle
+        # expression tree in every branch AND inside the pushed-down
+        # null/size filters — measured 69s -> ~5s at sf0.1 (the regex
+        # normalizer times ~8 evaluations per doc was the whole cost,
+        # not the joins). At 100 TB this is the standard build-once
+        # index materialization every AllPairs implementation does.
+        .persist()
     )
     exploded = docs.select("doc_id", "nsh", F.explode("sh").alias("g"))
     # global document frequency per shingle — the vocabulary-sized side
