@@ -380,7 +380,87 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUT_THRESH = 85.0  # mean |frame delta| above this = scene cut
+_SCENE_SHIFT = 137  # pixel-ramp seed bump applied from the cut frame on
+
+
+def media_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over RAWV video rows: per adjacent-frame
+    boundary, the mean absolute pixel delta, flagged as a cut when it
+    exceeds the threshold — the shot-segmentation step a video
+    training pipeline runs before frame sampling (sample per SCENE,
+    not per fixed stride).
+
+    Videos are synthesized deterministically from media_id inside ONE
+    mapInPandas pass (generate → decode → diff; payloads never leave
+    the task — only boundary stats are emitted, so at 100 TB of video
+    the shuffle carries a few doubles per frame boundary). Even ids
+    get a planted scene change (ramp seed bumped by {shift} from frame
+    c = 1 + id mod (n-1)): continuous ramp boundaries measure ~51.4
+    mean delta, scene boundaries ~116.7, so the {thresh} threshold
+    separates cleanly. Rows-only by necessity (real zlib container
+    decode — the media_features barrier); planted-cut recall gated in
+    tests/test_multimodal.py.
+
+    Output: media_id, frame_idx (boundary's right frame), mean_delta,
+    is_cut.
+    """
+    base = (
+        media_table(spark, sf_dir)
+        .filter(F.col("mime") == "video/mp4")
+        .select("media_id")
+    )
+
+    def cuts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, fidx, deltas, flags = [], [], [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, n = mid % 16 + 8, mid % 12 + 8, mid % 6 + 4
+                cut = 1 + mid % (n - 1) if mid % 2 == 0 else None
+                frames = []
+                for f in range(n):
+                    seed = mid + (_SCENE_SHIFT if cut is not None and f >= cut else 0)
+                    frames.append(
+                        bytes(
+                            ((x * 13 + y * 7 + f * 29 + seed) & 0xFF)
+                            for y in range(h)
+                            for x in range(w)
+                        )
+                    )
+                payload = codec.encode_rawv_frames(w, h, frames)
+                dw, dh, dec = codec.decode_rawv(payload)
+                npx = dw * dh
+                for f in range(1, len(dec)):
+                    a, b = dec[f - 1], dec[f]
+                    s = sum(abs(b[i] - a[i]) for i in range(npx))
+                    md = s / npx
+                    mids.append(mid)
+                    fidx.append(f)
+                    deltas.append(round(md, 4))
+                    flags.append(md > _CUT_THRESH)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_idx": fidx,
+                    "mean_delta": deltas,
+                    "is_cut": flags,
+                }
+            )
+
+    return base.mapInPandas(
+        cuts,
+        schema="media_id long, frame_idx long, mean_delta double, is_cut boolean",
+    )
+
+
+media_scene_cut.__doc__ = media_scene_cut.__doc__.format(
+    shift=_SCENE_SHIFT, thresh=_CUT_THRESH
+)
+
+
 QUERIES = {
+    "media_scene_cut": media_scene_cut,  # rows-only (real RAWV decode)
     "media_features": media_features,  # rows-only (Pandas-UDF stub decode)
     "media_stats": media_stats,
     "media_resize": media_resize,

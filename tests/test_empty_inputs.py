@@ -164,6 +164,7 @@ KEYS = [
     "basket_pair_lift",
     "agg_hll_portable",
     "ts_downsample_lttb",
+    "media_scene_cut",
 ]
 
 

@@ -166,3 +166,26 @@ def test_media_phash_dedup_finds_planted_twins(spark):
     assert len(twin_groups) >= len(twin_ids) // 2  # collisions may merge
     for g in twin_groups:
         assert g.keep_id < 1_000_000
+
+
+def test_media_scene_cut_finds_planted_cuts(spark):
+    """Even media_ids carry ONE planted scene change at frame
+    c = 1 + id % (n-1); odd ids are continuous ramps. The detector
+    must flag exactly the planted boundary for every even id and
+    nothing for odd ids (ramp boundaries measure ~51.4 mean delta,
+    scene boundaries ~116.7 — the 85.0 threshold separates)."""
+    from hive_2_spark.llm.multimodal import media_scene_cut
+
+    rows = media_scene_cut(spark, SF_DIR).collect()
+    assert rows, "no video rows"
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, rs in by_id.items():
+        n = mid % 6 + 4
+        assert len(rs) == n - 1  # one row per boundary
+        cuts = sorted(r.frame_idx for r in rs if r.is_cut)
+        if mid % 2 == 0:
+            assert cuts == [1 + mid % (n - 1)], f"media {mid}: {cuts}"
+        else:
+            assert cuts == [], f"media {mid}: spurious cuts {cuts}"
