@@ -727,6 +727,117 @@ def ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRIFT_BANDS = 10          # fixed value bands over [0, 500)
+_DRIFT_SPLIT_DAYS = 15     # reference window length (days from corpus start)
+_DRIFT_TVD_FLAG_PM = 100   # flag types whose TVD exceeds 10%
+
+
+def ts_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor per event_type: the value histogram
+    of the REFERENCE window (first 15 days) vs the CURRENT window
+    (the rest), summarized as total-variation distance and a
+    chi-square-style statistic — the drift gate a training pipeline
+    runs before trusting new data (PSI's ln() replaced by rational
+    statistics so every number is an exact integer).
+
+    All-integer determinism: band = width_bucket over fixed edges;
+    per-band shares are per-mille via integer division; TVD_pm =
+    sum|p-q| div 2 (integers); chi2_micro = per-band
+    floor(d^2 * 1e6 / (p+q)) summed — integer division PER BAND, so
+    no double summation order exists at all. The split day is a
+    1-row min-day scalar broadcast (the scalar-subquery shape).
+
+    Scale: one fact scan -> (type, window, band) map-side-combined
+    counts (a few hundred cells); everything after is metadata-sized.
+
+    Output: event_type, n_ref, n_cur, tvd_pm, chi2_micro, drifted.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    lo = e.agg(F.min(day).alias("d0"))
+    binned = (
+        e.select(day.alias("d"), "event_type", "value")
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "event_type",
+            (F.col("d") < F.col("d0") + _DRIFT_SPLIT_DAYS).alias("is_ref"),
+            F.width_bucket(
+                F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(_DRIFT_BANDS)
+            ).alias("band"),
+        )
+    )
+    cells = binned.groupBy("event_type", "band").agg(
+        F.sum(F.col("is_ref").cast("bigint")).alias("n_p"),
+        F.sum((~F.col("is_ref")).cast("bigint")).alias("n_q"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n_p").alias("tp"), F.sum("n_q").alias("tq")
+    )
+    shares = cells.join(totals, "event_type").select(
+        "event_type",
+        "band",
+        F.expr("n_p * 1000 div tp").alias("p_pm"),
+        F.expr("n_q * 1000 div tq").alias("q_pm"),
+        "tp",
+        "tq",
+    )
+    s = F.col("p_pm") + F.col("q_pm")
+    chi_band = F.when(s > 0, F.expr(
+        "(p_pm - q_pm) * (p_pm - q_pm) * 1000000 div (p_pm + q_pm)"
+    )).otherwise(F.lit(0))
+    return (
+        shares.groupBy("event_type")
+        .agg(
+            F.max("tp").cast("bigint").alias("n_ref"),
+            F.max("tq").cast("bigint").alias("n_cur"),
+            F.expr("CAST(sum(abs(p_pm - q_pm)) DIV 2 AS BIGINT)").alias(
+                "tvd_pm"
+            ),
+            F.sum(chi_band).cast("bigint").alias("chi2_micro"),
+        )
+        .withColumn("drifted", F.col("tvd_pm") > _DRIFT_TVD_FLAG_PM)
+    )
+
+
+_DRIFT_ORACLE = f"""
+WITH lo AS (
+  SELECT MIN(epoch_us(ts) // 86400000000) AS d0 FROM events
+), binned AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000) < d0 + {_DRIFT_SPLIT_DAYS} AS is_ref,
+         CASE WHEN value >= 500.0 THEN {_DRIFT_BANDS} + 1
+              WHEN value < 0.0 THEN 0
+              ELSE CAST(FLOOR(value / (500.0 / {_DRIFT_BANDS})) AS INT) + 1
+         END AS band
+  FROM events, lo
+), cells AS (
+  SELECT event_type, band,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_p,
+         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_q
+  FROM binned GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, SUM(n_p) AS tp, SUM(n_q) AS tq
+  FROM cells GROUP BY 1
+), shares AS (
+  SELECT c.event_type, c.band,
+         c.n_p * 1000 // t.tp AS p_pm,
+         c.n_q * 1000 // t.tq AS q_pm,
+         t.tp, t.tq
+  FROM cells c JOIN totals t USING (event_type)
+)
+SELECT event_type,
+       CAST(MAX(tp) AS BIGINT) AS n_ref,
+       CAST(MAX(tq) AS BIGINT) AS n_cur,
+       CAST(SUM(ABS(p_pm - q_pm)) // 2 AS BIGINT) AS tvd_pm,
+       CAST(SUM(CASE WHEN p_pm + q_pm > 0
+            THEN (p_pm - q_pm) * (p_pm - q_pm) * 1000000 // (p_pm + q_pm)
+            ELSE 0 END) AS BIGINT) AS chi2_micro,
+       CAST(SUM(ABS(p_pm - q_pm)) // 2 AS BIGINT) > {_DRIFT_TVD_FLAG_PM}
+         AS drifted
+FROM shares GROUP BY event_type
+"""
+
+
 _LTTB_T = 12  # output points per series (first + 10 buckets + last)
 
 
@@ -931,6 +1042,7 @@ FROM allsel""")
 
 
 QUERIES = {
+    "ts_drift_report": ts_drift_report,
     "ts_downsample_lttb": ts_downsample_lttb,
     "ts_crosscorr": ts_crosscorr,
     "ts_changepoint": ts_changepoint,
@@ -972,6 +1084,7 @@ _GRID_CTE = (
 )
 
 ORACLES = {
+    "ts_drift_report": _DRIFT_ORACLE,
     "ts_downsample_lttb": _lttb_oracle(),
     # exact-integer moments (HUGEINT); same double cast points and op
     # order as the Spark expression; IEEE sqrt is correctly rounded

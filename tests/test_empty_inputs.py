@@ -165,6 +165,7 @@ KEYS = [
     "agg_hll_portable",
     "ts_downsample_lttb",
     "media_scene_cut",
+    "ts_drift_report",
 ]
 
 

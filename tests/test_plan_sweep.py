@@ -49,6 +49,8 @@ CARTESIAN_OK = {
     "basket_pair_lift",     # 1-row broadcast order-count scalar — the
                             # scalar-subquery shape (pairs themselves
                             # join hash-wise within the order key)
+    "ts_drift_report",      # 1-row broadcast min-day split scalar —
+                            # the scalar-subquery shape
     "join_bloom_pruned",    # 1-row broadcast bloom bit-array frame —
                             # the scalar-subquery shape (the filter is
                             # the scalar); the real join is hash-based
