@@ -100,7 +100,19 @@ _FRONT: list[str] = [
     # upgraded from rows-only to a full oracle in round 6 — the oracle
     # itself has never been driver-run, so it re-enters the window
     "dedup_simhash",
-    # --- (c) oldest-checked re-verification (latest check r1/r2) ---
+    # --- (b2) round-6 second-session additions + the one first-session
+    # key that landed after the window filled (stream_lateness_report).
+    # Never driver-checked; they take window slots ahead of
+    # re-verification (never-checked > re-check, the r5 rule).
+    "stream_lateness_report",
+    "dedup_paragraph", "curation_repeat_upsample", "retrieval_ndcg",
+    "quality_benford", "event_concurrency_peak", "agg_gini",
+    "event_cumulative_reach", "event_streaks", "basket_pair_lift",
+    "agg_hll_portable", "ts_downsample_lttb", "ts_drift_report",
+    "media_scene_cut",
+    # --- (c) oldest-checked re-verification (latest check r1/r2);
+    # slots 45-50 — the float/timestamp-risk window ops. Everything
+    # displaced below waits for the r7 window.
     "win_rank", "win_running_sum", "win_range_frame", "win_range_time",
     "win_first_last", "win_ignore_nulls", "win_lag_lead", "win_pct_rank",
     "win_topk_per_group",

@@ -51,6 +51,15 @@ _ROUND6_NEW = [
     "sim_maxsim_topk",
     # upgraded rows-only -> full oracle this round; oracle never driver-run
     "dedup_simhash",
+    # second-session additions + the first-session key that landed
+    # after the window filled — never driver-checked, so they take
+    # window slots ahead of re-verification
+    "stream_lateness_report",
+    "dedup_paragraph", "curation_repeat_upsample", "retrieval_ndcg",
+    "quality_benford", "event_concurrency_peak", "agg_gini",
+    "event_cumulative_reach", "event_streaks", "basket_pair_lift",
+    "agg_hll_portable", "ts_downsample_lttb", "ts_drift_report",
+    "media_scene_cut",
 ]
 
 _REVERIFY_TAIL = [
@@ -109,5 +118,8 @@ def test_rows_only_keys_are_deliberate():
         # gated by tests/test_clustering.py / tests/test_graph_converged.py
         "cluster_kmeans_converged",
         "graph_pagerank_converged",
+        # real RAWV container decode — the media_features barrier;
+        # planted-cut recall gated in tests/test_multimodal.py
+        "media_scene_cut",
     }
     assert registry.rows_only_keys() == expected
