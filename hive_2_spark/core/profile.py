@@ -125,9 +125,12 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# planted-orphan residues: deterministic key corruption so the audit is
-# non-vacuous (the raw fixtures are referentially intact)
-_FK_ORPHAN_OFF = 900_000_000
+# planted-orphan corruption: deterministic residue classes negated to
+# -(key+1) so the audit is non-vacuous (the raw fixtures are referentially
+# intact). Negation — not a fixed additive offset — makes a planted key an
+# orphan BY CONSTRUCTION at every scale factor: dim keys are non-negative,
+# so -(k+1) < 0 can never collide with a real dim key, where a +900M
+# offset silently stops planting once dim domains pass 900M rows.
 
 
 def quality_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,7 +141,8 @@ def quality_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema's FK graph).
 
     Orphans are PLANTED by deterministic in-place key corruption
-    (residue classes shifted by +900M), so every fact edge reports
+    (residue classes negated to -(key+1), orphans by construction at
+    any scale since dim keys are non-negative), so every fact edge reports
     real violations while customer→nation stays clean as the passing
     control row. Each edge is a left-anti join: dims broadcast or
     shuffle per optimizer choice (at 100 TB customer is no longer
@@ -150,7 +154,7 @@ def quality_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.when(
             F.col("o_orderkey") % 500 == 0,
-            F.col("o_custkey") + _FK_ORPHAN_OFF,
+            -(F.col("o_custkey") + 1),
         ).otherwise(F.col("o_custkey")),
     )
     li = (
@@ -159,14 +163,14 @@ def quality_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
             F.when(
                 F.col("l_orderkey") % 777 == 0,
-                F.col("l_partkey") + _FK_ORPHAN_OFF,
+                -(F.col("l_partkey") + 1),
             ).otherwise(F.col("l_partkey")),
         )
         .withColumn(
             "l_suppkey",
             F.when(
                 F.col("l_orderkey") % 555 == 0,
-                F.col("l_suppkey") + _FK_ORPHAN_OFF,
+                -(F.col("l_suppkey") + 1),
             ).otherwise(F.col("l_suppkey")),
         )
     )
@@ -251,13 +255,13 @@ FROM {fact} f WHERE NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{pk} = f.{fk})
 
 _FK_AUDIT_ORACLE = (
     "WITH o AS (SELECT o_orderkey, CASE WHEN o_orderkey % 500 = 0 "
-    f"THEN o_custkey + {_FK_ORPHAN_OFF} ELSE o_custkey END AS o_custkey "
+    "THEN -(o_custkey + 1) ELSE o_custkey END AS o_custkey "
     "FROM orders), "
     "li AS (SELECT l_orderkey, "
     "CASE WHEN l_orderkey % 777 = 0 "
-    f"THEN l_partkey + {_FK_ORPHAN_OFF} ELSE l_partkey END AS l_partkey, "
+    "THEN -(l_partkey + 1) ELSE l_partkey END AS l_partkey, "
     "CASE WHEN l_orderkey % 555 = 0 "
-    f"THEN l_suppkey + {_FK_ORPHAN_OFF} ELSE l_suppkey END AS l_suppkey "
+    "THEN -(l_suppkey + 1) ELSE l_suppkey END AS l_suppkey "
     "FROM lineitem) "
     + " UNION ALL ".join(
         _FK_EDGE_SQL.format(name=n, fact=f, fk=k, dim=d, pk=p)

@@ -746,6 +746,10 @@ def ts_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(d^2 * 1e6 / (p+q)) summed — integer division PER BAND, so
     no double summation order exists at all. The split day is a
     1-row min-day scalar broadcast (the scalar-subquery shape).
+    An event_type entirely absent from one window is the STRONGEST
+    drift signal, not a divide-by-zero: tp=0/tq=0 is guarded and the
+    type reports tvd_pm=1000, drifted=true (the empty window's share
+    is defined as 0 per-mille in every band).
 
     Scale: one fact scan -> (type, window, band) map-side-combined
     counts (a few hundred cells); everything after is metadata-sized.
@@ -776,8 +780,12 @@ def ts_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares = cells.join(totals, "event_type").select(
         "event_type",
         "band",
-        F.expr("n_p * 1000 div tp").alias("p_pm"),
-        F.expr("n_q * 1000 div tq").alias("q_pm"),
+        F.expr(
+            "CASE WHEN tp > 0 THEN n_p * 1000 div tp ELSE 0 END"
+        ).alias("p_pm"),
+        F.expr(
+            "CASE WHEN tq > 0 THEN n_q * 1000 div tq ELSE 0 END"
+        ).alias("q_pm"),
         "tp",
         "tq",
     )
@@ -791,11 +799,19 @@ def ts_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tp").cast("bigint").alias("n_ref"),
             F.max("tq").cast("bigint").alias("n_cur"),
             F.expr("CAST(sum(abs(p_pm - q_pm)) DIV 2 AS BIGINT)").alias(
-                "tvd_pm"
+                "tvd_raw"
             ),
             F.sum(chi_band).cast("bigint").alias("chi2_micro"),
         )
+        .withColumn(
+            "tvd_pm",
+            F.when(
+                (F.col("n_ref") == 0) | (F.col("n_cur") == 0), F.lit(1000)
+            ).otherwise(F.col("tvd_raw")).cast("bigint"),
+        )
         .withColumn("drifted", F.col("tvd_pm") > _DRIFT_TVD_FLAG_PM)
+        .select("event_type", "n_ref", "n_cur", "tvd_pm", "chi2_micro",
+                "drifted")
     )
 
 
@@ -820,21 +836,27 @@ WITH lo AS (
   FROM cells GROUP BY 1
 ), shares AS (
   SELECT c.event_type, c.band,
-         c.n_p * 1000 // t.tp AS p_pm,
-         c.n_q * 1000 // t.tq AS q_pm,
+         CASE WHEN t.tp > 0 THEN c.n_p * 1000 // t.tp ELSE 0 END AS p_pm,
+         CASE WHEN t.tq > 0 THEN c.n_q * 1000 // t.tq ELSE 0 END AS q_pm,
          t.tp, t.tq
   FROM cells c JOIN totals t USING (event_type)
+), agg AS (
+  SELECT event_type,
+         CAST(MAX(tp) AS BIGINT) AS n_ref,
+         CAST(MAX(tq) AS BIGINT) AS n_cur,
+         CAST(SUM(ABS(p_pm - q_pm)) // 2 AS BIGINT) AS tvd_raw,
+         CAST(SUM(CASE WHEN p_pm + q_pm > 0
+              THEN (p_pm - q_pm) * (p_pm - q_pm) * 1000000 // (p_pm + q_pm)
+              ELSE 0 END) AS BIGINT) AS chi2_micro
+  FROM shares GROUP BY event_type
 )
-SELECT event_type,
-       CAST(MAX(tp) AS BIGINT) AS n_ref,
-       CAST(MAX(tq) AS BIGINT) AS n_cur,
-       CAST(SUM(ABS(p_pm - q_pm)) // 2 AS BIGINT) AS tvd_pm,
-       CAST(SUM(CASE WHEN p_pm + q_pm > 0
-            THEN (p_pm - q_pm) * (p_pm - q_pm) * 1000000 // (p_pm + q_pm)
-            ELSE 0 END) AS BIGINT) AS chi2_micro,
-       CAST(SUM(ABS(p_pm - q_pm)) // 2 AS BIGINT) > {_DRIFT_TVD_FLAG_PM}
-         AS drifted
-FROM shares GROUP BY event_type
+SELECT event_type, n_ref, n_cur,
+       CAST(CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1000
+            ELSE tvd_raw END AS BIGINT) AS tvd_pm,
+       chi2_micro,
+       (CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1000 ELSE tvd_raw END)
+         > {_DRIFT_TVD_FLAG_PM} AS drifted
+FROM agg
 """
 
 
@@ -855,7 +877,9 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     left to right. EXACT integer geometry: x = epoch-hour id, y =
     summed cents; the next-bucket centroid (Sx/c, Sy/c) is cleared of
     its division by multiplying the triangle area through by c, so
-    the argmax compares BIGINTs — no float ever, tie to smallest x
+    the argmax compares exact decimal(38,0)/HUGEINT areas — no float
+    ever, and no silent BIGINT wrap at 100 TB y-magnitudes (~1e13
+    cents x c ~1e3 passes 2^63) — tie to smallest x
     via (area, -x) struct-max. Series with <= 12 points pass through
     unchanged. The oracle replays all 10 picks as unrolled CTE rounds
     (the kmeans-unroll pattern; DuckDB's list_reduce mutates struct
@@ -912,20 +936,27 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             i < F.lit(B),
             F.slice(seq, lo2.cast("int"), (hi2 - lo2 + 1).cast("int")),
         ).otherwise(F.slice(seq, n.cast("int"), 1))
+        # area factors in decimal(38,0): y is summed cents (~1e13 at
+        # 100 TB hourly) and c ~1e3+, so the cross products pass 2^63
+        # where BIGINT wraps silently in Spark and raises in DuckDB —
+        # decimal/HUGEINT keeps the geometry exact AND cross-engine
+        # (the ts_changepoint / ts_crosscorr convention).
+        d38 = "decimal(38,0)"
         sx = F.aggregate(
-            nxt, F.lit(0).cast("bigint"), lambda a, p: a + p["x"]
+            nxt, F.lit(0).cast(d38), lambda a, p: a + p["x"]
         )
         sy = F.aggregate(
-            nxt, F.lit(0).cast("bigint"), lambda a, p: a + p["y"]
+            nxt, F.lit(0).cast(d38), lambda a, p: a + p["y"]
         )
-        c = F.size(nxt).cast("bigint")
-        px, py = acc["prev"]["x"], acc["prev"]["y"]
+        c = F.size(nxt).cast(d38)
+        px = acc["prev"]["x"].cast(d38)
+        py = acc["prev"]["y"].cast(d38)
         scored = F.transform(
             bucket,
             lambda p: F.struct(
                 F.abs(
-                    (px * c - sx) * (p["y"] - py)
-                    - (px - p["x"]) * (sy - py * c)
+                    (px * c - sx) * (p["y"].cast(d38) - py)
+                    - (px - p["x"].cast(d38)) * (sy - py * c)
                 ).alias("area"),
                 (-p["x"]).alias("negx"),
                 p.alias("p"),
@@ -1011,8 +1042,11 @@ nx{i} AS (
   SELECT event_type, x, y FROM (
     SELECT s.event_type, s.x, s.y,
            ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY
-             ABS((p.x * nx.c - nx.sx) * (s.y - p.y)
-                 - (p.x - s.x) * (nx.sy - p.y * nx.c)) DESC,
+             ABS((CAST(p.x AS HUGEINT) * nx.c - nx.sx)
+                   * (CAST(s.y AS HUGEINT) - p.y)
+                 - (CAST(p.x AS HUGEINT) - s.x)
+                   * (CAST(nx.sy AS HUGEINT) - CAST(p.y AS HUGEINT) * nx.c))
+               DESC,
              s.x ASC) AS rk
     FROM series s
     JOIN st ON s.event_type = st.event_type

@@ -205,6 +205,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # side runs the scale algorithm on the same rows.
 _PF_MOD = 5
 
+# Guardrail on the exact AllPairs index: refuse (raise_error in the plan,
+# never a silent drop) if any PREFIX gram's document frequency exceeds
+# this — candidate cost is sum(df^2) over indexed grams, so one
+# boilerplate gram at df=1e6 is a 1e12-pair blowup. Fixture headroom:
+# max prefix-gram df is ~40 at sf0.1 (clique-seeded twins); real corpora
+# should tune this to their dup-rate and pre-strip boilerplate first.
+_PF_MAX_POSTING_DF = 10_000
+
+# The shingled-corpus cache of the MOST RECENT dedup_prefix_filter
+# corpus. The registry contract returns a lazy DataFrame, so there is no
+# hook to unpersist after the caller materializes; an unconditional
+# persist() therefore pins every invocation's shingle arrays for the
+# session (round-6 ADVICE). Keying one persisted frame per sf_dir and
+# evicting the previous dir's frame on change bounds the footprint to
+# ONE corpus while keeping repeat calls on the same corpus cache-warm
+# (evict-then-repersist would silently drop the NEW registration too:
+# unpersist matches by logical plan, and the rebuilt plan is identical).
+# localCheckpoint would GC itself but measured 2.3x slower than persist
+# at sf0.1 — row-format RDD blocks, and no cross-call plan reuse.
+_PF_CACHE: dict = {}
+
+
+def _pf_cache_swap(sf_dir: str, df):
+    hit = _PF_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    for k in list(_PF_CACHE):
+        try:
+            _PF_CACHE.pop(k).unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    _PF_CACHE[sf_dir] = df
+    return df
+
 
 def _pf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -249,6 +284,19 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and threshold — a hash-match PROVES the prefix index missed no pair
     (the exactness claim), which is why this key's oracle deliberately
     shares no candidate-generation logic with the plan.
+
+    Quadratic-tail guardrail: candidate cost is sum(|postings|^2) over
+    PREFIX grams, so a boilerplate-heavy corpus (docs made entirely of
+    ultra-common grams, whose "rarest" prefix grams are still frequent)
+    could blow up silently. Every posting row therefore carries its
+    gram's global df (an upper bound on the posting-list length) and
+    the plan RAISES — ``raise_error`` inside the posting filter, never
+    a silent drop — if any indexed gram exceeds ``_PF_MAX_POSTING_DF``.
+    Dropping capped grams instead would break exactness (a pair whose
+    only shared prefix gram is frequent would be missed); below the cap
+    the index is provably complete, above it the operator refuses and
+    names the gram so the caller can pre-strip boilerplate
+    (dedup_paragraph) or fall back to banded MinHash.
     """
     words = F.split(_NORM(F.col("text")), " ")
     grams = F.array_distinct(
@@ -262,7 +310,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(words) >= _MH_SHINGLE)
         .select("doc_id", grams.alias("sh"))
         .withColumn("nsh", F.size("sh"))
-        # PERSIST the shingled corpus: it feeds THREE join branches
+        # MATERIALIZE the shingled corpus: it feeds THREE join branches
         # (postings + both verification sides), and without a
         # materialization Catalyst re-derives the norm+shingle
         # expression tree in every branch AND inside the pushed-down
@@ -270,8 +318,10 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # normalizer times ~8 evaluations per doc was the whole cost,
         # not the joins). At 100 TB this is the standard build-once
         # index materialization every AllPairs implementation does.
-        .persist()
+        # Cache lifetime is bounded by _pf_cache_swap: one persisted
+        # corpus at a time, evicted when sf_dir changes (see _PF_CACHE).
     )
+    docs = _pf_cache_swap(sf_dir, docs)
     exploded = docs.select("doc_id", "nsh", F.explode("sh").alias("g"))
     # global document frequency per shingle — the vocabulary-sized side
     # of one shuffle join (NOT broadcast: vocab grows with the corpus)
@@ -284,13 +334,39 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix length n - ceil(0.8n) + 1, integer-exact: ceil(4n/5) =
     # (4n + 4) div 5. Longer prefixes only ADD candidates, never lose.
     plen = F.col("nsh") - F.floor((4 * F.col("nsh") + 4) / 5) + 1
-    postings = ordered.select(
-        "doc_id",
-        "nsh",
-        F.explode(F.slice(F.col("osh"), F.lit(1), plen.cast("int"))).alias(
-            "p"
-        ),
-    ).select("doc_id", "nsh", F.col("p.g").alias("g"))
+    postings = (
+        ordered.select(
+            "doc_id",
+            "nsh",
+            F.explode(
+                F.slice(F.col("osh"), F.lit(1), plen.cast("int"))
+            ).alias("p"),
+        )
+        # quadratic-tail guardrail: p.gdf (global df, already computed
+        # for the rarest-first order) bounds this gram's posting-list
+        # length — FREE to check, and raising beats silently dropping
+        # the gram (which would forfeit the zero-false-negative claim).
+        .filter(
+            F.when(F.col("p.gdf") <= _PF_MAX_POSTING_DF, F.lit(True))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "dedup_prefix_filter: prefix gram df exceeds "
+                            f"max_posting_df={_PF_MAX_POSTING_DF}; "
+                            "boilerplate-heavy corpus — strip boilerplate "
+                            "(dedup_paragraph) or use banded MinHash. "
+                            "gram='"
+                        ),
+                        F.col("p.g"),
+                        F.lit("' df="),
+                        F.col("p.gdf").cast("string"),
+                    )
+                ).cast("boolean")
+            )
+        )
+        .select("doc_id", "nsh", F.col("p.g").alias("g"))
+    )
     a = postings.select(
         "g", F.col("doc_id").alias("a_id"), F.col("nsh").alias("a_n")
     )
