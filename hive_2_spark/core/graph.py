@@ -149,11 +149,13 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     one dst-keyed aggregation; the convergence probe is a node-sized
     join + max — nothing proportional to the edge list.
 
-    Rows-only by design: the data-dependent round count is the point of
-    the key, so it cannot be a fixed SQL unroll (same necessity class
-    as ``cluster_kmeans_converged``; see OPERATORS.md). The fixpoint
-    property, agreement with the fixed-unroll oracle key, and the
-    lineage-truncation plan shape are gated in
+    Full oracle since round 9: the DuckDB side unrolls
+    ``_CONV_SQL_UNROLL`` rounds, replays the SAME relative-eps stop
+    rule per round, and selects the first crossing round in SQL (see
+    :func:`_pagerank_converged_sql`) — so the data-dependent round
+    count is itself hash-checked via the ``rounds`` output column.
+    The fixpoint property, agreement with the fixed-unroll oracle key,
+    and the lineage-truncation plan shape are additionally gated in
     tests/test_graph_converged.py.
 
     Output: top-20 (node, rank, rounds) — ``rounds`` is the number of
@@ -303,7 +305,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "graph_pagerank": graph_pagerank,
-    "graph_pagerank_converged": graph_pagerank_converged,  # rows-only
+    "graph_pagerank_converged": graph_pagerank_converged,
     "graph_triangles": graph_triangles,
     "graph_bfs_distance": graph_bfs_distance,
 }
@@ -352,6 +354,79 @@ SELECT node, rank FROM (
 """
 
 
+# The converged key's oracle replays the SAME stop rule as the Spark
+# loop — iterate, compute max|Δrank|/max(rank) per round, stop at the
+# FIRST round strictly below _CONV_EPS — as a fixed unroll of
+# _CONV_SQL_UNROLL rounds with the stop round selected by SQL, so the
+# data-dependent round count is checked too (it is an output column).
+# 140 rounds bounds the fixpoint at ANY scale: the power iteration
+# contracts at rate d=0.85/round, so rounds ≈ log(eps)/log(0.85) ≈ 85
+# independent of graph size (measured: 88 at sf0.01), and the RELATIVE
+# eps only gets looser as hub ranks grow with the graph. If a fixture
+# ever needed more, the oracle returns 0 rows (stop is NULL) and the
+# compare flags it loudly rather than silently passing. Each round CTE
+# is MATERIALIZED: r{k} is read by r{k+1}, its delta probe d{k},
+# d{k+1}, and the final union — without it DuckDB may inline the whole
+# 140-deep lineage per reference.
+_CONV_SQL_UNROLL = 140
+
+_CONV_ITER_CTE = """
+r{k} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         {one_minus_d} + {d} * SUM(r{p}.rank * e.w) AS rank
+  FROM edges_w e
+  JOIN r{p} ON e.src = r{p}.node
+  GROUP BY e.dst
+), d{k} AS (
+  SELECT {k} AS iter,
+         MAX(ABS(r{k}.rank - r{p}.rank)) AS delta,
+         MAX(r{k}.rank) AS m
+  FROM r{k} JOIN r{p} USING (node)
+)"""
+
+
+def _pagerank_converged_sql() -> str:
+    ks = range(1, _CONV_SQL_UNROLL + 1)
+    iters = ",".join(
+        _CONV_ITER_CTE.format(
+            k=k, p=k - 1, d=_DAMPING, one_minus_d=1.0 - _DAMPING
+        )
+        for k in ks
+    )
+    deltas = " UNION ALL ".join(f"SELECT * FROM d{k}" for k in ks)
+    allr = " UNION ALL ".join(
+        f"SELECT {k} AS iter, node, rank FROM r{k}" for k in ks
+    )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cnode,
+                  CAST(-l_suppkey AS BIGINT) AS snode
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), edges_w AS MATERIALIZED (
+  SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.deg AS w
+  FROM edges e JOIN deg ON e.src = deg.src
+), r0 AS MATERIALIZED (
+  SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg
+), {iters},
+stop AS (
+  SELECT MIN(iter) AS rounds FROM ({deltas}) WHERE delta < {_CONV_EPS} * m
+)
+SELECT node, rank, rounds FROM (
+  SELECT CASE WHEN allr.node >= 0 THEN 'c' || CAST(allr.node AS VARCHAR)
+         ELSE 's' || CAST(-allr.node AS VARCHAR) END AS node,
+         ROUND(allr.rank, 6) AS rank,
+         CAST(stop.rounds AS BIGINT) AS rounds
+  FROM ({allr}) allr JOIN stop ON allr.iter = stop.rounds
+) ORDER BY rank DESC, node ASC LIMIT {_TOPK}
+"""
+
+
 def _triangles_sql() -> str:
     from hive_2_spark.llm.dedup import ORACLES as _DEDUP_ORACLES
 
@@ -390,6 +465,7 @@ FROM bfs GROUP BY 1
 
 ORACLES = {
     "graph_pagerank": _pagerank_sql(),
+    "graph_pagerank_converged": _pagerank_converged_sql(),
     "graph_triangles": _triangles_sql(),
     "graph_bfs_distance": _BFS_SQL,
 }

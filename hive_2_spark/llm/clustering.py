@@ -207,9 +207,13 @@ def kmeans_converged(
 
 
 def cluster_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixpoint k-means assignments (rows-only: the round count the
-    data needs is not expressible as a fixed SQL unroll — that is the
-    point of the key; accuracy is gated by tests instead)."""
+    """Fixpoint k-means assignments. Full oracle since round 9: the
+    DuckDB side unrolls all ``_CONVERGE_CAP`` Lloyd rounds, computes
+    each round's changed-assignment count, and selects the FIRST
+    round with zero changes in SQL (see ``_kmeans_converged_sql``) —
+    so the data-dependent round count is replayed, not assumed.
+    Fixpoint accuracy on planted blobs is additionally gated in
+    tests/test_clustering.py."""
     e = _vectors(spark, sf_dir)
     assign, _rounds = kmeans_converged(e, _seeds(e))
     return assign.select(
@@ -277,7 +281,69 @@ _KMEANS_CTE = (
     "    (PARTITION BY vec_id ORDER BY d2, c_id) = 1)"
 )
 
+# Converged-key oracle: unroll ALL _CONVERGE_CAP Lloyd rounds (the
+# Spark loop's hard cap, so the unroll depth is the cap semantics, not
+# a guess), tag each round's assignment and changed-count, and select
+# the first round whose changed-count is zero — the exact stop rule of
+# kmeans_converged (measured: 9 rounds at sf0.01). If no round
+# converges within the cap the Spark side raises and the oracle
+# returns 0 rows — either way the compare flags it. s{r} CTEs are
+# MATERIALIZED: each is read by the next round's recenter, two
+# changed-count probes, and the final union; without it DuckDB may
+# inline the 25-deep lineage per reference. Assignment ties and d2
+# float drift carry the same documented ~1e-13 tolerance as the
+# fixed-unroll key (see _assign).
+def _kmeans_converged_sql() -> str:
+    blocks = []
+    for r in range(1, _CONVERGE_CAP + 1):
+        p = r - 1
+        blocks.append(
+            f"c{r} AS (SELECT cluster AS c_id, "
+            "list(avg_e ORDER BY dim) AS c_vec "
+            f"  FROM (SELECT s{p}.cluster, ex.dim, AVG(ex.elem) AS avg_e "
+            f"        FROM s{p} JOIN ex USING (vec_id) GROUP BY 1, 2) "
+            "  GROUP BY cluster), "
+            f"s{r} AS MATERIALIZED (SELECT vec_id, c_id AS cluster "
+            f"  FROM (SELECT v.vec_id, c{r}.c_id, "
+            "    list_sum(list_transform("
+            f"list_zip(v.vec, c{r}.c_vec), p -> (p[1]-p[2])**2)) AS d2 "
+            f"    FROM v CROSS JOIN c{r}) "
+            "  QUALIFY ROW_NUMBER() OVER "
+            "    (PARTITION BY vec_id ORDER BY d2, c_id) = 1), "
+            f"g{r} AS (SELECT {r} AS iter, COUNT(*) AS changed "
+            f"  FROM s{p} a JOIN s{r} b USING (vec_id) "
+            "  WHERE a.cluster != b.cluster)"
+        )
+    ks = range(1, _CONVERGE_CAP + 1)
+    changes = " UNION ALL ".join(f"SELECT * FROM g{r}" for r in ks)
+    alls = " UNION ALL ".join(
+        f"SELECT {r} AS iter, vec_id, cluster FROM s{r}" for r in ks
+    )
+    return (
+        "WITH v AS MATERIALIZED (SELECT vec_id, "
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+        "  FROM embeddings), "
+        "c0 AS (SELECT vec_id AS c_id, vec AS c_vec FROM v "
+        f"  WHERE vec_id % {_SEED_MOD} = 0 AND vec_id < {_SEED_CAP}), "
+        "s0 AS MATERIALIZED (SELECT vec_id, c_id AS cluster "
+        "  FROM (SELECT v.vec_id, c0.c_id, "
+        "    list_sum(list_transform(list_zip(v.vec, c0.c_vec), "
+        "      p -> (p[1]-p[2])**2)) AS d2 "
+        "    FROM v CROSS JOIN c0) "
+        "  QUALIFY ROW_NUMBER() OVER "
+        "    (PARTITION BY vec_id ORDER BY d2, c_id) = 1), "
+        "ex AS MATERIALIZED (SELECT vec_id, UNNEST(vec) AS elem, "
+        "  generate_subscripts(vec, 1) AS dim FROM v), "
+        + ", ".join(blocks)
+        + f", stop AS (SELECT MIN(iter) AS rounds FROM ({changes}) "
+        "  WHERE changed = 0) "
+        f"SELECT vec_id, CAST(cluster AS BIGINT) AS cluster "
+        f"FROM ({alls}) alls JOIN stop ON alls.iter = stop.rounds"
+    )
+
+
 ORACLES = {
+    "cluster_kmeans_converged": _kmeans_converged_sql(),
     "cluster_kmeans": (
         f"WITH {_KMEANS_CTE} "
         "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, "

@@ -224,20 +224,32 @@ _PF_MAX_POSTING_DF = 10_000
 # unpersist matches by logical plan, and the rebuilt plan is identical).
 # localCheckpoint would GC itself but measured 2.3x slower than persist
 # at sf0.1 — row-format RDD blocks, and no cross-call plan reuse.
+# Keyed by (applicationId, sf_dir), NOT sf_dir alone: a module-level
+# dict outlives the SparkSession, so after a stop()/recreate cycle a
+# dir-only key would hand the new session a DataFrame whose persisted
+# blocks died with the old context (round-8 verdict item 6). Entries
+# from a different applicationId are dropped WITHOUT unpersist — their
+# context is gone and the call would raise; the blocks were already
+# freed when that context shut down.
 _PF_CACHE: dict = {}
 
 
 def _pf_cache_swap(sf_dir: str, df):
-    hit = _PF_CACHE.get(sf_dir)
+    app_id = df.sparkSession.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    hit = _PF_CACHE.get(key)
     if hit is not None:
         return hit
     for k in list(_PF_CACHE):
+        old = _PF_CACHE.pop(k)
+        if k[0] != app_id:
+            continue  # dead/foreign session — blocks already gone
         try:
-            _PF_CACHE.pop(k).unpersist()
+            old.unpersist()
         except Exception:
             pass
     df = df.persist()
-    _PF_CACHE[sf_dir] = df
+    _PF_CACHE[key] = df
     return df
 
 

@@ -71,62 +71,43 @@ _MODULES: list[str] = [
     "hive_2_spark.core.joins",
 ]
 
-# Round-6 rotation: keys 1-50 are the driver window. Every key present as
-# of round 4 has been driver-proven (union of CORRECTNESS_r0{1..5}.json =
-# 247 keys); this window covers (a) the 10-key backlog — the 9 operators
-# added in round 5 (never driver-checked; local-parity green at sf0.01 +
-# sf0.1 only) plus fingerprint_rolling, whose md5-prefix oracle replaced
-# the rows-only check in r5 but was last DRIVER-checked as rows-only in
-# r3 — (b) the operators added THIS round, and (c) re-verification of the
-# oldest-checked keys (latest driver check r1/r2 — fixtures have
-# regenerated twice since), prioritizing float/timestamp rounding
-# boundaries: win_*, agg_percentile/stats/corr, pricing_summary + the
-# TPC-H q2-q14 shapes. Everything behind _FRONT keeps module order.
+# Round-9 rotation: keys 1-50 are the driver window. All 289 keys have
+# been driver-proven at least once (union of CORRECTNESS_r0{1..6}; the
+# r7/r8 artifacts were byte-copies of r6, so r6 is the latest genuine
+# run). This window covers (a) the two fixpoint keys whose oracles were
+# upgraded from rows-only to full round-replaying SQL in round 9 — the
+# oracles themselves have never been driver-run — then (b) the stalest
+# re-verification tier: keys whose latest genuine driver hash-check is
+# r1/r2 (fixtures regenerated twice since), float/timestamp-rounding
+# boundaries first (win_*, agg stats family, pricing_summary, TPC-H
+# shapes), then the streaming batch faces. 44 r1/r2-era keys remain for
+# the r10 window (the full set is also self-checked every round by
+# tools/driver_sim.py — see SELFCHECK_r09.json). Everything behind
+# _FRONT keeps module order.
 _FRONT: list[str] = [
-    # --- (a) the 10-key backlog: r5 additions + fingerprint_rolling ---
-    "sim_pq_topk", "curation_mixture_balance", "event_funnel_windowed",
-    "ts_anomaly_mad", "ts_seasonal_decompose", "retrieval_rrf_fusion",
-    "agg_quantile_shard_merge", "stream_anomaly_monitor",
-    "graph_pagerank_converged", "fingerprint_rolling",
-    # --- (b) round-6 additions (inserted as they land) ---
-    "token_pack_salted", "dedup_incremental_indexed",
-    "quality_ngram_census", "ts_acf", "retrieval_mmr",
-    "dedup_time_horizon", "skew_report", "dedup_prefix_filter",
-    "join_bloom_pruned", "phrase_search_positional", "ts_holt",
-    "quality_pmi_bigrams", "event_attribution_decay", "quality_fk_audit",
-    "ts_changepoint", "event_audience_overlap", "win_session_native",
-    "ts_crosscorr",
-    "sim_maxsim_topk",
-    # upgraded from rows-only to a full oracle in round 6 — the oracle
-    # itself has never been driver-run, so it re-enters the window
-    "dedup_simhash",
-    # --- (b2) round-6 second-session additions + the one first-session
-    # key that landed after the window filled (stream_lateness_report).
-    # Never driver-checked; they take window slots ahead of
-    # re-verification (never-checked > re-check, the r5 rule).
-    "stream_lateness_report",
-    "dedup_paragraph", "curation_repeat_upsample", "retrieval_ndcg",
-    "quality_benford", "event_concurrency_peak", "agg_gini",
-    "event_cumulative_reach", "event_streaks", "basket_pair_lift",
-    "agg_hll_portable", "ts_downsample_lttb", "ts_drift_report",
-    "media_scene_cut",
-    # --- (c) oldest-checked re-verification (latest check r1/r2);
-    # slots 45-50 — the float/timestamp-risk window ops. Everything
-    # displaced below waits for the r7 window.
-    "win_rank", "win_running_sum", "win_range_frame", "win_range_time",
-    "win_first_last", "win_ignore_nulls", "win_lag_lead", "win_pct_rank",
-    "win_topk_per_group",
+    # --- (a) round-9 oracle upgrades (never driver-run as oracles) ---
+    "graph_pagerank_converged", "cluster_kmeans_converged",
+    # --- (b) oldest-checked re-verification (latest genuine check
+    # r1/r2), float/timestamp-risk first ---
+    "win_lag_lead", "win_pct_rank", "win_topk_per_group",
     "pricing_summary",
     "agg_percentile", "agg_stats", "agg_corr", "agg_mode", "agg_groupby",
     "agg_distinct", "agg_cube", "agg_rollup", "agg_grouping_sets",
-    "agg_listagg", "agg_bitwise", "agg_approx", "agg_sketch_merge",
+    "agg_listagg", "agg_bitwise",
     "sql_q2_min_cost_supplier", "sql_q3_shipping_priority",
     "sql_q4_order_priority", "sql_q5_nation_volume",
     "sql_q6_forecast_revenue", "sql_q7_binat_volume",
     "sql_q8_market_share", "sql_q10_returned_items",
     "sql_q11_revenue_concentration", "sql_q12_priority_lines",
     "sql_q13_order_distribution", "sql_q14_promo_share",
+    "sql_q18_large_orders", "sql_q19_disjunctive",
+    "sql_recursive_cte", "sql_lateral_topk", "sql_group_by_all",
     "join_range", "sort_multi_key", "topk_nulls_last", "agg_filtered",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_dedup", "stream_upsert_state", "stream_static_join",
+    "stream_interval_join", "stream_interval_join_left",
+    "stream_stateful_spend",
+    "event_sessionize", "event_funnel", "event_retention",
 ]
 assert len(_FRONT) == len(set(_FRONT)), (
     "duplicate keys in _FRONT: "

@@ -91,14 +91,15 @@ def test_prefix_filter_cache_bounded_to_one_corpus(spark):
 
     from hive_2_spark.llm import dedup
 
+    app = spark.sparkContext.applicationId
     dedup.dedup_prefix_filter(spark, SF_DIR).count()
-    assert list(dedup._PF_CACHE) == [SF_DIR]
+    assert list(dedup._PF_CACHE) == [(app, SF_DIR)]
     dedup.dedup_prefix_filter(spark, SF_DIR_MID).count()
-    assert list(dedup._PF_CACHE) == [SF_DIR_MID]
+    assert list(dedup._PF_CACHE) == [(app, SF_DIR_MID)]
     # repeat call on the same corpus must REUSE, not evict-and-rebuild
-    cached = dedup._PF_CACHE[SF_DIR_MID]
+    cached = dedup._PF_CACHE[(app, SF_DIR_MID)]
     dedup.dedup_prefix_filter(spark, SF_DIR_MID).count()
-    assert dedup._PF_CACHE[SF_DIR_MID] is cached
+    assert dedup._PF_CACHE[(app, SF_DIR_MID)] is cached
 
 
 def test_prefix_filter_fixture_headroom(spark):

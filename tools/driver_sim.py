@@ -4,11 +4,25 @@
 # Usage: python tools/driver_sim.py [--json OUT.json]  — the JSON report
 # mirrors the driver's CORRECTNESS_r{N}.json shape (per-key status).
 import json
+import secrets
+import subprocess
 import sys
+import time
 sys.path.insert(0, "/root/repo")
 _json_out = None
 if "--json" in sys.argv:
     _json_out = sys.argv[sys.argv.index("--json") + 1]
+# Freshness stamp: every emitted artifact carries the commit it was run
+# against, a wall-clock timestamp, and a random nonce so two runs are never
+# byte-identical (guards against stale-copy artifacts).
+_stamp = {
+    "commit": subprocess.run(
+        ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+        capture_output=True, text=True).stdout.strip(),
+    "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    "nonce": secrets.token_hex(8),
+}
+_t0 = time.time()
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.session.timeZone", "UTC")
@@ -52,5 +66,7 @@ print("BAD:", bad)
 if _json_out:
     with open(_json_out, "w") as f:
         json.dump({"sf": 0.01, "n_queries": len(q), "n_oracles": len(o),
-                   "n_bad": bad, "keys": report}, f, indent=1)
+                   "n_bad": bad, "stamp": _stamp,
+                   "wall_sec": round(time.time() - _t0, 1),
+                   "keys": report}, f, indent=1)
     print("wrote", _json_out)
