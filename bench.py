@@ -69,6 +69,44 @@ HEADLINE = [
     "sim_maxsim_topk",      # MaxSim late-interaction scoring scan (r6)
     "dedup_paragraph",      # corpus boilerplate-segment removal (r6)
     "event_concurrency_peak",  # sweep-line interval overlap (r6)
+    # --- round-9 breadth extension (verdict item 5): at least one key
+    # per registry family. Totals are NOT comparable to BENCH_r08 and
+    # earlier (45-key set); BASELINE.md marks the cut. ---
+    "catalog_managed_agg",  # metastore-managed table scan + agg
+    "catalog_dpp_join",     # dynamic partition pruning join
+    "catalog_bucketed_join",  # zero-exchange co-located join
+    "media_stats",          # binary payload metadata scan
+    "media_frame_sample",   # RAWV frame sampling via mapInPandas
+    "join_asof_tolerance",  # as-of join with tolerance band
+    "cdc_changes",          # change-data-capture diff
+    "scd2_dimension",       # slowly-changing-dimension type 2 build
+    "sql_q9_profit_by_nation",   # 6-way join + agg (TPC-H tail)
+    "sql_q18_large_orders",      # groupBy-having semi join (TPC-H tail)
+    "sql_q21_waiting_suppliers", # exists/not-exists double probe
+    "stream_tumbling",      # tumbling window batch face
+    "stream_upsert_state",  # CDC-upsert last-state batch face
+    "stream_lateness_report",  # watermark lateness accounting
+    "event_sessionize",     # gap-based sessionization
+    "event_retention",      # cohort retention matrix
+    "win_session_native",   # native batch session_window
+    "win_median_rolling",   # rolling median window
+    "agg_percentile",       # exact percentile agg
+    "agg_hll_portable",     # portable HLL distinct sketch
+    "dedup_minhash_portable",  # portable MinHash near-dup pairs
+    "dedup_incremental_indexed",  # delta-vs-corpus indexed dedup
+    "sim_ivf_topk",         # IVF-bucketed ANN top-k
+    "emb_pca_power",        # PCA via power iteration
+    "ts_interpolate",       # gap-fill linear interpolation
+    "ts_changepoint",       # CUSUM changepoint scan
+    "pivot_dynamic",        # dynamic-key pivot
+    "profile_documents",    # whole-table profiling report
+    "skew_report",          # key-skew diagnosis
+    "graph_triangles",      # triangle counting
+    "graph_bfs_distance",   # bounded BFS distances
+    "mv_join_incremental",  # incremental join-view maintenance
+    "zorder_layout",        # z-order interleaved layout
+    "quality_fk_audit",     # FK-graph integrity audit
+    "curation_funnel",      # composed curation pipeline
 ]
 
 

@@ -138,6 +138,17 @@ _X100_KEYS = [
     "text_stats",
     "sql_q3_shipping_priority",
     "contamination_ngram",
+    # round-9 extension (verdict item 7): the r5-r7 operators whose 100x
+    # leg had never been measured.
+    "agg_hll_portable",
+    "dedup_prefix_filter",   # guardrail active; inherent exactness tail
+    "event_concurrency_peak",
+    "dedup_incremental_indexed",
+    "win_session_native",
+    "ts_acf",
+    "ts_holt",
+    "ts_changepoint",
+    "ts_crosscorr",
 ]
 
 
