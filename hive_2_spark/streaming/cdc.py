@@ -32,25 +32,36 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from hive_2_spark.catalog import load_table
 
 
 def _latest_per_user(df: DataFrame) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    """Latest event per user by (ts, event_id) — as a MAX_BY aggregate,
+    not a row_number window: the aggregate gets map-side PARTIAL
+    aggregation (each mapper emits one candidate row per user), so the
+    exchange carries ~|users| rows instead of every event. The window
+    form shuffled the FULL event log and then sorted it inside each
+    reducer (its 10x bench leg measured exponent 1.10). The struct
+    buffer makes Spark pick SortAggregate (pre-shuffle sort by user_id
+    within each input partition — local CPU, no network), which at
+    cluster scale is the right trade: network is the scarce resource,
+    and partial_max_by collapses the exchange to key cardinality.
+    (ts, event_id) struct comparison is lexicographic — identical to
+    the ORDER BY ts DESC, event_id DESC tie-break, and event_id is
+    unique so the argmax is deterministic."""
+    latest = df.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("ts", "event_type", "value", "event_id"),
+            F.struct("ts", "event_id"),
+        ).alias("m")
     )
-    return (
-        df.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("ts").alias("last_ts"),
-            F.col("event_type").alias("last_type"),
-            F.col("value").alias("last_value"),
-            F.col("event_id").alias("last_event_id"),
-        )
+    return latest.select(
+        "user_id",
+        F.col("m.ts").alias("last_ts"),
+        F.col("m.event_type").alias("last_type"),
+        F.col("m.value").alias("last_value"),
+        F.col("m.event_id").alias("last_event_id"),
     )
 
 
