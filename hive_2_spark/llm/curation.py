@@ -482,7 +482,73 @@ def curation_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Deterministic train/validation split + cross-split near-dup leakage
+# audit (round 9). The split every training pipeline needs, plus the
+# decontamination report run BEFORE trusting a held-out set: a val doc
+# with a near-duplicate twin in train leaks the eval. Bucket is a pure
+# function of doc_id (first 4 md5 hex chars of its decimal string, mod
+# 10; <8 = train), so split assignment costs ZERO joins and ZERO state —
+# any engine, any time, same split. The leakage audit reuses the
+# near-dup pair set of ``dedup_ngram_jaccard`` (same corpus incl.
+# planted twins, so the audit is non-vacuous: twins whose hash buckets
+# straddle the split show up as train-val pairs) and classifies each
+# pair by its endpoints' splits — pure column math on the pair ids, no
+# join back to the corpus. Scale: the audit's input is the PAIR set
+# (orders of magnitude below the corpus); the per-class distinct-doc
+# count shuffles (class, doc_id) with map-side partials.
+_SPLIT_MOD = 10
+_SPLIT_TRAIN_BUCKETS = 8  # buckets 0-7 train, 8-9 val (80/20)
+
+
+def _split_bucket(doc_id_col):
+    return (
+        F.conv(
+            F.substring(F.md5(doc_id_col.cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % _SPLIT_MOD
+    )
+
+
+def _split_name(doc_id_col):
+    return F.when(
+        _split_bucket(doc_id_col) < _SPLIT_TRAIN_BUCKETS, F.lit("train")
+    ).otherwise(F.lit("val"))
+
+
+def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document split assignment: (doc_id, bucket, split)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        _split_bucket(F.col("doc_id")).alias("bucket"),
+        _split_name(F.col("doc_id")).alias("split"),
+    )
+
+
+def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs classified by split: (pair_class, n_pairs,
+    n_docs). The train-val row is the leakage headline — every such
+    pair means a val doc whose near-twin is trained on."""
+    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    sa, sb = _split_name(F.col("a_id")), _split_name(F.col("b_id"))
+    p = pairs.withColumn(
+        "pair_class", F.concat_ws("-", F.least(sa, sb), F.greatest(sa, sb))
+    )
+    stats = p.groupBy("pair_class").agg(F.count(F.lit(1)).alias("n_pairs"))
+    docs_in = (
+        p.select("pair_class", F.col("a_id").alias("doc_id"))
+        .unionAll(p.select("pair_class", F.col("b_id").alias("doc_id")))
+        .groupBy("pair_class")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    return stats.join(docs_in, "pair_class")
+
+
 QUERIES = {
+    "curation_split_assign": curation_split_assign,
+    "curation_split_leakage": curation_split_leakage,
     "curation_repeat_upsample": curation_repeat_upsample,
     "pii_redact": pii_redact,
     "doc_split": doc_split,
@@ -500,7 +566,52 @@ QUERIES = {
 
 _MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_PCT.items())
 
+# DuckDB twin of _split_bucket: the strpos fold over the first 4 md5 hex
+# chars of the doc_id's decimal string (the sample_temperature hex-int
+# idiom) — exact integers, no float anywhere.
+_SPLIT_SQL_BUCKET = (
+    "(CAST(list_sum(list_transform(generate_series(1, 4), "
+    "i -> (strpos('0123456789abcdef', "
+    "substr(substr(md5(CAST({c} AS VARCHAR)), 1, 4), CAST(i AS INT), 1)) "
+    f"- 1) * 16.0 ** (4 - i))) AS BIGINT) % {_SPLIT_MOD})"
+)
+
+
+def _split_leakage_sql() -> str:
+    from hive_2_spark.llm.dedup import ORACLES as _DEDUP_ORACLES
+
+    pairs = _DEDUP_ORACLES["dedup_ngram_jaccard"]
+    ba = _SPLIT_SQL_BUCKET.format(c="a_id")
+    bb = _SPLIT_SQL_BUCKET.format(c="b_id")
+    t = _SPLIT_TRAIN_BUCKETS
+    return (
+        f"WITH pairs AS ({pairs}), "
+        "cls AS (SELECT a_id, b_id, "
+        f"  CASE WHEN {ba} < {t} THEN 'train' ELSE 'val' END AS sa, "
+        f"  CASE WHEN {bb} < {t} THEN 'train' ELSE 'val' END AS sb "
+        "  FROM pairs), "
+        "p AS (SELECT a_id, b_id, "
+        "  LEAST(sa, sb) || '-' || GREATEST(sa, sb) AS pair_class "
+        "  FROM cls), "
+        "stats AS (SELECT pair_class, COUNT(*) AS n_pairs "
+        "  FROM p GROUP BY 1), "
+        "docs_in AS (SELECT pair_class, "
+        "  COUNT(DISTINCT doc_id) AS n_docs FROM ("
+        "    SELECT pair_class, a_id AS doc_id FROM p "
+        "    UNION ALL SELECT pair_class, b_id FROM p) GROUP BY 1) "
+        "SELECT stats.pair_class, n_pairs, n_docs "
+        "FROM stats JOIN docs_in USING (pair_class)"
+    )
+
+
 ORACLES = {
+    "curation_split_assign": (
+        f"SELECT doc_id, {_SPLIT_SQL_BUCKET.format(c='doc_id')} AS bucket, "
+        f"CASE WHEN {_SPLIT_SQL_BUCKET.format(c='doc_id')} "
+        f"< {_SPLIT_TRAIN_BUCKETS} THEN 'train' ELSE 'val' END AS split "
+        "FROM documents"
+    ),
+    "curation_split_leakage": _split_leakage_sql(),
     # Naive per-source single-window cumsum the bucketed two-phase
     # plan must equal (the win_global_rank oracle relationship).
     "curation_repeat_upsample": """

@@ -85,7 +85,9 @@ _MODULES: list[str] = [
 # tools/driver_sim.py — see SELFCHECK_r09.json). Everything behind
 # _FRONT keeps module order.
 _FRONT: list[str] = [
-    # --- (a) round-9 oracle upgrades (never driver-run as oracles) ---
+    # --- (a) round-9 additions: new operators (never driver-checked)
+    # and the two fixpoint keys whose oracles were upgraded ---
+    "curation_split_assign", "curation_split_leakage",
     "graph_pagerank_converged", "cluster_kmeans_converged",
     # --- (b) oldest-checked re-verification (latest genuine check
     # r1/r2), float/timestamp-risk first ---
@@ -107,7 +109,7 @@ _FRONT: list[str] = [
     "stream_dedup", "stream_upsert_state", "stream_static_join",
     "stream_interval_join", "stream_interval_join_left",
     "stream_stateful_spend",
-    "event_sessionize", "event_funnel", "event_retention",
+    "event_sessionize",
 ]
 assert len(_FRONT) == len(set(_FRONT)), (
     "duplicate keys in _FRONT: "

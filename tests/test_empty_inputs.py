@@ -166,6 +166,9 @@ KEYS = [
     "ts_downsample_lttb",
     "media_scene_cut",
     "ts_drift_report",
+    # round-9 additions
+    "curation_split_assign",
+    "curation_split_leakage",
 ]
 
 

@@ -461,3 +461,15 @@ def test_global_rank_fact_window_is_partitioned(spark):
     plan = plan_of(win_global_rank(spark, SF_DIR))
     assert plan.count("SinglePartition") == 1
     assert "hashpartitioning(bid" in plan
+
+
+def test_upsert_state_argmax_is_partial_agg_not_window(spark):
+    """Round-9 rewrite contract: the latest-per-user argmax must be a
+    max_by aggregate with a map-side partial (the exchange then carries
+    ~|users| rows), never a row_number window over the full event log
+    (which shuffles every event and sorts it inside each reducer)."""
+    from hive_2_spark.streaming.cdc import latest_state_batch
+
+    plan = plan_of(latest_state_batch(spark, SF_DIR))
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
