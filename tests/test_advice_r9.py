@@ -76,8 +76,14 @@ def test_converged_unrolls_dominate_observed_rounds(spark):
         kmeans_converged,
     )
 
+    from tests.conftest import SF_DIR_MID
+
     rows = G.graph_pagerank_converged(spark, SF_DIR).collect()
     assert rows and rows[0]["rounds"] < G._CONV_SQL_UNROLL * 0.8
-    e = _vectors(spark, SF_DIR)
+    # 2x margin at the LARGER fixture: round counts grow with corpus
+    # size (sf0.01 took 9 rounds, sf0.1 took 30 — the original cap of
+    # 25 was sized on sf0.01 alone and raised at sf0.1), so the gate
+    # runs where the pressure is.
+    e = _vectors(spark, SF_DIR_MID)
     _, rounds = kmeans_converged(e, _seeds(e))
-    assert rounds < _CONVERGE_CAP  # the SQL unrolls exactly to the cap
+    assert rounds * 2 <= _CONVERGE_CAP, (rounds, _CONVERGE_CAP)
