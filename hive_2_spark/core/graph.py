@@ -79,11 +79,20 @@ def _weighted_edges(
     returned DataFrame is dereferenced. The cluster-scale equivalent
     is persist() + checkpoint() per N rounds."""
     edges = _edges(spark, sf_dir).localCheckpoint()
-    # Free count over the just-materialized checkpoint (no shuffle,
-    # unlike counting distinct nodes); an upper bound on the node count,
-    # so the gate only errs toward the safe (shuffle-join) side.
-    broadcast_ranks = edges.count() <= _BROADCAST_NODE_CAP
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Gate on the EXACT node count, read off the degree aggregate the
+    # weight join needs anyway (deg is node-sized; checkpointing it
+    # costs one pass over the already-materialized edges and lets the
+    # count and the join share the same materialization). The earlier
+    # edge-count upper bound erred by the average degree — the 100x
+    # scale fixture (97M edges, 1.6M nodes) flipped to the shuffle-join
+    # path 60x before the rank vector actually outgrew the broadcast
+    # budget, measured as a 1.08 exponent on the 10x->100x leg.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
+    broadcast_ranks = deg.count() <= _BROADCAST_NODE_CAP
     deg_side = F.broadcast(deg) if broadcast_ranks else deg
     edges_w = (
         edges.join(deg_side, "src")
