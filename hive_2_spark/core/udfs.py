@@ -126,8 +126,56 @@ def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy Arrow-native tier below
+    ``mapInPandas`` — the iterator yields ``pyarrow.RecordBatch``es, so
+    no pandas conversion (and no pandas NULL/dtype coercion) happens at
+    the boundary. The right tier when the Python side is itself
+    Arrow-based (pyarrow.compute, polars, DuckDB-in-worker): per-batch
+    cost is pointer handoff, not a DataFrame build. The kernel here is
+    pyarrow.compute arithmetic (net revenue in exact cents), so the
+    oracle proves the Arrow boundary round-trips values bit-for-bit.
+    Scale shape: identical to mapInPandas — a zero-shuffle map over
+    scan batches; batch size rides spark.sql.execution.arrow
+    .maxRecordsPerBatch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def net_cents(batches):
+        for b in batches:
+            price = b.column("l_extendedprice")
+            disc = b.column("l_discount")
+            # exact integer cents: round(price*100) * (100 - round(disc*100))
+            p_c = pc.round(pc.multiply(price, pa.scalar(100.0)))
+            d_c = pc.round(pc.multiply(disc, pa.scalar(100.0)))
+            net = pc.multiply(
+                pc.cast(p_c, pa.int64()),
+                pc.subtract(pa.scalar(100, pa.int64()), pc.cast(d_c, pa.int64())),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("l_orderkey"),
+                    # parquet stores linenumber as int32; the declared
+                    # output schema is bigint — cast HERE, because Spark
+                    # trusts the declared schema and the JVM-side vector
+                    # accessor crashes on a width mismatch
+                    pc.cast(b.column("l_linenumber"), pa.int64()),
+                    net,
+                ],
+                names=["l_orderkey", "l_linenumber", "net_cc"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    return li.mapInArrow(
+        net_cents, "l_orderkey bigint, l_linenumber bigint, net_cc bigint"
+    )
+
+
 QUERIES = {
     "udf_scalar": udf_scalar,
+    "udf_map_arrow": udf_map_arrow,
     "udf_pandas_scalar": udf_pandas_scalar,
     "udf_grouped_agg": udf_grouped_agg,
     "udf_grouped_map": udf_grouped_map,
@@ -136,6 +184,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    # pyarrow.compute round() is banker's rounding (round-half-even),
+    # same as DuckDB ROUND on doubles? NO — DuckDB rounds half away from
+    # zero. The fixture prices/discounts are exact cents (x.xx), so
+    # price*100 lands on integers exactly and no .5 boundary is ever
+    # hit; both engines agree (verified by the hash match at two SFs).
+    "udf_map_arrow": (
+        "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS net_cc "
+        "FROM lineitem"
+    ),
     # Python str.title() on ASCII == initcap-with-nonalpha-boundaries; the
     # part names are space-separated lowercase ASCII words, where title()
     # and INITCAP agree exactly.

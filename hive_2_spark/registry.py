@@ -87,7 +87,7 @@ _MODULES: list[str] = [
 _FRONT: list[str] = [
     # --- (a) round-9 additions: new operators (never driver-checked)
     # and the two fixpoint keys whose oracles were upgraded ---
-    "curation_split_assign", "curation_split_leakage",
+    "curation_split_assign", "curation_split_leakage", "udf_map_arrow",
     "graph_pagerank_converged", "cluster_kmeans_converged",
     # --- (b) oldest-checked re-verification (latest genuine check
     # r1/r2), float/timestamp-risk first ---
@@ -109,7 +109,6 @@ _FRONT: list[str] = [
     "stream_dedup", "stream_upsert_state", "stream_static_join",
     "stream_interval_join", "stream_interval_join_left",
     "stream_stateful_spend",
-    "event_sessionize",
 ]
 assert len(_FRONT) == len(set(_FRONT)), (
     "duplicate keys in _FRONT: "

@@ -22,7 +22,8 @@ from hive_2_spark import registry
 # operator.
 # new round-9 operators first (never driver-checked), then the two
 # fixpoint keys whose oracles were upgraded this round
-_ROUND9_NEW = ["curation_split_assign", "curation_split_leakage"]
+_ROUND9_NEW = ["curation_split_assign", "curation_split_leakage",
+               "udf_map_arrow"]
 _ORACLE_UPGRADES = ["graph_pagerank_converged", "cluster_kmeans_converged"]
 
 _REVERIFY_R1R2 = [
@@ -44,7 +45,6 @@ _REVERIFY_R1R2 = [
     "stream_dedup", "stream_upsert_state", "stream_static_join",
     "stream_interval_join", "stream_interval_join_left",
     "stream_stateful_spend",
-    "event_sessionize",
 ]
 
 

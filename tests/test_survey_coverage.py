@@ -101,8 +101,8 @@ BRIEF_EXTRAS = [
     # added after the round-6 window filled — explicit r7 verification
     # backlog (NOTES.md): behind slot 50 by design
     "stream_lateness_report",
-    # round-9 additions (SURVEY §2B row 100)
-    "curation_split_assign", "curation_split_leakage",
+    # round-9 additions (SURVEY §2B row 100 + row 43 Arrow tier)
+    "curation_split_assign", "curation_split_leakage", "udf_map_arrow",
 ]
 
 
