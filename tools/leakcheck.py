@@ -41,7 +41,10 @@ _PATTERNS: dict[str, re.Pattern] = {
         r"s3://(?:" + "anthropic" + "|" + "ant-" + r")[\w.-]*"
     ),
     "slack-link": re.compile(
-        r"slack\.com/archives/|" + "go/" + r"(?:cc|claude)\b"
+        # left boundary on the shortlink so ordinary paths that happen
+        # to end in "go/" (e.g. "django/cc-utils") don't false-positive
+        r"slack\.com/archives/|" + r"(?<![\w/.-])" + "go/"
+        + r"(?:cc|claude)\b"
     ),
     "api-key": re.compile(
         r"\b(?:" + "sk-ant-" + r"[\w-]{10,}|AKIA[0-9A-Z]{16}|"

@@ -155,6 +155,13 @@ _X100_KEYS = [
     "graph_pagerank",
     "event_sessionize",
     "sql_q9_profit_by_nation",
+    # round-10 (verdict items 7+8): the r9 additions' 100x legs, plus
+    # the one §2B demo surface whose 100x cost was documented-not-
+    # measured (semantic connected components).
+    "udf_map_arrow",
+    "curation_split_assign",
+    "curation_split_leakage",
+    "dedup_clusters_semantic",
 ]
 
 
