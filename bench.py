@@ -116,6 +116,10 @@ HEADLINE = [
     "zorder_layout",        # z-order interleaved layout
     "quality_fk_audit",     # FK-graph integrity audit
     "curation_funnel",      # composed curation pipeline
+    # --- round-10 additions ---
+    "agg_countmin_portable",  # mergeable CMS frequency sketch
+    "text_langid_profile",    # trained bigram-profile language ID
+    "sample_reservoir",       # hash-priority reservoir sample (top-k)
 ]
 
 

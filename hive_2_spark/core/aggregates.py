@@ -562,8 +562,9 @@ def agg_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines agree bit-for-bit.
 
     Scale: the explode is x4 map-side (no payload), the cell agg
-    partial-combines to <= shards x 1024 rows, probes ride a broadcast
-    spine. One scan of the facts, shuffle bounded by the sketch size.
+    partial-combines to <= shards x 1024 rows, probes join the sketch
+    as a 20-row broadcast. One scan of the facts, shuffle bounded by
+    the sketch size.
 
     Output: shard, probe_key, est_count, exact_count (ALL row included;
     est_count >= exact_count is additionally gated in tests).
@@ -602,16 +603,26 @@ def agg_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.explode(F.sequence(F.lit(1), F.lit(_CMS_D))).alias("j"),
     ).select("k", "j", bucket(F.col("k"), F.col("j")).alias("b"))
-    spine = (
-        all_cells.select("shard")
-        .distinct()
-        .crossJoin(F.broadcast(probe_rows))  # shards x 20 rows
-    )
+    # Estimate = min over the probe's d cells, where a cell MISSING
+    # from the sketch is an exact zero: join probes to the cells they
+    # hit (20-row broadcast side — no shard spine, no cross join) and
+    # zero out any (shard, probe) that found fewer than d cells. A
+    # (shard, probe) hitting NO cell at all drops out on both engines
+    # identically (it would be the trivial est=0/exact=0 row).
     est = (
-        spine.join(all_cells, ["shard", "j", "b"], "left")
-        .withColumn("c", F.coalesce("c", F.lit(0)))
+        all_cells.join(F.broadcast(probe_rows), ["j", "b"])
         .groupBy("shard", "k")
-        .agg(F.min("c").alias("est_count"))
+        .agg(
+            F.min("c").alias("min_c"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .select(
+            "shard",
+            "k",
+            F.when(F.col("n_cells") < _CMS_D, F.lit(0))
+            .otherwise(F.col("min_c"))
+            .alias("est_count"),
+        )
     )
     exact = (
         li.join(F.broadcast(probes), "k")
@@ -834,13 +845,10 @@ WITH li AS (
 ), probe_rows AS (
   SELECT k, j, {_dk_cms_bucket("CAST(j AS VARCHAR)", "CAST(k AS VARCHAR)")} AS b
   FROM probes, UNNEST([1, 2, 3, 4]) AS t(j)
-), spine AS (
-  SELECT s.shard, p.k, p.j, p.b
-  FROM (SELECT DISTINCT shard FROM all_cells) s CROSS JOIN probe_rows p
 ), est AS (
-  SELECT sp.shard, sp.k, MIN(COALESCE(ac.c, 0)) AS est_count
-  FROM spine sp LEFT JOIN all_cells ac
-    ON sp.shard = ac.shard AND sp.j = ac.j AND sp.b = ac.b
+  SELECT ac.shard, p.k,
+         CASE WHEN COUNT(*) < 4 THEN 0 ELSE MIN(ac.c) END AS est_count
+  FROM all_cells ac JOIN probe_rows p ON ac.j = p.j AND ac.b = p.b
   GROUP BY 1, 2
 ), exacts AS (
   SELECT shard, k, COUNT(*) AS exact_count

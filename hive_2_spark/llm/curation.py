@@ -546,8 +546,41 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(docs_in, "pair_class")
 
 
+_RESERVOIR_K = 25
+_RESERVOIR_SEED = "rsv0:"
+
+
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-k uniform corpus sample via deterministic hash
+    priority — the distributed equivalent of reservoir sampling: each
+    row's priority is md5(seed || doc_id) and the sample is the k
+    smallest priorities. Classic reservoir sampling keeps mutable
+    per-scanner state (useless across 1000 executors); priority top-k
+    is its exact stateless replacement (Efraimidis-Spiliotopoulos with
+    a hash in place of the RNG): same uniform marginal, mergeable by
+    construction, and a new draw is a new seed string.
+
+    Scale: Spark executes orderBy+limit as TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver; the corpus is
+    scanned once and never shuffled. Fully deterministic -> full
+    oracle.
+
+    Output: k rows (doc_id, lang, priority).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pr = F.md5(
+        F.concat(F.lit(_RESERVOIR_SEED), F.col("doc_id").cast("string"))
+    )
+    return (
+        d.select("doc_id", "lang", pr.alias("priority"))
+        .orderBy("priority")
+        .limit(_RESERVOIR_K)
+    )
+
+
 QUERIES = {
     "curation_split_assign": curation_split_assign,
+    "sample_reservoir": sample_reservoir,
     "curation_split_leakage": curation_split_leakage,
     "curation_repeat_upsample": curation_repeat_upsample,
     "pii_redact": pii_redact,
@@ -605,6 +638,12 @@ def _split_leakage_sql() -> str:
 
 
 ORACLES = {
+    "sample_reservoir": (
+        f"SELECT doc_id, lang, md5('{_RESERVOIR_SEED}'"
+        " || CAST(doc_id AS VARCHAR)) AS priority "
+        "FROM documents ORDER BY priority LIMIT "
+        f"{_RESERVOIR_K}"
+    ),
     "curation_split_assign": (
         f"SELECT doc_id, {_SPLIT_SQL_BUCKET.format(c='doc_id')} AS bucket, "
         f"CASE WHEN {_SPLIT_SQL_BUCKET.format(c='doc_id')} "

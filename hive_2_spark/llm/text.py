@@ -355,8 +355,88 @@ def token_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANGID_TOP_K = 15  # profile size per language (Cavnar-Trenkle K)
+
+
+def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-TRAINED language identification (Cavnar-Trenkle n-gram
+    profiles) — the data-driven sibling of the static-marker `lang_id`:
+    learn each language's top-K word-bigram profile from the labeled
+    corpus, classify every document by profile overlap, and report the
+    confusion matrix. This is the production shape: profiles fit on a
+    labeled subset, then broadcast-applied to the unlabeled stream.
+
+    Semantics (all integer, engine-portable):
+    - doc bigrams = adjacent single-space token pairs;
+    - profile(lang) = top-K bigrams by corpus count, ties by bigram asc;
+    - score(doc, lang) = |distinct doc bigrams ∩ profile(lang)|;
+    - prediction = argmax score (ties by language asc); docs with zero
+      overlap against every profile predict 'und'.
+
+    Scale: the bigram explode is the standard text-op fan-out; profile
+    training partial-aggregates to the (lang x bigram-vocab) table and
+    keeps only 5*K rows, which BROADCAST to the scoring join — the
+    corpus is scanned twice and shuffled only by doc_id for the score
+    rollup. Nothing grows with corpus size except the two scans. (On
+    this synthetic word-salad fixture the languages share one
+    vocabulary, so the confusion matrix is near-uniform — the operator
+    under test is the train/broadcast/score/argmax machinery; real
+    per-language text drops in unchanged.)
+
+    Output: lang_true, lang_pred, n_docs.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    docs = d.select("doc_id", "lang", toks.alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(t[i - 1], ' ', t[i]))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    bi = docs.select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+    prof_w = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("bg").asc()
+    )
+    profiles = (
+        bi.groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(prof_w))
+        .filter(F.col("rn") <= _LANGID_TOP_K)
+        .select(F.col("lang").alias("plang"), "bg")
+    )
+    scores = (
+        bi.select("doc_id", "bg")
+        .distinct()
+        .join(F.broadcast(profiles), "bg")
+        .groupBy("doc_id", "plang")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    pred_w = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.col("plang").asc()
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(pred_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "plang")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .groupBy(
+            F.col("lang").alias("lang_true"),
+            F.coalesce("plang", F.lit("und")).alias("lang_pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "text_langid_profile": text_langid_profile,
     "token_count": token_count,
     "quality_score": quality_score,
     "lang_id": lang_id,
@@ -395,6 +475,41 @@ def _dk_argmax_lang() -> str:
 _DK_BEST, _DK_BEST_SCORE = _dk_argmax_lang()
 
 ORACLES = {
+    # bigrams: DuckDB lists are 1-based (t[i] || ' ' || t[i+1] over
+    # i in range(1, len) — end-exclusive) = Spark's 0-based
+    # t[i-1]||' '||t[i] over sequence(1, size-1); all-integer scoring
+    "text_langid_profile": f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), bi AS (
+  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS bg
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+), prof AS (
+  SELECT lang AS plang, bg FROM (
+    SELECT lang, bg,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY COUNT(*) DESC, bg ASC) AS rn
+    FROM bi GROUP BY lang, bg
+  ) WHERE rn <= {_LANGID_TOP_K}
+), db AS (
+  SELECT DISTINCT doc_id, bg FROM bi
+), scores AS (
+  SELECT db.doc_id, prof.plang, COUNT(*) AS s
+  FROM db JOIN prof USING (bg) GROUP BY 1, 2
+), pred AS (
+  SELECT doc_id, plang FROM (
+    SELECT doc_id, plang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY s DESC, plang ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT d.lang AS lang_true,
+       COALESCE(p.plang, 'und') AS lang_pred,
+       COUNT(*) AS n_docs
+FROM documents d LEFT JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+""",
     "token_oov_rate": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

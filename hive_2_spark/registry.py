@@ -71,12 +71,11 @@ _MODULES: list[str] = [
     "hive_2_spark.core.joins",
 ]
 
-# Round-9 rotation: keys 1-50 are the driver window. All 289 keys have
-# been driver-proven at least once (union of CORRECTNESS_r0{1..6}; the
-# r7/r8 artifacts were byte-copies of r6, so r6 is the latest genuine
-# run). This window covers (a) the two fixpoint keys whose oracles were
-# upgraded from rows-only to full round-replaying SQL in round 9 — the
-# oracles themselves have never been driver-run — then (b) the stalest
+# Round-10 rotation: keys 1-50 are the driver window. All keys have
+# been driver-proven at least once (union of CORRECTNESS_r0{1..6,9};
+# the r7/r8 artifacts were byte-copies of r6). This window covers
+# (a) the three round-10 operators — never driver-checked — then
+# (b) per the r9 verdict, the stalest
 # re-verification tier: keys whose latest genuine driver hash-check is
 # r1/r2 (fixtures regenerated twice since), float/timestamp-rounding
 # boundaries first (win_*, agg stats family, pricing_summary, TPC-H
@@ -85,30 +84,32 @@ _MODULES: list[str] = [
 # tools/driver_sim.py — see SELFCHECK_r09.json). Everything behind
 # _FRONT keeps module order.
 _FRONT: list[str] = [
-    # --- (a) round-9 additions: new operators (never driver-checked)
-    # and the two fixpoint keys whose oracles were upgraded ---
-    "curation_split_assign", "curation_split_leakage", "udf_map_arrow",
-    "graph_pagerank_converged", "cluster_kmeans_converged",
-    # --- (b) oldest-checked re-verification (latest genuine check
-    # r1/r2), float/timestamp-risk first ---
-    "win_lag_lead", "win_pct_rank", "win_topk_per_group",
-    "pricing_summary",
-    "agg_percentile", "agg_stats", "agg_corr", "agg_mode", "agg_groupby",
-    "agg_distinct", "agg_cube", "agg_rollup", "agg_grouping_sets",
-    "agg_listagg", "agg_bitwise",
-    "sql_q2_min_cost_supplier", "sql_q3_shipping_priority",
-    "sql_q4_order_priority", "sql_q5_nation_volume",
-    "sql_q6_forecast_revenue", "sql_q7_binat_volume",
-    "sql_q8_market_share", "sql_q10_returned_items",
-    "sql_q11_revenue_concentration", "sql_q12_priority_lines",
-    "sql_q13_order_distribution", "sql_q14_promo_share",
-    "sql_q18_large_orders", "sql_q19_disjunctive",
-    "sql_recursive_cte", "sql_lateral_topk", "sql_group_by_all",
-    "join_range", "sort_multi_key", "topk_nulls_last", "agg_filtered",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_dedup", "stream_upsert_state", "stream_static_join",
-    "stream_interval_join", "stream_interval_join_left",
-    "stream_stateful_spend",
+    # --- (a) round-10 additions: new operators, never driver-checked ---
+    "agg_countmin_portable", "text_langid_profile", "sample_reservoir",
+    # --- (b) round-10 rotation (r9 verdict item 5): the stalest
+    # families the driver has not personally hashed on CURRENT
+    # fixtures — TPC-H tail, catalog block, as-of family, then the
+    # quality/curation families ---
+    "sql_q9_profit_by_nation", "sql_q15_top_supplier",
+    "sql_q16_supplier_diversity", "sql_q17_small_qty_revenue",
+    "sql_q20_volume_suppliers", "sql_q21_waiting_suppliers",
+    "sql_q22_idle_customers",
+    "catalog_managed_agg", "catalog_managed_join",
+    "catalog_partitioned_ddl", "catalog_dpp_join", "catalog_view",
+    "catalog_bucketed_join",
+    "join_asof", "join_asof_forward", "join_asof_tolerance",
+    "join_asof_nearest", "join_interval_binned",
+    "quality_score", "quality_repetition", "quality_dup_ngram_corpus",
+    "quality_lm_score", "quality_entropy", "quality_blocklist_words",
+    "quality_ngram_census", "quality_pmi_bigrams", "quality_benford",
+    "quality_fk_audit", "quality_expectations",
+    "pii_redact", "doc_split", "contamination_ngram", "tfidf_top_terms",
+    "sample_weighted_mix", "shuffle_train_order", "curriculum_order",
+    "sample_temperature", "sample_source_token_cap",
+    "curation_domain_filter", "curation_mixture_balance",
+    "curation_funnel", "curation_repeat_upsample", "sample_stratified",
+    "graph_triangles", "graph_bfs_distance",
+    "event_funnel", "event_paths",
 ]
 assert len(_FRONT) == len(set(_FRONT)), (
     "duplicate keys in _FRONT: "

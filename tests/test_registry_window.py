@@ -1,5 +1,5 @@
 """The driver's per-round correctness window is the FIRST 50 registry
-keys. Freeze the intended round-9 window so adding keys to a front
+keys. Freeze the intended round-10 window so adding keys to a front
 module (or reordering _MODULES/_FRONT) cannot silently displace the
 keys it must re-verify. New keys belong at the TOP of the window while
 the round is open; after the round's CORRECTNESS lands, rotate
@@ -12,63 +12,57 @@ from pathlib import Path
 
 from hive_2_spark import registry
 
-# Round-9 window: (a) the two fixpoint keys whose oracles were upgraded
-# from rows-only to full round-replaying SQL this round (the oracles
-# have never been driver-run), then (b) the stalest re-verification
-# tier — keys whose latest GENUINE driver hash-check is r1/r2 (the
-# r7/r8 CORRECTNESS artifacts were byte-copies of r6), float/timestamp
-# rounding boundaries first, then the streaming batch faces. Update
-# deliberately (with a rotation), never as a side effect of adding an
-# operator.
-# new round-9 operators first (never driver-checked), then the two
-# fixpoint keys whose oracles were upgraded this round
-_ROUND9_NEW = ["curation_split_assign", "curation_split_leakage",
-               "udf_map_arrow"]
-_ORACLE_UPGRADES = ["graph_pagerank_converged", "cluster_kmeans_converged"]
+# Round-10 window: (a) the three new round-10 operators (never
+# driver-checked), then (b) the rotation the round-9 verdict asked for
+# — the stalest families the driver has not personally hashed on
+# CURRENT fixtures: TPC-H tail, catalog block, as-of family, quality/
+# curation families. Update deliberately (with a rotation), never as a
+# side effect of adding an operator.
+_ROUND10_NEW = [
+    "agg_countmin_portable", "text_langid_profile", "sample_reservoir",
+]
 
-_REVERIFY_R1R2 = [
-    "win_lag_lead", "win_pct_rank", "win_topk_per_group",
-    "pricing_summary",
-    "agg_percentile", "agg_stats", "agg_corr", "agg_mode", "agg_groupby",
-    "agg_distinct", "agg_cube", "agg_rollup", "agg_grouping_sets",
-    "agg_listagg", "agg_bitwise",
-    "sql_q2_min_cost_supplier", "sql_q3_shipping_priority",
-    "sql_q4_order_priority", "sql_q5_nation_volume",
-    "sql_q6_forecast_revenue", "sql_q7_binat_volume",
-    "sql_q8_market_share", "sql_q10_returned_items",
-    "sql_q11_revenue_concentration", "sql_q12_priority_lines",
-    "sql_q13_order_distribution", "sql_q14_promo_share",
-    "sql_q18_large_orders", "sql_q19_disjunctive",
-    "sql_recursive_cte", "sql_lateral_topk", "sql_group_by_all",
-    "join_range", "sort_multi_key", "topk_nulls_last", "agg_filtered",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_dedup", "stream_upsert_state", "stream_static_join",
-    "stream_interval_join", "stream_interval_join_left",
-    "stream_stateful_spend",
+_ROTATION = [
+    "sql_q9_profit_by_nation", "sql_q15_top_supplier",
+    "sql_q16_supplier_diversity", "sql_q17_small_qty_revenue",
+    "sql_q20_volume_suppliers", "sql_q21_waiting_suppliers",
+    "sql_q22_idle_customers",
+    "catalog_managed_agg", "catalog_managed_join",
+    "catalog_partitioned_ddl", "catalog_dpp_join", "catalog_view",
+    "catalog_bucketed_join",
+    "join_asof", "join_asof_forward", "join_asof_tolerance",
+    "join_asof_nearest", "join_interval_binned",
+    "quality_score", "quality_repetition", "quality_dup_ngram_corpus",
+    "quality_lm_score", "quality_entropy", "quality_blocklist_words",
+    "quality_ngram_census", "quality_pmi_bigrams", "quality_benford",
+    "quality_fk_audit", "quality_expectations",
+    "pii_redact", "doc_split", "contamination_ngram", "tfidf_top_terms",
+    "sample_weighted_mix", "shuffle_train_order", "curriculum_order",
+    "sample_temperature", "sample_source_token_cap",
+    "curation_domain_filter", "curation_mixture_balance",
+    "curation_funnel", "curation_repeat_upsample", "sample_stratified",
+    "graph_triangles", "graph_bfs_distance",
+    "event_funnel", "event_paths",
 ]
 
 
-def test_first_50_keys_are_the_round9_window():
+def test_first_50_keys_are_the_round10_window():
     window = list(registry.all_queries())[:50]
-    expected = (_ROUND9_NEW + _ORACLE_UPGRADES + _REVERIFY_R1R2)[:50]
+    expected = (_ROUND10_NEW + _ROTATION)[:50]
     assert window == expected
 
 
-def test_reverify_tier_is_actually_stale():
-    """Every re-verification slot must be spent on a key whose latest
-    GENUINE driver check is r1/r2 — a slot on an r4+-checked key is a
-    wasted slot. r7/r8 artifacts are excluded: they are byte-copies of
-    r6 (same md5), not fresh runs."""
+def test_rotation_slots_not_wasted_on_fresh_keys():
+    """Every rotation slot must be spent on a key the driver did NOT
+    hash in its round-9 window (the freshest genuine artifact) — a slot
+    on a just-checked key is a wasted slot."""
     repo = Path(__file__).resolve().parent.parent
-    latest: dict[str, int] = {}
-    for p in sorted(repo.glob("CORRECTNESS_r0[123456].json")):
-        rnd = int(p.stem.split("_r0")[1])
-        for k in json.loads(p.read_text()):
-            latest[k] = rnd
-    if not latest:  # reports not present in a bare checkout
+    r9 = repo / "CORRECTNESS_r09.json"
+    if not r9.exists():  # bare checkout without round artifacts
         return
-    fresh = [k for k in _REVERIFY_R1R2 if latest.get(k, 0) > 2]
-    assert fresh == [], fresh
+    fresh9 = set(json.loads(r9.read_text()))
+    wasted = [k for k in _ROUND10_NEW + _ROTATION if k in fresh9]
+    assert wasted == [], wasted
 
 
 def test_rows_only_keys_are_deliberate():
