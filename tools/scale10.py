@@ -299,6 +299,35 @@ def _write_md(results: dict[str, dict]) -> None:
         f.write(text)
 
 
+def md_from_trend() -> None:
+    """Splice SCALING.md's 1x-vs-10x table from the newest
+    BENCH_TREND.jsonl record that carries the x10/exponent maps
+    (bench.py measures both legs when the fixture exists; since round
+    10 those maps live ONLY in the trend log, not on stdout) — no
+    re-timing needed."""
+    trend = os.path.join(REPO, "BENCH_TREND.jsonl")
+    recs = [
+        json.loads(ln)
+        for ln in open(trend).read().splitlines()
+        if ln.strip()
+    ]
+    recs = [r for r in recs if "queries_x10" in r and r.get("sf") == 0.1]
+    if not recs:
+        raise SystemExit("no sf0.1 trend record with x10 data")
+    r = recs[-1]
+    results = {
+        k: {
+            "t1": r["queries"][k],
+            "t10": r["queries_x10"][k],
+            "exponent": r["scale_exponent"][k],
+        }
+        for k in r["queries_x10"]
+    }
+    _write_md(results)
+    print(f"SCALING.md 1x-vs-10x table rewritten from trend commit "
+          f"{r.get('commit')} ({len(results)} keys)")
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "bench"
     if cmd == "build":
@@ -307,5 +336,9 @@ if __name__ == "__main__":
         bench()
     elif cmd == "bench100":
         bench100()
+    elif cmd == "md-from-trend":
+        md_from_trend()
     else:
-        raise SystemExit(f"unknown command {cmd!r}; use build|bench|bench100")
+        raise SystemExit(
+            f"unknown command {cmd!r}; use build|bench|bench100|md-from-trend"
+        )
