@@ -76,6 +76,17 @@ def test_precision_kept_when_it_fits() -> None:
     assert parsed["queries"]["b_key"] == 5.03
 
 
+def test_headline_keys_all_registered() -> None:
+    # a typo'd HEADLINE entry silently drops the key from the bench
+    # (bench.py filters to registered keys) — catch it here instead
+    from hive_2_spark import registry
+
+    q = registry.all_queries()
+    missing = [k for k in bench.HEADLINE if k not in q]
+    assert missing == [], missing
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
 def test_tail_window_parse_simulation() -> None:
     # Exactly what the driver does: keep the last 2000 chars, parse the
     # final line. Prepend stage-progress noise like a real run.
