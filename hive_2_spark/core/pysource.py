@@ -126,7 +126,151 @@ def read_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"read_python_datasource": read_python_datasource}
+_SINK_FORMAT = "hive2_jsonl_sink"
+
+
+def _register_sink(spark: SparkSession) -> None:
+    """Custom Python DataSource WRITER — the sink half of the V2 API
+    (the reader half is `hive2_synth` above): JSONL files with real
+    two-phase commit. Each task streams its partition to a staging
+    `*.jsonl.tmp` file and returns a WriterCommitMessage (path, rows);
+    the DRIVER's `commit` publishes the staged files with one atomic
+    rename each and writes a `_MANIFEST` naming exactly the committed
+    files; `abort` deletes the orphans. Readers trust ONLY the
+    manifest, so a killed job is invisible (same discipline as Spark's
+    own file-sink `_spark_metadata`).
+
+    Scale notes: staging + target must be SHARED storage on a real
+    cluster (object store / DFS — here /tmp on local[32]); the commit
+    step is metadata-sized (one rename per task + one manifest write),
+    so the driver never touches row data.
+    """
+    import json as _json
+    import os
+    import uuid as _uuid
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class _Staged(WriterCommitMessage):
+        path: str
+        rows: int
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, options, overwrite):
+            self.target = options["path"]
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            os.makedirs(self.target, exist_ok=True)
+            tmp = os.path.join(
+                self.target, f"stage-{_uuid.uuid4().hex}.jsonl.tmp"
+            )
+            n = 0
+            try:
+                with open(tmp, "w") as f:
+                    for row in iterator:
+                        f.write(
+                            _json.dumps(row.asDict(), sort_keys=True) + "\n"
+                        )
+                        n += 1
+            except BaseException:
+                # a task that fails mid-write cleans its OWN staging
+                # file — abort() only ever sees commit messages from
+                # tasks that finished, so nobody else can
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                raise
+            return _Staged(path=tmp, rows=n)
+
+        def commit(self, messages):
+            files = []
+            total = 0
+            for m in messages:
+                final = m.path[: -len(".tmp")]
+                os.rename(m.path, final)  # atomic publish per task
+                files.append(os.path.basename(final))
+                total += m.rows
+            manifest = {"files": sorted(files), "rows": total}
+            with open(os.path.join(self.target, "_MANIFEST"), "w") as f:
+                _json.dump(manifest, f)
+
+        def abort(self, messages):
+            for m in messages:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+    class JsonlSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return _SINK_FORMAT
+
+        def writer(self, schema, overwrite):
+            return JsonlWriter(dict(self.options), overwrite)
+
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+def sink_manifest_files(target: str) -> list[str]:
+    """Absolute paths of the files the sink's manifest committed."""
+    import json as _json
+    import os
+
+    with open(os.path.join(target, "_MANIFEST")) as f:
+        manifest = _json.load(f)
+    return [os.path.join(target, name) for name in manifest["files"]]
+
+
+def roundtrip_python_datasource(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Query key: push documents through the custom Python WRITER
+    (two-phase commit), read back ONLY the manifest-committed JSONL,
+    and aggregate — proves write/commit/read end-to-end. The oracle is
+    the same aggregate straight off the source table: equality holds
+    iff the sink wrote exactly the input, no dupes, no losses."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from hive_2_spark.catalog import load_table
+
+    _register_sink(spark)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        "hive2_pysink",
+        spark.sparkContext.applicationId,
+        _uuid.uuid4().hex,
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    d.write.format(_SINK_FORMAT).option("path", target).mode(
+        "append"
+    ).save()
+    back = spark.read.schema("doc_id bigint, lang string, n_chars int").json(
+        sink_manifest_files(target)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+QUERIES = {
+    "read_python_datasource": read_python_datasource,
+    "roundtrip_python_datasource": roundtrip_python_datasource,
+}
 
 ORACLES = {
     "read_python_datasource": f"""
@@ -144,5 +288,12 @@ SELECT part,
        CAST(SUM(length(payload)) AS BIGINT) AS payload_chars,
        ROUND(SUM(score), 6) AS sum_score
 FROM rows GROUP BY part
+""",
+    "roundtrip_python_datasource": """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
 """,
 }

@@ -75,3 +75,64 @@ def test_streaming_reader_offsets_and_content(spark, tmp_path):
     both = sorted(r.id for r in spark.read.parquet(out).select("id").collect())
     assert len(both) >= len(first) + 40
     assert both == list(range(len(both)))
+
+
+def test_sink_commit_writes_manifest_and_data(spark, tmp_path):
+    """The writer half (round 10): staged *.tmp files are renamed on
+    commit and the _MANIFEST names exactly the committed files."""
+    import json
+    import os
+
+    from hive_2_spark.core.pysource import (
+        _SINK_FORMAT,
+        _register_sink,
+        sink_manifest_files,
+    )
+
+    _register_sink(spark)
+    target = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "CAST(id % 3 AS STRING) AS lang", "CAST(id AS INT) AS n_chars"
+    )
+    df.repartition(5).write.format(_SINK_FORMAT).option("path", target).mode(
+        "append"
+    ).save()
+    manifest = json.load(open(os.path.join(target, "_MANIFEST")))
+    assert manifest["rows"] == 100
+    files = sink_manifest_files(target)
+    assert len(files) == 5 and all(os.path.exists(f) for f in files)
+    assert not [f for f in os.listdir(target) if f.endswith(".tmp")]
+    back = spark.read.schema("doc_id bigint, lang string, n_chars int").json(files)
+    ids = sorted(r.doc_id for r in back.collect())
+    assert ids == list(range(100))  # no dupes, no losses
+
+
+def test_sink_abort_leaves_no_manifest(spark, tmp_path):
+    """A failing job must abort: staged files removed, no _MANIFEST —
+    a reader that trusts only the manifest sees nothing."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hive_2_spark.core.pysource import _SINK_FORMAT, _register_sink
+
+    _register_sink(spark)
+    target = str(tmp_path / "sink_abort")
+    poisoned = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 49, F.lit("en"))
+        .otherwise(F.raise_error("boom"))
+        .alias("lang"),
+    )
+    with _pytest.raises(Exception):
+        poisoned.coalesce(1).write.format(_SINK_FORMAT).option(
+            "path", target
+        ).mode("append").save()
+    assert not os.path.exists(os.path.join(target, "_MANIFEST"))
+    leftovers = (
+        [f for f in os.listdir(target) if not f.startswith("_")]
+        if os.path.exists(target)
+        else []
+    )
+    assert leftovers == [], leftovers

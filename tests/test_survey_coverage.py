@@ -103,8 +103,9 @@ BRIEF_EXTRAS = [
     "stream_lateness_report",
     # round-9 additions (SURVEY §2B row 100 + row 43 Arrow tier)
     "curation_split_assign", "curation_split_leakage", "udf_map_arrow",
-    # round-10 additions (SURVEY §2B rows 101-102)
+    # round-10 additions (SURVEY §2B rows 101-103)
     "agg_countmin_portable", "text_langid_profile", "sample_reservoir",
+    "roundtrip_python_datasource",
 ]
 
 
