@@ -209,6 +209,68 @@ def _register_sink(spark: SparkSession) -> None:
                 except OSError:
                     pass
 
+    from pyspark.sql.datasource import DataSourceStreamWriter
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        """Streaming half of the sink: same staged-file discipline, one
+        `_MANIFEST-<batchId>` per committed epoch. A batch REPLAYED
+        after a crash stages fresh uuid files and its manifest write
+        replaces the previous attempt's atomically — readers union the
+        per-batch manifests, so files from an uncommitted attempt are
+        invisible and delivery is exactly-once end-to-end when the
+        upstream reader replays offsets deterministically."""
+
+        def __init__(self, options):
+            self.target = options["path"]
+
+        def write(self, iterator):
+            os.makedirs(self.target, exist_ok=True)
+            tmp = os.path.join(
+                self.target, f"stage-{_uuid.uuid4().hex}.jsonl.tmp"
+            )
+            n = 0
+            try:
+                with open(tmp, "w") as f:
+                    for row in iterator:
+                        f.write(
+                            _json.dumps(row.asDict(), sort_keys=True) + "\n"
+                        )
+                        n += 1
+            except BaseException:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                raise
+            return _Staged(path=tmp, rows=n)
+
+        def commit(self, messages, batchId):
+            files = []
+            total = 0
+            for m in messages:
+                if m is None:
+                    continue
+                final = m.path[: -len(".tmp")]
+                os.rename(m.path, final)
+                files.append(os.path.basename(final))
+                total += m.rows
+            manifest = {"batch": batchId, "files": sorted(files),
+                        "rows": total}
+            mpath = os.path.join(self.target, f"_MANIFEST-{batchId}")
+            tmp_m = mpath + ".tmp"
+            with open(tmp_m, "w") as f:
+                _json.dump(manifest, f)
+            os.rename(tmp_m, mpath)  # atomic replace on epoch replay
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m is None:
+                    continue
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
     class JsonlSinkDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -217,7 +279,25 @@ def _register_sink(spark: SparkSession) -> None:
         def writer(self, schema, overwrite):
             return JsonlWriter(dict(self.options), overwrite)
 
+        def streamWriter(self, schema, overwrite):
+            return JsonlStreamWriter(dict(self.options))
+
     spark.dataSource.register(JsonlSinkDataSource)
+
+
+def stream_sink_manifest_files(target: str) -> list[str]:
+    """Absolute paths of files committed by ANY epoch's manifest."""
+    import json as _json
+    import os
+
+    files: list[str] = []
+    for name in sorted(os.listdir(target)):
+        if name.startswith("_MANIFEST-") and not name.endswith(".tmp"):
+            with open(os.path.join(target, name)) as f:
+                files.extend(
+                    os.path.join(target, b) for b in _json.load(f)["files"]
+                )
+    return files
 
 
 def sink_manifest_files(target: str) -> list[str]:
