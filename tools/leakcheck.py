@@ -55,6 +55,11 @@ _PATTERNS: dict[str, re.Pattern] = {
 
 _SKIP_SUFFIX = {".parquet", ".orc", ".avro", ".png", ".jpg", ".bin",
                 ".pyc", ".crc", ".snappy"}
+# Round artifacts AUTHORED BY the driver/judge/advisor, not the builder:
+# advice prose may quote the very patterns this scanner matches (round
+# 10: ADVICE.md quoted the shortlink regex). The self-scan covers what
+# the builder writes; the driver scans its own output itself.
+_SKIP_NAMES = {"ADVICE.md", "VERDICT.md"}
 _SELF = Path(__file__).resolve()
 
 
@@ -73,7 +78,11 @@ def main() -> int:
     hits: dict[str, list] = {k: [] for k in _PATTERNS}
     n_files = 0
     for path in tracked_files():
-        if path.suffix.lower() in _SKIP_SUFFIX or path == _SELF:
+        if (
+            path.suffix.lower() in _SKIP_SUFFIX
+            or path.name in _SKIP_NAMES
+            or path == _SELF
+        ):
             continue
         try:
             text = path.read_text(errors="ignore")
