@@ -169,6 +169,11 @@ KEYS = [
     # round-9 additions
     "curation_split_assign",
     "curation_split_leakage",
+    # round-10 additions
+    "agg_countmin_portable",
+    "text_langid_profile",
+    "sample_reservoir",
+    "roundtrip_python_datasource",
 ]
 
 
