@@ -120,6 +120,7 @@ HEADLINE = [
     "agg_countmin_portable",  # mergeable CMS frequency sketch
     "text_langid_profile",    # trained bigram-profile language ID
     "sample_reservoir",       # hash-priority reservoir sample (top-k)
+    "graph_communities_lpa",  # fixed-unroll label-propagation communities
 ]
 
 

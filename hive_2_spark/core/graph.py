@@ -337,11 +337,80 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(label.alias("node"), "dist")
 
 
+_LPA_ROUNDS = 4
+
+
+def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection over the near-dup document
+    graph — the fourth iterative-graph shape beside PageRank (weighted
+    push), BFS (frontier expansion), and triangles (wedge closure):
+    template/boilerplate FAMILIES emerge as label communities without
+    choosing k up front.
+
+    Deterministic semi-synchronous LPA, fixed ``_LPA_ROUNDS`` unroll:
+    label(v) starts as v's own doc_id; each round every node adopts
+    the MODE of its neighbors' labels with ties broken by smallest
+    label (count desc, label asc — the same argmax discipline as
+    `agg_mode`), all nodes updating simultaneously. The fixed unroll
+    makes the whole iteration a pure function of the edge set, so the
+    DuckDB oracle replays every round and the final community census
+    is hash-checked (same contract as the pagerank/kmeans fixed keys).
+
+    Scale: edges are the blocked+capped near-dup PAIR set (orders of
+    magnitude below the corpus), localCheckpoint'd once; each round is
+    one edge-keyed join + a (node x neighbor-label) count that
+    partial-aggregates before its shuffle + a node-partitioned argmax
+    window (no global window). State is one label per node — the same
+    node-sized footprint as the PageRank rank vector.
+
+    Output: (community, n_docs) — one row per surviving label.
+    """
+    from pyspark.sql.window import Window
+
+    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id").distinct()
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    argmax_w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(argmax_w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_converged": graph_pagerank_converged,
     "graph_triangles": graph_triangles,
     "graph_bfs_distance": graph_bfs_distance,
+    "graph_communities_lpa": graph_communities_lpa,
 }
 
 # mirrors the Spark side exactly: precomputed per-edge weight 1.0/deg,
@@ -497,9 +566,49 @@ SELECT CASE WHEN node >= 0 THEN 'c' || CAST(node AS VARCHAR)
 FROM bfs GROUP BY 1
 """
 
+def _communities_lpa_sql() -> str:
+    """Unrolls every LPA round: per-round neighbor-label votes + the
+    same (count desc, label asc) argmax via ROW_NUMBER. MATERIALIZED
+    l{k} CTEs — each is read by round k+1's vote join."""
+    from hive_2_spark.llm.dedup import ORACLES as _DEDUP_ORACLES
+
+    pairs = _DEDUP_ORACLES["dedup_ngram_jaccard"]
+    rounds = []
+    for k in range(1, _LPA_ROUNDS + 1):
+        p = k - 1
+        rounds.append(
+            f"""v{k} AS (
+  SELECT e.src AS node, l{p}.lbl, COUNT(*) AS c
+  FROM e JOIN l{p} ON e.dst = l{p}.node GROUP BY 1, 2
+), l{k} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl ASC) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+)"""
+        )
+    return f"""
+WITH p AS (SELECT DISTINCT a_id, b_id FROM ({pairs})),
+e AS (
+  SELECT a_id AS src, b_id AS dst FROM p
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM p
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS lbl FROM e
+),
+{",".join(rounds)}
+SELECT lbl AS community, COUNT(*) AS n_docs
+FROM l{_LPA_ROUNDS} GROUP BY lbl
+"""
+
+
 ORACLES = {
     "graph_pagerank": _pagerank_sql(),
     "graph_pagerank_converged": _pagerank_converged_sql(),
     "graph_triangles": _triangles_sql(),
     "graph_bfs_distance": _BFS_SQL,
+    "graph_communities_lpa": _communities_lpa_sql(),
 }

@@ -86,7 +86,7 @@ _MODULES: list[str] = [
 _FRONT: list[str] = [
     # --- (a) round-10 additions: new operators, never driver-checked ---
     "agg_countmin_portable", "text_langid_profile", "sample_reservoir",
-    "roundtrip_python_datasource",
+    "roundtrip_python_datasource", "graph_communities_lpa",
     # --- (b) round-10 rotation (r9 verdict item 5): the stalest
     # families the driver has not personally hashed on CURRENT
     # fixtures — TPC-H tail, catalog block, as-of family, then the

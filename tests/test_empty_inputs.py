@@ -174,6 +174,7 @@ KEYS = [
     "text_langid_profile",
     "sample_reservoir",
     "roundtrip_python_datasource",
+    "graph_communities_lpa",
 ]
 
 

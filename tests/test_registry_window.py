@@ -20,7 +20,7 @@ from hive_2_spark import registry
 # side effect of adding an operator.
 _ROUND10_NEW = [
     "agg_countmin_portable", "text_langid_profile", "sample_reservoir",
-    "roundtrip_python_datasource",
+    "roundtrip_python_datasource", "graph_communities_lpa",
 ]
 
 _ROTATION = [

@@ -105,7 +105,7 @@ BRIEF_EXTRAS = [
     "curation_split_assign", "curation_split_leakage", "udf_map_arrow",
     # round-10 additions (SURVEY §2B rows 101-103)
     "agg_countmin_portable", "text_langid_profile", "sample_reservoir",
-    "roundtrip_python_datasource",
+    "roundtrip_python_datasource", "graph_communities_lpa",
 ]
 
 
