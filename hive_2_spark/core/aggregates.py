@@ -585,10 +585,14 @@ def agg_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
 
+    # localCheckpoint: cells feeds BOTH the union branch and the ALL
+    # merge — without materializing the (sketch-sized, <= shards x
+    # 1024 rows) table, each branch would rerun the fact scan+explode
     cells = (
         keyed.select("shard", "j", bucket(F.col("k"), F.col("j")).alias("b"))
         .groupBy("shard", "j", "b")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     merged = (
         cells.groupBy("j", "b")
@@ -628,11 +632,14 @@ def agg_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(probes), "k")
         .groupBy("shard", "k")
         .agg(F.count(F.lit(1)).alias("exact_count"))
+        .localCheckpoint()  # probe-sized; feeds both exacts branches
     )
+    # ALL row re-aggregates the probe-sized per-shard counts — exact
+    # counts are additive, so the facts are never rescanned (same
+    # merge discipline as the sketch's own ALL row)
     exact_all = (
-        li.join(F.broadcast(probes), "k")
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
+        exact.groupBy("k")
+        .agg(F.sum("exact_count").alias("exact_count"))
         .select(F.lit("ALL").alias("shard"), "k", "exact_count")
     )
     exacts = exact.select("shard", "k", "exact_count").unionByName(exact_all)
@@ -850,12 +857,14 @@ WITH li AS (
          CASE WHEN COUNT(*) < 4 THEN 0 ELSE MIN(ac.c) END AS est_count
   FROM all_cells ac JOIN probe_rows p ON ac.j = p.j AND ac.b = p.b
   GROUP BY 1, 2
-), exacts AS (
+), exact_sh AS (
   SELECT shard, k, COUNT(*) AS exact_count
   FROM li JOIN probes USING (k) GROUP BY 1, 2
+), exacts AS (
+  SELECT shard, k, exact_count FROM exact_sh
   UNION ALL
-  SELECT 'ALL' AS shard, k, COUNT(*) AS exact_count
-  FROM li JOIN probes USING (k) GROUP BY k
+  SELECT 'ALL' AS shard, k, SUM(exact_count) AS exact_count
+  FROM exact_sh GROUP BY k
 )
 SELECT e.shard, CAST(e.k AS BIGINT) AS probe_key,
        CAST(e.est_count AS BIGINT) AS est_count,
