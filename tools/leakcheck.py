@@ -55,12 +55,21 @@ _PATTERNS: dict[str, re.Pattern] = {
 
 _SKIP_SUFFIX = {".parquet", ".orc", ".avro", ".png", ".jpg", ".bin",
                 ".pyc", ".crc", ".snappy"}
-# Round artifacts AUTHORED BY the driver/judge/advisor, not the builder:
-# advice prose may quote the very patterns this scanner matches (round
-# 10: ADVICE.md quoted the shortlink regex). The self-scan covers what
-# the builder writes; the driver scans its own output itself.
-_SKIP_NAMES = {"ADVICE.md", "VERDICT.md"}
 _SELF = Path(__file__).resolve()
+
+# Reviewer prose (ADVICE/VERDICT) sometimes QUOTES a scanner regex when
+# discussing it (round 10: the shortlink pattern). Round-10's whole-file
+# skip silently exempted those tracked files from the scan; per round-11
+# ADVICE the skip is now LINE-level and pattern-shaped instead: a match
+# is allowlisted only when its own line visibly quotes regex source
+# (contains a regex construct no real secret/URL/import line carries).
+# Every file stays in scope; allowlisted matches are still REPORTED
+# (``allowlisted`` key) so a reviewer can audit the exemptions.
+_QUOTED_PATTERN_MARKERS = ("(?:", "(?<!", "(?<=", "[\\w", "\\b(?:")
+
+
+def _line_quotes_a_pattern(line: str) -> bool:
+    return any(m in line for m in _QUOTED_PATTERN_MARKERS)
 
 
 def tracked_files() -> list[Path]:
@@ -76,31 +85,35 @@ def main() -> int:
     if "--json" in sys.argv:
         json_out = sys.argv[sys.argv.index("--json") + 1]
     hits: dict[str, list] = {k: [] for k in _PATTERNS}
+    allowlisted: list[dict] = []
     n_files = 0
     for path in tracked_files():
-        if (
-            path.suffix.lower() in _SKIP_SUFFIX
-            or path.name in _SKIP_NAMES
-            or path == _SELF
-        ):
+        if path.suffix.lower() in _SKIP_SUFFIX or path == _SELF:
             continue
         try:
             text = path.read_text(errors="ignore")
         except (OSError, UnicodeDecodeError):
             continue
         n_files += 1
+        lines = text.splitlines()
         for cls, pat in _PATTERNS.items():
             for m in pat.finditer(text):
                 line = text.count("\n", 0, m.start()) + 1
-                hits[cls].append(
-                    {"file": str(path.relative_to(REPO)), "line": line,
-                     "match": m.group(0)[:80]}
-                )
+                rec = {"file": str(path.relative_to(REPO)), "line": line,
+                       "match": m.group(0)[:80]}
+                if line <= len(lines) and _line_quotes_a_pattern(
+                    lines[line - 1]
+                ):
+                    rec["class"] = cls
+                    allowlisted.append(rec)
+                else:
+                    hits[cls].append(rec)
     n_hits = sum(len(v) for v in hits.values())
     report = {
         "n_hits": n_hits,
         "n_files_scanned": n_files,
         "hits": hits,
+        "allowlisted": allowlisted,
         "stamp": {
             "commit": subprocess.run(
                 ["git", "-C", str(REPO), "rev-parse", "HEAD"],
