@@ -126,6 +126,143 @@ def read_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PD_FORMAT = "hive2_synth_pushdown"
+
+from pyspark.sql.datasource import DataSourceReader as _DSReader  # noqa: E402
+
+
+class SynthPushdownReader(_DSReader):
+    """Reader half of the PUSHDOWN-capable Python source (registered by
+    :func:`_register_pushdown`): same deterministic rows as `hive2_synth`,
+    plus `pushFilters` — the V2 reader-side pushdown face (round-10
+    verdict item 7). Comparison predicates on the partitioning column
+    ``part`` are accepted and applied at PLANNING time: `partitions()`
+    then returns only the surviving partitions, so pruned partitions
+    never become Spark tasks (the Python analogue of parquet partition
+    pruning). Everything else (e.g. the `score` range below) is returned
+    to Spark per the contract and evaluated post-scan.
+
+    Defined at module level (not a closure) so tests can drive
+    pushFilters/partitions directly; `spark.dataSource.register` pickles
+    the class either way.
+
+    Scale notes: this is the shape a REST/object-store/JDBC-like source
+    needs at 100 TB — the listing-sized pruning decision happens on the
+    driver, the cluster fans out only over surviving units, and resid
+    ual predicates stay in JVM codegen after the Arrow handoff.
+    """
+
+    def __init__(self, options):
+        self.rows = int(options.get("rowsperpartition", _ROWS))
+        self.parts = int(options.get("numpartitions", _PARTS))
+        self.part_preds: list[tuple[str, object]] = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=", In: "in",
+            GreaterThan: ">", GreaterThanOrEqual: ">=",
+            LessThan: "<", LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if op is not None and tuple(f.attribute) == ("part",):
+                self.part_preds.append((op, f.value))
+            else:
+                # unsupported filter/column: Spark evaluates it post-scan
+                yield f
+
+    def _part_survives(self, p: int) -> bool:
+        checks = {
+            "=": lambda v: p == v,
+            "in": lambda v: p in v,
+            ">": lambda v: p > v,
+            ">=": lambda v: p >= v,
+            "<": lambda v: p < v,
+            "<=": lambda v: p <= v,
+        }
+        return all(checks[op](v) for op, v in self.part_preds)
+
+    def partitions(self):
+        from pyspark.sql.datasource import InputPartition
+
+        return [
+            InputPartition(i)
+            for i in range(self.parts)
+            if self._part_survives(i)
+        ]
+
+    def read(self, partition):
+        part = partition.value
+        for r in range(self.rows):
+            rid = part * self.rows + r
+            yield (rid, part, f"row-{rid:06d}", float(rid % 97) / 10.0)
+
+
+def _register_pushdown(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import DataSource
+
+    class SynthPushdownDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return _PD_FORMAT
+
+        def schema(self):
+            return "id bigint, part int, payload string, score double"
+
+        def reader(self, schema):
+            return SynthPushdownReader(dict(self.options))
+
+    spark.dataSource.register(SynthPushdownDataSource)
+
+
+# The pushdown key's filter constants: part >= this (PUSHED — prunes
+# partitions driver-side) and score > this (NOT pushable — returned to
+# Spark, evaluated post-scan). Shared with the oracle and tests.
+_PD_MIN_PART = 5
+_PD_PARTS = 8
+_PD_SCORE_GT = 4.5
+
+
+def read_python_datasource_pushdown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Query key: scan the pushdown-capable Python source with a mixed
+    predicate — ``part >= 5`` is accepted by `pushFilters` and prunes
+    partitions at planning time (3 of 8 partitions become tasks),
+    ``score > 4.5`` is rejected back to Spark and filtered post-scan.
+    The oracle replays the generator arithmetic + BOTH predicates, so a
+    pushdown that over- or under-prunes hash-mismatches. Partition-count
+    pruning itself is pinned unit-level in tests/test_pysource.py."""
+    _register_pushdown(spark)
+    # runtime-settable SQL conf, off by default in 4.1; must be set here
+    # because the driver runs queries under a PLAIN SparkSession
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format(_PD_FORMAT)
+        .option("numPartitions", _PD_PARTS)
+        .option("rowsPerPartition", _ROWS)
+        .load()
+    )
+    f = df.filter(
+        (F.col("part") >= _PD_MIN_PART) & (F.col("score") > _PD_SCORE_GT)
+    )
+    return f.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.round(F.sum("score"), 6).alias("sum_score"),
+    )
+
+
 _SINK_FORMAT = "hive2_jsonl_sink"
 
 
@@ -145,131 +282,7 @@ def _register_sink(spark: SparkSession) -> None:
     step is metadata-sized (one rename per task + one manifest write),
     so the driver never touches row data.
     """
-    import json as _json
-    import os
-    import uuid as _uuid
-    from dataclasses import dataclass
-
-    from pyspark.sql.datasource import (
-        DataSource,
-        DataSourceWriter,
-        WriterCommitMessage,
-    )
-
-    @dataclass
-    class _Staged(WriterCommitMessage):
-        path: str
-        rows: int
-
-    class JsonlWriter(DataSourceWriter):
-        def __init__(self, options, overwrite):
-            self.target = options["path"]
-            self.overwrite = overwrite
-
-        def write(self, iterator):
-            os.makedirs(self.target, exist_ok=True)
-            tmp = os.path.join(
-                self.target, f"stage-{_uuid.uuid4().hex}.jsonl.tmp"
-            )
-            n = 0
-            try:
-                with open(tmp, "w") as f:
-                    for row in iterator:
-                        f.write(
-                            _json.dumps(row.asDict(), sort_keys=True) + "\n"
-                        )
-                        n += 1
-            except BaseException:
-                # a task that fails mid-write cleans its OWN staging
-                # file — abort() only ever sees commit messages from
-                # tasks that finished, so nobody else can
-                try:
-                    os.remove(tmp)
-                except OSError:
-                    pass
-                raise
-            return _Staged(path=tmp, rows=n)
-
-        def commit(self, messages):
-            files = []
-            total = 0
-            for m in messages:
-                final = m.path[: -len(".tmp")]
-                os.rename(m.path, final)  # atomic publish per task
-                files.append(os.path.basename(final))
-                total += m.rows
-            manifest = {"files": sorted(files), "rows": total}
-            with open(os.path.join(self.target, "_MANIFEST"), "w") as f:
-                _json.dump(manifest, f)
-
-        def abort(self, messages):
-            for m in messages:
-                try:
-                    os.remove(m.path)
-                except OSError:
-                    pass
-
-    from pyspark.sql.datasource import DataSourceStreamWriter
-
-    class JsonlStreamWriter(DataSourceStreamWriter):
-        """Streaming half of the sink: same staged-file discipline, one
-        `_MANIFEST-<batchId>` per committed epoch. A batch REPLAYED
-        after a crash stages fresh uuid files and its manifest write
-        replaces the previous attempt's atomically — readers union the
-        per-batch manifests, so files from an uncommitted attempt are
-        invisible and delivery is exactly-once end-to-end when the
-        upstream reader replays offsets deterministically."""
-
-        def __init__(self, options):
-            self.target = options["path"]
-
-        def write(self, iterator):
-            os.makedirs(self.target, exist_ok=True)
-            tmp = os.path.join(
-                self.target, f"stage-{_uuid.uuid4().hex}.jsonl.tmp"
-            )
-            n = 0
-            try:
-                with open(tmp, "w") as f:
-                    for row in iterator:
-                        f.write(
-                            _json.dumps(row.asDict(), sort_keys=True) + "\n"
-                        )
-                        n += 1
-            except BaseException:
-                try:
-                    os.remove(tmp)
-                except OSError:
-                    pass
-                raise
-            return _Staged(path=tmp, rows=n)
-
-        def commit(self, messages, batchId):
-            files = []
-            total = 0
-            for m in messages:
-                if m is None:
-                    continue
-                final = m.path[: -len(".tmp")]
-                os.rename(m.path, final)
-                files.append(os.path.basename(final))
-                total += m.rows
-            manifest = {"batch": batchId, "files": sorted(files),
-                        "rows": total}
-            mpath = os.path.join(self.target, f"_MANIFEST-{batchId}")
-            tmp_m = mpath + ".tmp"
-            with open(tmp_m, "w") as f:
-                _json.dump(manifest, f)
-            os.rename(tmp_m, mpath)  # atomic replace on epoch replay
-
-        def abort(self, messages, batchId):
-            for m in messages:
-                if m is None:
-                    continue
-                try:
-                    os.remove(m.path)
-                except OSError:
-                    pass
+    from pyspark.sql.datasource import DataSource
 
     class JsonlSinkDataSource(DataSource):
         @classmethod
@@ -283,6 +296,117 @@ def _register_sink(spark: SparkSession) -> None:
             return JsonlStreamWriter(dict(self.options))
 
     spark.dataSource.register(JsonlSinkDataSource)
+
+
+import json as _json  # noqa: E402
+import os as _os  # noqa: E402
+import uuid as _uuid  # noqa: E402
+from dataclasses import dataclass as _dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter as _DSStreamWriter,
+    DataSourceWriter as _DSWriter,
+    WriterCommitMessage as _WriterCommitMessage,
+)
+
+
+@_dataclass
+class _Staged(_WriterCommitMessage):
+    path: str
+    rows: int
+
+
+def _stage_partition(target: str, iterator) -> _Staged:
+    """Task-side half of the two-phase commit, shared by the batch and
+    stream writers: stream the partition to a fresh uuid `*.jsonl.tmp`;
+    a task that fails mid-write cleans its OWN staging file — abort()
+    only ever sees commit messages from tasks that finished."""
+    _os.makedirs(target, exist_ok=True)
+    tmp = _os.path.join(target, f"stage-{_uuid.uuid4().hex}.jsonl.tmp")
+    n = 0
+    try:
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+    except BaseException:
+        try:
+            _os.remove(tmp)
+        except OSError:
+            pass
+        raise
+    return _Staged(path=tmp, rows=n)
+
+
+def _publish(target: str, messages, manifest_name: str, extra: dict) -> None:
+    """Driver-side half: one atomic rename per staged file, then the
+    manifest itself staged + renamed — a crash anywhere leaves either
+    the previous manifest or the new one, never a truncated in-between
+    (round-11 ADVICE closed the batch path, which wrote it directly)."""
+    files = []
+    total = 0
+    for m in messages:
+        if m is None:  # unfinished tasks can surface as None entries
+            continue
+        final = m.path[: -len(".tmp")]
+        _os.rename(m.path, final)  # atomic publish per task
+        files.append(_os.path.basename(final))
+        total += m.rows
+    manifest = {"files": sorted(files), "rows": total, **extra}
+    mpath = _os.path.join(target, manifest_name)
+    with open(mpath + ".tmp", "w") as f:
+        _json.dump(manifest, f)
+    _os.rename(mpath + ".tmp", mpath)
+
+
+def _clean_staged(messages) -> None:
+    for m in messages:
+        if m is None:  # unfinished tasks surface as None entries
+            continue
+        try:
+            _os.remove(m.path)
+        except OSError:
+            pass
+
+
+class JsonlWriter(_DSWriter):
+    def __init__(self, options, overwrite):
+        self.target = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        return _stage_partition(self.target, iterator)
+
+    def commit(self, messages):
+        _publish(self.target, messages, "_MANIFEST", {})
+
+    def abort(self, messages):
+        _clean_staged(messages)
+
+
+class JsonlStreamWriter(_DSStreamWriter):
+    """Streaming half of the sink: same staged-file discipline, one
+    `_MANIFEST-<batchId>` per committed epoch. A batch REPLAYED
+    after a crash stages fresh uuid files and its manifest write
+    replaces the previous attempt's atomically — readers union the
+    per-batch manifests, so files from an uncommitted attempt are
+    invisible and delivery is exactly-once end-to-end when the
+    upstream reader replays offsets deterministically."""
+
+    def __init__(self, options):
+        self.target = options["path"]
+
+    def write(self, iterator):
+        return _stage_partition(self.target, iterator)
+
+    def commit(self, messages, batchId):
+        _publish(
+            self.target, messages, f"_MANIFEST-{batchId}",
+            {"batch": batchId},
+        )
+
+    def abort(self, messages, batchId):
+        _clean_staged(messages)
 
 
 def stream_sink_manifest_files(target: str) -> list[str]:
@@ -349,6 +473,7 @@ def roundtrip_python_datasource(
 
 QUERIES = {
     "read_python_datasource": read_python_datasource,
+    "read_python_datasource_pushdown": read_python_datasource_pushdown,
     "roundtrip_python_datasource": roundtrip_python_datasource,
 }
 
@@ -368,6 +493,22 @@ SELECT part,
        CAST(SUM(length(payload)) AS BIGINT) AS payload_chars,
        ROUND(SUM(score), 6) AS sum_score
 FROM rows GROUP BY part
+""",
+    "read_python_datasource_pushdown": f"""
+WITH rows AS (
+  SELECT i AS id,
+         CAST(i // {_ROWS} AS INT) AS part,
+         CAST(i % 97 AS DOUBLE) / 10.0 AS score
+  FROM (SELECT unnest(range(0, {_PD_PARTS * _ROWS})) AS i)
+)
+SELECT part,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(id) AS min_id,
+       MAX(id) AS max_id,
+       ROUND(SUM(score), 6) AS sum_score
+FROM rows
+WHERE part >= {_PD_MIN_PART} AND score > {_PD_SCORE_GT}
+GROUP BY part
 """,
     "roundtrip_python_datasource": """
 SELECT lang,
