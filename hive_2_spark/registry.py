@@ -71,47 +71,48 @@ _MODULES: list[str] = [
     "hive_2_spark.core.joins",
 ]
 
-# Round-10 rotation: keys 1-50 are the driver window. All keys have
-# been driver-proven at least once (union of CORRECTNESS_r0{1..6,9};
-# the r7/r8 artifacts were byte-copies of r6). This window covers
-# (a) the three round-10 operators — never driver-checked — then
-# (b) per the r9 verdict, the stalest
-# re-verification tier: keys whose latest genuine driver hash-check is
-# r1/r2 (fixtures regenerated twice since), float/timestamp-rounding
-# boundaries first (win_*, agg stats family, pricing_summary, TPC-H
-# shapes), then the streaming batch faces. 44 r1/r2-era keys remain for
-# the r10 window (the full set is also self-checked every round by
-# tools/driver_sim.py — see SELFCHECK_r09.json). Everything behind
-# _FRONT keeps module order.
+# Round-11 rotation (executes the plan recorded in NOTES.md at the end
+# of round 10, computed mechanically from the union of genuine driver
+# windows r1-r6, r9, r10 — the r7/r8 artifacts were byte-copies of r6).
+# Keys 1-50 are the driver window:
+# (a) the two round-11 operators — never driver-checked;
+# (b) all 43 keys whose latest genuine driver hash-check is r1/r2
+#     (fixtures regenerated twice since), float/rounding risk first:
+#     Layer-A relational, joins, writes, dedup/sim, events, sketches;
+# (c) event_paths (carried: sat at _FRONT slot 52 in round 10, just
+#     outside the 50-key window) + the first 4 of the r3-era tier.
+# Exactly 50 — asserted below so rotation accounting can't drift
+# (round-11 ADVICE: r10's 52-key _FRONT silently wasted 2 slots).
 _FRONT: list[str] = [
-    # --- (a) round-10 additions: new operators, never driver-checked ---
-    "agg_countmin_portable", "text_langid_profile", "sample_reservoir",
-    "roundtrip_python_datasource", "graph_communities_lpa",
-    # --- (b) round-10 rotation (r9 verdict item 5): the stalest
-    # families the driver has not personally hashed on CURRENT
-    # fixtures — TPC-H tail, catalog block, as-of family, then the
-    # quality/curation families ---
-    "sql_q9_profit_by_nation", "sql_q15_top_supplier",
-    "sql_q16_supplier_diversity", "sql_q17_small_qty_revenue",
-    "sql_q20_volume_suppliers", "sql_q21_waiting_suppliers",
-    "sql_q22_idle_customers",
-    "catalog_managed_agg", "catalog_managed_join",
-    "catalog_partitioned_ddl", "catalog_dpp_join", "catalog_view",
-    "catalog_bucketed_join",
-    "join_asof", "join_asof_forward", "join_asof_tolerance",
-    "join_asof_nearest", "join_interval_binned",
-    "quality_score", "quality_repetition", "quality_dup_ngram_corpus",
-    "quality_lm_score", "quality_entropy", "quality_blocklist_words",
-    "quality_ngram_census", "quality_pmi_bigrams", "quality_benford",
-    "quality_fk_audit", "quality_expectations",
-    "pii_redact", "doc_split", "contamination_ngram", "tfidf_top_terms",
-    "sample_weighted_mix", "shuffle_train_order", "curriculum_order",
-    "sample_temperature", "sample_source_token_cap",
-    "curation_domain_filter", "curation_mixture_balance",
-    "curation_funnel", "curation_repeat_upsample", "sample_stratified",
-    "graph_triangles", "graph_bfs_distance",
-    "event_funnel", "event_paths",
+    # --- (a) round-11 additions: new operators, never driver-checked ---
+    "read_python_datasource_pushdown", "graph_communities_incremental",
+    # --- (b) the 43 r1/r2-era keys ---
+    # Layer-A / relational (r1)
+    "scan_full_table", "project_columns", "project_alias",
+    "computed_column", "filter_eq_conj", "filter_range", "filter_in",
+    "filter_like", "filter_null", "topk_limit", "distinct_pair",
+    "count_subquery", "exists_probe", "model_over_agg", "pivot_keys",
+    "set_union",
+    # join family (r1)
+    "join_has_many", "join_many_to_many", "join_lookup_one",
+    "join_outer", "join_semi", "join_anti", "join_full_outer",
+    "join_null_safe",
+    # writes / model semantics (r2)
+    "insert_rows", "update_rows", "delete_rows", "upsert_rows",
+    "changed_rows_diff", "validate_rules",
+    # dedup / similarity (r2; dedup_minhash_lsh is rows-only)
+    "dedup_exact", "dedup_minhash_portable", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "sim_cosine_topk", "sim_pairwise_label",
+    "emb_normalize", "emb_quantize_int8",
+    # events (r2)
+    "event_sessionize", "event_funnel", "event_retention",
+    # sketches (r1, rows-only by documented necessity)
+    "agg_approx", "agg_sketch_merge",
+    # --- (c) carry-forward + the start of the r3 tier ---
+    "event_paths",
+    "text_stats", "token_count", "lang_id", "fingerprint",
 ]
+assert len(_FRONT) == 50, f"driver window must be exactly 50, got {len(_FRONT)}"
 assert len(_FRONT) == len(set(_FRONT)), (
     "duplicate keys in _FRONT: "
     f"{sorted(k for k in _FRONT if _FRONT.count(k) > 1)}"

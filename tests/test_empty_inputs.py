@@ -175,6 +175,9 @@ KEYS = [
     "sample_reservoir",
     "roundtrip_python_datasource",
     "graph_communities_lpa",
+    # round-11 additions (read_python_datasource_pushdown excluded like
+    # read_python_datasource: its rows are synthesized, not table-read)
+    "graph_communities_incremental",
 ]
 
 

@@ -184,6 +184,22 @@ def test_ngram_census_bounded_merge(spark):
     assert 256 * _CENSUS_K == 5120  # documents the merge ceiling
 
 
+def test_langid_profile_topk_is_window_group_limit(spark):
+    """Round-10 verdict nit: the langid profile top-K ranks inside a
+    per-lang window over the (lang x bigram-vocab) count table — at
+    web-scale vocab this is safe ONLY because the `rn <= K` filter
+    compiles to a rank-pushdown WindowGroupLimit (each partition keeps
+    K survivors before the full sort). Pin it, like the bucketing/DPP
+    gates, so a refactor that breaks the pushdown fails here instead of
+    at scale. The scoring join must also keep the 5*K-row profile table
+    on the broadcast side."""
+    from hive_2_spark.llm.text import text_langid_profile
+
+    plan = plan_of(text_langid_profile(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_sessionize_single_exchange(spark):
     """Gap-island sessionization must hash-partition on user_id exactly
     once: both windows AND the session group-by reuse that partitioning.

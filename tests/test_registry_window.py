@@ -1,5 +1,5 @@
 """The driver's per-round correctness window is the FIRST 50 registry
-keys. Freeze the intended round-10 window so adding keys to a front
+keys. Freeze the intended round-11 window so adding keys to a front
 module (or reordering _MODULES/_FRONT) cannot silently displace the
 keys it must re-verify. New keys belong at the TOP of the window while
 the round is open; after the round's CORRECTNESS lands, rotate
@@ -12,58 +12,78 @@ from pathlib import Path
 
 from hive_2_spark import registry
 
-# Round-10 window: (a) the three new round-10 operators (never
-# driver-checked), then (b) the rotation the round-9 verdict asked for
-# — the stalest families the driver has not personally hashed on
-# CURRENT fixtures: TPC-H tail, catalog block, as-of family, quality/
-# curation families. Update deliberately (with a rotation), never as a
-# side effect of adding an operator.
-_ROUND10_NEW = [
-    "agg_countmin_portable", "text_langid_profile", "sample_reservoir",
-    "roundtrip_python_datasource", "graph_communities_lpa",
+# Round-11 window: (a) the two new round-11 operators (never
+# driver-checked), then (b) the rotation recorded in NOTES.md at the
+# end of round 10 — ALL 43 keys whose latest genuine driver hash-check
+# is r1/r2, then (c) the event_paths carry-forward + the first 4 keys
+# of the r3-era tier to fill exactly 50. Update deliberately (with a
+# rotation), never as a side effect of adding an operator.
+_ROUND11_NEW = [
+    "read_python_datasource_pushdown", "graph_communities_incremental",
 ]
 
 _ROTATION = [
-    "sql_q9_profit_by_nation", "sql_q15_top_supplier",
-    "sql_q16_supplier_diversity", "sql_q17_small_qty_revenue",
-    "sql_q20_volume_suppliers", "sql_q21_waiting_suppliers",
-    "sql_q22_idle_customers",
-    "catalog_managed_agg", "catalog_managed_join",
-    "catalog_partitioned_ddl", "catalog_dpp_join", "catalog_view",
-    "catalog_bucketed_join",
-    "join_asof", "join_asof_forward", "join_asof_tolerance",
-    "join_asof_nearest", "join_interval_binned",
-    "quality_score", "quality_repetition", "quality_dup_ngram_corpus",
-    "quality_lm_score", "quality_entropy", "quality_blocklist_words",
-    "quality_ngram_census", "quality_pmi_bigrams", "quality_benford",
-    "quality_fk_audit", "quality_expectations",
-    "pii_redact", "doc_split", "contamination_ngram", "tfidf_top_terms",
-    "sample_weighted_mix", "shuffle_train_order", "curriculum_order",
-    "sample_temperature", "sample_source_token_cap",
-    "curation_domain_filter", "curation_mixture_balance",
-    "curation_funnel", "curation_repeat_upsample", "sample_stratified",
-    "graph_triangles", "graph_bfs_distance",
-    "event_funnel", "event_paths",
+    "scan_full_table", "project_columns", "project_alias",
+    "computed_column", "filter_eq_conj", "filter_range", "filter_in",
+    "filter_like", "filter_null", "topk_limit", "distinct_pair",
+    "count_subquery", "exists_probe", "model_over_agg", "pivot_keys",
+    "set_union",
+    "join_has_many", "join_many_to_many", "join_lookup_one",
+    "join_outer", "join_semi", "join_anti", "join_full_outer",
+    "join_null_safe",
+    "insert_rows", "update_rows", "delete_rows", "upsert_rows",
+    "changed_rows_diff", "validate_rules",
+    "dedup_exact", "dedup_minhash_portable", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "sim_cosine_topk", "sim_pairwise_label",
+    "emb_normalize", "emb_quantize_int8",
+    "event_sessionize", "event_funnel", "event_retention",
+    "agg_approx", "agg_sketch_merge",
+    "event_paths",
+    "text_stats", "token_count", "lang_id", "fingerprint",
 ]
 
 
-def test_first_50_keys_are_the_round10_window():
+def test_window_is_exactly_50():
+    assert len(_ROUND11_NEW) + len(_ROTATION) == 50
+
+
+def test_first_50_keys_are_the_round11_window():
     window = list(registry.all_queries())[:50]
-    expected = (_ROUND10_NEW + _ROTATION)[:50]
+    expected = _ROUND11_NEW + _ROTATION
     assert window == expected
 
 
 def test_rotation_slots_not_wasted_on_fresh_keys():
     """Every rotation slot must be spent on a key the driver did NOT
-    hash in its round-9 window (the freshest genuine artifact) — a slot
-    on a just-checked key is a wasted slot."""
+    hash in its round-10 window (the freshest genuine artifact) — a
+    slot on a just-checked key is a wasted slot."""
     repo = Path(__file__).resolve().parent.parent
-    r9 = repo / "CORRECTNESS_r09.json"
-    if not r9.exists():  # bare checkout without round artifacts
+    r10 = repo / "CORRECTNESS_r10.json"
+    if not r10.exists():  # bare checkout without round artifacts
         return
-    fresh9 = set(json.loads(r9.read_text()))
-    wasted = [k for k in _ROUND10_NEW + _ROTATION if k in fresh9]
+    fresh10 = set(json.loads(r10.read_text()))
+    wasted = [k for k in _ROUND11_NEW + _ROTATION if k in fresh10]
     assert wasted == [], wasted
+
+
+def test_rotation_covers_every_r1_r2_era_key():
+    """The NOTES.md round-11 plan: all 43 keys whose latest genuine
+    driver check is r1/r2 (union of r1-r6, r9, r10 artifacts; r7/r8
+    were byte-copies of r6) must be in this window — none skipped."""
+    repo = Path(__file__).resolve().parent.parent
+    arts = [repo / f"CORRECTNESS_r{n:02d}.json" for n in (1, 2, 3, 4, 5, 6, 9, 10)]
+    if not all(p.exists() for p in arts):
+        return
+    latest: dict[str, int] = {}
+    for n, p in zip((1, 2, 3, 4, 5, 6, 9, 10), arts):
+        for k in json.loads(p.read_text()):
+            latest[k] = n
+    stale = {
+        k for k in registry.all_queries()
+        if latest.get(k, 0) in (1, 2)
+    }
+    window = set(_ROUND11_NEW + _ROTATION)
+    assert stale <= window, sorted(stale - window)
 
 
 def test_rows_only_keys_are_deliberate():
@@ -75,9 +95,5 @@ def test_rows_only_keys_are_deliberate():
         # real RAWV container decode — the media_features barrier;
         # planted-cut recall gated in tests/test_multimodal.py
         "media_scene_cut",
-        # round 9: cluster_kmeans_converged and graph_pagerank_converged
-        # left this list — their oracles now unroll every round to the
-        # loop cap and select the stop round in SQL, so the
-        # data-dependent round count is hash-checked, not assumed.
     }
     assert registry.rows_only_keys() == expected
