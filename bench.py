@@ -121,6 +121,8 @@ HEADLINE = [
     "text_langid_profile",    # trained bigram-profile language ID
     "sample_reservoir",       # hash-priority reservoir sample (top-k)
     "graph_communities_lpa",  # fixed-unroll label-propagation communities
+    # --- round-11 additions ---
+    "graph_communities_incremental",  # delta-sized community attach
 ]
 
 
@@ -153,7 +155,9 @@ def _render_stdout_line(
     def tier_int(v: float):
         return int(round(v)) if v >= 1 else round(v, 1)
 
-    def render(queries: dict, omitted: int) -> str:
+    def render(
+        queries: dict, omitted: list | None, name_keys: bool = True
+    ) -> str:
         payload = {
             "metric": "headline_queries_total_sec",
             "value": round(total, 2),
@@ -162,28 +166,52 @@ def _render_stdout_line(
             "sf": sf_val,
         }
         if omitted:
-            payload["queries_omitted"] = omitted
+            payload["queries_omitted"] = len(omitted)
+            if name_keys:
+                # name the dropped keys so the artifact is self-
+                # describing (round-10 verdict item 6)
+                payload["omitted_keys"] = sorted(omitted)
         return json.dumps(payload, separators=(",", ":"))
 
     line = ""
     for fmt in (tier_full, tier_mixed, tier_coarse, tier_int):
-        line = render({k: fmt(v) for k, v in timings.items()}, 0)
+        line = render({k: fmt(v) for k, v in timings.items()}, None)
         if len(line) <= _STDOUT_LINE_LIMIT:
             return line
     # Physical last resort (key names alone exceed the window — only
     # reachable if the headline set roughly doubles): keep the most
     # expensive keys that fit and say how many were dropped, rather
     # than emit a line the driver cannot parse. Full map always lands
-    # in BENCH_TREND.jsonl regardless.
+    # in BENCH_TREND.jsonl regardless. Naming the dropped keys is
+    # OPPORTUNISTIC (round-10 verdict item 6): attach the name list if
+    # it fits as-is or after shedding at most 3 more cheap keys (each
+    # shed nets ~5+ chars); otherwise declare the bare count — never
+    # trade real coverage for the label.
     by_cost = sorted(timings, key=timings.get, reverse=True)
-    kept: dict[str, float] = {}
+    # Preferred (round-10 verdict item 6): drop the d cheapest keys for
+    # the SMALLEST d that fits with the dropped keys NAMED — the line
+    # stays self-describing. Naming a key costs nearly as much line
+    # space as keeping its entry (the name dominates both), so this
+    # only engages when the trade is cheap (wide values, short names,
+    # small omissions); past d=6 coverage wins over the label.
+    for d in range(1, 7):
+        kept = {k: tier_int(timings[k]) for k in by_cost[:-d]}
+        line = render(kept, by_cost[-d:])
+        if len(line) <= _STDOUT_LINE_LIMIT:
+            return line
+    # Omission too large to name affordably: keep the most expensive
+    # keys that fit and declare the bare count.
+    kept = {}
     for k in by_cost:
         trial = dict(kept)
         trial[k] = tier_int(timings[k])
-        if len(render(trial, len(timings) - len(trial))) > _STDOUT_LINE_LIMIT:
+        dropped_n = len(timings) - len(trial)
+        if len(render(trial, ["x"] * dropped_n, name_keys=False)) \
+                > _STDOUT_LINE_LIMIT:
             break
         kept = trial
-    return render(kept, len(timings) - len(kept))
+    dropped = [q for q in timings if q not in kept]
+    return render(kept, dropped, name_keys=False)
 
 
 def main() -> None:

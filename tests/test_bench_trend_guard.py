@@ -93,3 +93,36 @@ def test_real_trend_file_parses():
     # the committed trend log must stay consumable by the guard
     rc = bench_trend.run(REPO / "BENCH_TREND.jsonl", None, 10.0, 1e9)
     assert rc == 0
+
+
+def test_driver_boundary_rows_excluded(tmp_path, capsys, monkeypatch):
+    """Round-10 verdict item 3: a driver-authored round-boundary row
+    (4-5x faster capture-box artifact) must not sit in the
+    trailing-median history NOR be the pairwise-diff baseline — without
+    the exclusion, the fast row makes the next honest run look like a
+    spike."""
+    monkeypatch.setattr(
+        bench_trend, "_is_driver_row", lambda r, repo: r["commit"] == "drv"
+    )
+    rows = [
+        _row("aaa", 0.1, {"q": 2.00}),
+        _row("bbb", 0.1, {"q": 2.10}),
+        _row("ccc", 0.1, {"q": 1.95}),
+        _row("drv", 0.1, {"q": 0.45}),  # driver capture artifact
+        _row("ddd", 0.1, {"q": 2.05}),  # honest run: 4.5x the drv row
+    ]
+    rc = bench_trend.run(_write(tmp_path, rows), None, 0.6, 2.0)
+    out = capsys.readouterr().out
+    assert "drv" in out and "excluding" in out
+    assert rc == 0  # vs honest history ddd is quiet
+    # control: WITH the driver row in history the same data flags
+    monkeypatch.setattr(bench_trend, "_is_driver_row", lambda r, repo: False)
+    rc2 = bench_trend.run(_write(tmp_path, rows), None, 0.6, 2.0)
+    assert rc2 == 1
+
+
+def test_unresolvable_commits_fail_open():
+    # tmp-dir trend files aren't in a git repo: _is_driver_row must
+    # return False (keep the row) instead of raising
+    assert bench_trend._is_driver_row({"commit": "zzzzzzz"}, REPO) is False
+    assert bench_trend._is_driver_row({"commit": None}, REPO) is False

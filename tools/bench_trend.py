@@ -19,6 +19,16 @@ Entries are compared only within the same sf: the trend log also
 carries sf0.01 smoke rows, and diffing a sf0.01 run against a sf0.1
 run would flag everything.
 
+Driver-authored rows are EXCLUDED from both checks (round-10 verdict
+item 3): the per-round boundary bench runs on the driver's capture box,
+which measured 4-5x faster on text-heavy keys than any builder quiet-box
+run (commit 9c53780) — an artifact of that environment, not a code
+change. Leaving such rows in the trailing-median history biases medians
+and diffs. A row is driver-authored iff its commit's subject matches the
+round-boundary pattern ("round N: verdict/advice/correctness/bench");
+rows whose commit can't be resolved are kept (fail open — a missing git
+object must not silence the guard).
+
 Usage: python tools/bench_trend.py [--threshold 0.6] [--spike-factor 2.0]
                                    [--sf 0.1] [--trend-file PATH]
 Exit 1 if either check flags a query. A flagged key means: re-run on a
@@ -29,15 +39,41 @@ as a plan regression.
 from __future__ import annotations
 
 import json
+import re
 import statistics
+import subprocess
 import sys
 from pathlib import Path
+
+_BOUNDARY_RE = re.compile(r"^round \d+: .*(verdict|correctness|bench)")
 
 
 def _arg(flag: str, default, cast):
     if flag in sys.argv:
         return cast(sys.argv[sys.argv.index(flag) + 1])
     return default
+
+
+_SUBJECT_CACHE: dict[str, bool] = {}
+
+
+def _is_driver_row(row: dict, repo: Path) -> bool:
+    """True iff the row's commit is a driver round-boundary artifact
+    commit (see module docstring). Unresolvable commits -> False."""
+    commit = row.get("commit")
+    if not commit:
+        return False
+    if commit in _SUBJECT_CACHE:
+        return _SUBJECT_CACHE[commit]
+    try:
+        subject = subprocess.run(
+            ["git", "-C", str(repo), "log", "-1", "--format=%s", commit],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return False
+    _SUBJECT_CACHE[commit] = bool(_BOUNDARY_RE.match(subject))
+    return _SUBJECT_CACHE[commit]
 
 
 def run(trend_path: Path, sf, threshold: float, spike_factor: float) -> int:
@@ -48,7 +84,19 @@ def run(trend_path: Path, sf, threshold: float, spike_factor: float) -> int:
     ]
     if sf is None and lines:
         sf = lines[-1]["sf"]  # default: the sf of the newest entry
-    rows = [r for r in lines if r.get("sf") == sf]
+    repo = trend_path.resolve().parent
+    driver_rows = {
+        r.get("commit") for r in lines if _is_driver_row(r, repo)
+    }
+    if driver_rows:
+        print(
+            "excluding driver-authored boundary rows from guard history "
+            f"(commits: {', '.join(sorted(map(str, driver_rows)))})"
+        )
+    rows = [
+        r for r in lines
+        if r.get("sf") == sf and r.get("commit") not in driver_rows
+    ]
     if len(rows) < 2:
         print(f"{len(rows)} sf={sf} entries in {trend_path.name} — nothing to diff")
         return 0
