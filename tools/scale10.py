@@ -162,10 +162,20 @@ _X100_KEYS = [
     "curation_split_assign",
     "curation_split_leakage",
     "dedup_clusters_semantic",
+    # round-11 (verdict item 4): the five round-10 operators' 100x legs
+    # plus the round-11 incremental-communities key.
+    # (read_python_datasource_pushdown has no leg: its input is the
+    # fixed synthetic generator, not the fixture — scale-independent.)
+    "agg_countmin_portable",
+    "text_langid_profile",
+    "sample_reservoir",
+    "roundtrip_python_datasource",
+    "graph_communities_lpa",
+    "graph_communities_incremental",
 ]
 
 
-def bench100() -> None:
+def bench100(keys: list[str] | None = None) -> None:
     import __spark_entry__ as entrymod
     from hive_2_spark.session import get_spark
 
@@ -180,11 +190,14 @@ def bench100() -> None:
     spark = get_spark("hive_2_spark_scale100")
     spark.sparkContext.setLogLevel("ERROR")
     qmap = entrymod.queries()
+    run_keys = keys or _X100_KEYS
+    unknown = [k for k in run_keys if k not in qmap]
+    assert not unknown, f"unknown keys: {unknown}"
     results: dict[str, dict] = {}
     for sf_dir, tag, parts in ((X10_DIR, "t10", "32"), (X100_DIR, "t100", "64")):
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-        for key in _X100_KEYS:
+        for key in run_keys:
             best = float("inf")
             # n=3, best-of: the 100x legs are page-cache/JIT sensitive
             # (join_range measured 0.88-1.56 exponents under load; the
@@ -210,7 +223,33 @@ _MD100_BEGIN = "<!-- scale100:begin -->"
 _MD100_END = "<!-- scale100:end -->"
 
 
+def _parse_md100_rows() -> dict[str, dict]:
+    """Existing measured rows from the scale100 block, so a subset run
+    (bench100 --keys ...) MERGES instead of discarding prior legs."""
+    import re
+
+    path = os.path.join(REPO, "SCALING.md")
+    if not os.path.exists(path):
+        return {}
+    text = open(path).read()
+    if _MD100_BEGIN not in text or _MD100_END not in text:
+        return {}
+    block = text.split(_MD100_BEGIN, 1)[1].split(_MD100_END, 1)[0]
+    rows: dict[str, dict] = {}
+    for m in re.finditer(
+        r"^\| (\w+) \| ([\d.]+) \| ([\d.]+) \| (-?[\d.]+) \|$",
+        block, re.M,
+    ):
+        rows[m.group(1)] = {
+            "t10": float(m.group(2)),
+            "t100": float(m.group(3)),
+            "exponent": float(m.group(4)),
+        }
+    return rows
+
+
 def _write_md100(results: dict[str, dict]) -> None:
+    results = {**_parse_md100_rows(), **results}
     lines = [
         _MD100_BEGIN,
         "## Measured: 10x vs 100x (synthetic sf1.0 vs sf10, subset)",
@@ -335,7 +374,10 @@ if __name__ == "__main__":
     elif cmd == "bench":
         bench()
     elif cmd == "bench100":
-        bench100()
+        keys = None
+        if "--keys" in sys.argv:
+            keys = sys.argv[sys.argv.index("--keys") + 1].split(",")
+        bench100(keys)
     elif cmd == "md-from-trend":
         md_from_trend()
     else:
