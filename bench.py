@@ -123,6 +123,7 @@ HEADLINE = [
     "graph_communities_lpa",  # fixed-unroll label-propagation communities
     # --- round-11 additions ---
     "graph_communities_incremental",  # delta-sized community attach
+    "agg_kmv_portable",       # KMV/theta set-intersection sketch
 ]
 
 

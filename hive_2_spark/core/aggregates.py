@@ -724,9 +724,128 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 256  # sketch size: k smallest hash values per set
+_KMV_M = 16 ** 12  # 48-bit hash domain (first 12 md5 hex chars)
+
+
+def _kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t, h): the k smallest distinct 48-bit hashes per priority — the
+    KMV sketch build. Factored out so the plan gate can assert the
+    rank filter compiles to a per-partition WindowGroupLimit (the
+    caller localCheckpoints the tiny result, which truncates lineage
+    and would hide the window from the final plan)."""
+    from pyspark.sql.window import Window
+
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("t"),
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12),
+                16, 10,
+            ).cast("bigint").alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("t").orderBy(F.col("h").asc())
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("t", "h")
+    )
+
+
+def agg_kmv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE KMV/theta sketch for SET-ALGEBRA cardinalities — the
+    third mergeable-summary face beside `agg_hll_portable` (distinct
+    counts) and `agg_countmin_portable` (point frequencies): pairwise
+    union AND intersection estimates over the customer sets of every
+    order-priority pair, from k-minimum-values sketches instead of the
+    exact self-join `event_audience_overlap` pays. At 100 TB the exact
+    pairwise-overlap query reshuffles the membership table; the KMV
+    path scans it ONCE, keeps k=256 hashes per set, and answers every
+    pair from sketch-sized frames.
+
+    Sketch math, exact and engine-portable end-to-end:
+    - h = first 12 md5 hex chars of the custkey as a 48-bit integer;
+    - sketch(S) = k smallest distinct h (per-priority rank window —
+      Catalyst compiles the rn<=k filter to a per-partition
+      WindowGroupLimit, i.e. the distributed k-min merge KMV needs);
+    - theta(S) = k-th smallest if |sketch| = k else M (exact regime);
+    - est|S| = (k-1)*M DIV theta — integer division, (k-1)*M < 2^54;
+    - per pair: theta = least(theta_a, theta_b); among sketch values
+      below theta, union/intersection counts scale by M DIV theta.
+    A sketch with fewer than k values IS its set (est = exact count) —
+    both engines take the same branch. The estimator is checked against
+    the exact overlaps within +-25% in tests/test_sketches.py (k=256 =>
+    ~6.3% standard error; the five priority sets share ~86% of their
+    members, so their estimates are strongly correlated draws).
+
+    Output: t_a, t_b, est_a, est_b, est_union, est_intersection.
+    """
+    sk = _kmv_sketch(spark, sf_dir).localCheckpoint()  # sketch-sized;
+    # checkpointed because it is probed three times below
+    stats = sk.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("mx")
+    ).select(
+        "t",
+        F.when(F.col("n_sk") < _KMV_K, F.lit(_KMV_M).cast("bigint"))
+        .otherwise(F.col("mx")).alias("theta"),
+        F.when(F.col("n_sk") < _KMV_K, F.col("n_sk").cast("bigint"))
+        .otherwise(F.expr(
+            f"CAST(({_KMV_K - 1} * CAST({_KMV_M} AS BIGINT))"
+            " DIV mx AS BIGINT)"
+        )).alias("est"),
+    )
+    a = stats.select(F.col("t").alias("t_a"), F.col("theta").alias("th_a"),
+                     F.col("est").alias("est_a"))
+    b = stats.select(F.col("t").alias("t_b"), F.col("theta").alias("th_b"),
+                     F.col("est").alias("est_b"))
+    pairs = (
+        a.join(b, F.col("t_a") < F.col("t_b"))
+        .select("t_a", "t_b", "est_a", "est_b",
+                F.least("th_a", "th_b").alias("theta"))
+    )
+    am = pairs.join(sk.select(F.col("t").alias("t_a"), "h"), "t_a").filter(
+        F.col("h") < F.col("theta")
+    ).select("t_a", "t_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    bm = pairs.join(sk.select(F.col("t").alias("t_b"), "h"), "t_b").filter(
+        F.col("h") < F.col("theta")
+    ).select("t_a", "t_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    member = am.unionByName(bm).groupBy("t_a", "t_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    counts = member.groupBy("t_a", "t_b").agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+    )
+    # for theta < M the estimate is count * (M/theta) applied to the
+    # below-theta counts; ONE integer DIV per output (counts <= 2k, so
+    # count*M < 2^56 — no overflow, no double rounding)
+    return (
+        pairs.join(counts, ["t_a", "t_b"], "left")
+        .select(
+            "t_a", "t_b", "est_a", "est_b",
+            F.when(F.col("theta") == _KMV_M,
+                   F.coalesce("n_union", F.lit(0)).cast("bigint"))
+            .otherwise(F.expr(
+                f"CAST((COALESCE(n_union, 0) * CAST({_KMV_M} AS BIGINT))"
+                " DIV theta AS BIGINT)"
+            )).alias("est_union"),
+            F.when(F.col("theta") == _KMV_M,
+                   F.coalesce("n_common", F.lit(0)).cast("bigint"))
+            .otherwise(F.expr(
+                f"CAST((COALESCE(n_common, 0) * CAST({_KMV_M} AS BIGINT))"
+                " DIV theta AS BIGINT)"
+            )).alias("est_intersection"),
+        )
+    )
+
+
 QUERIES = {
     "agg_hll_portable": agg_hll_portable,
     "agg_countmin_portable": agg_countmin_portable,
+    "agg_kmv_portable": agg_kmv_portable,
     "agg_gini": agg_gini,
     "agg_groupby": agg_groupby,
     "agg_argmax": agg_argmax,
@@ -758,6 +877,18 @@ def _dk_cms_bucket(jexpr: str, kexpr: str) -> str:
         f"(16 * (strpos('0123456789abcdef', substr({h}, 1, 1)) - 1)"
         f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1))"
     )
+
+
+def _dk_hex_int(hexpr: str, n: int) -> str:
+    """First ``n`` hex chars of ``hexpr`` as a BIGINT (DuckDB side of
+    F.conv(F.substring(h, 1, n), 16, 10) — same strpos nibble trick as
+    :func:`_dk_cms_bucket`, generalized to n nibbles)."""
+    terms = [
+        f"{16 ** (n - i)} * (strpos('0123456789abcdef',"
+        f" substr({hexpr}, {i}, 1)) - 1)"
+        for i in range(1, n + 1)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
 
 
 ORACLES = {
@@ -870,6 +1001,57 @@ SELECT e.shard, CAST(e.k AS BIGINT) AS probe_key,
        CAST(e.est_count AS BIGINT) AS est_count,
        CAST(COALESCE(x.exact_count, 0) AS BIGINT) AS exact_count
 FROM est e LEFT JOIN exacts x ON e.shard = x.shard AND e.k = x.k
+""",
+    # pure integer arithmetic end-to-end (rank-window k-min, MAX, one
+    # integer division per estimate); 12-nibble strpos hex decode
+    # because DuckDB has no conv()
+    "agg_kmv_portable": f"""
+WITH m AS (
+  SELECT DISTINCT o_orderpriority AS t,
+         {_dk_hex_int("md5(CAST(o_custkey AS VARCHAR))", 12)} AS h
+  FROM orders
+), sk AS (
+  SELECT t, h FROM (
+    SELECT t, h, ROW_NUMBER() OVER (PARTITION BY t ORDER BY h ASC) AS rn
+    FROM m
+  ) WHERE rn <= {_KMV_K}
+), stats AS (
+  SELECT t,
+         CASE WHEN COUNT(*) < {_KMV_K} THEN CAST({_KMV_M} AS BIGINT)
+              ELSE MAX(h) END AS theta,
+         CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS BIGINT)
+              ELSE CAST(({_KMV_K - 1} * CAST({_KMV_M} AS BIGINT))
+                        // MAX(h) AS BIGINT) END AS est
+  FROM sk GROUP BY t
+), pairs AS (
+  SELECT a.t AS t_a, b.t AS t_b, a.est AS est_a, b.est AS est_b,
+         LEAST(a.theta, b.theta) AS theta
+  FROM stats a JOIN stats b ON a.t < b.t
+), member AS (
+  SELECT p.t_a, p.t_b, x.h,
+         MAX(CASE WHEN x.side = 'a' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN x.side = 'b' THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN (
+    SELECT 'a' AS side, t, h FROM sk
+    UNION ALL
+    SELECT 'b' AS side, t, h FROM sk
+  ) x ON (x.side = 'a' AND x.t = p.t_a) OR (x.side = 'b' AND x.t = p.t_b)
+  WHERE x.h < p.theta
+  GROUP BY 1, 2, 3
+), counts AS (
+  SELECT t_a, t_b, COUNT(*) AS n_union, SUM(in_a * in_b) AS n_common
+  FROM member GROUP BY 1, 2
+)
+SELECT p.t_a, p.t_b, p.est_a, p.est_b,
+       CASE WHEN p.theta = {_KMV_M}
+            THEN CAST(COALESCE(c.n_union, 0) AS BIGINT)
+            ELSE CAST((COALESCE(c.n_union, 0) * CAST({_KMV_M} AS BIGINT))
+                      // p.theta AS BIGINT) END AS est_union,
+       CASE WHEN p.theta = {_KMV_M}
+            THEN CAST(COALESCE(c.n_common, 0) AS BIGINT)
+            ELSE CAST((COALESCE(c.n_common, 0) * CAST({_KMV_M} AS BIGINT))
+                      // p.theta AS BIGINT) END AS est_intersection
+FROM pairs p LEFT JOIN counts c ON p.t_a = c.t_a AND p.t_b = c.t_b
 """,
     # HUGEINT accumulation mirrors the Spark side's decimal(38,0); the
     # one double division is correctly-rounded IEEE in both engines

@@ -86,6 +86,7 @@ _MODULES: list[str] = [
 _FRONT: list[str] = [
     # --- (a) round-11 additions: new operators, never driver-checked ---
     "read_python_datasource_pushdown", "graph_communities_incremental",
+    "agg_kmv_portable",
     # --- (b) the 43 r1/r2-era keys ---
     # Layer-A / relational (r1)
     "scan_full_table", "project_columns", "project_alias",
@@ -110,7 +111,7 @@ _FRONT: list[str] = [
     "agg_approx", "agg_sketch_merge",
     # --- (c) carry-forward + the start of the r3 tier ---
     "event_paths",
-    "text_stats", "token_count", "lang_id", "fingerprint",
+    "text_stats", "token_count", "lang_id",
 ]
 assert len(_FRONT) == 50, f"driver window must be exactly 50, got {len(_FRONT)}"
 assert len(_FRONT) == len(set(_FRONT)), (

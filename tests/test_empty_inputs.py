@@ -178,6 +178,7 @@ KEYS = [
     # round-11 additions (read_python_datasource_pushdown excluded like
     # read_python_datasource: its rows are synthesized, not table-read)
     "graph_communities_incremental",
+    "agg_kmv_portable",
 ]
 
 

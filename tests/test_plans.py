@@ -200,6 +200,18 @@ def test_langid_profile_topk_is_window_group_limit(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_kmv_sketch_kmin_is_window_group_limit(spark):
+    """agg_kmv_portable's per-set k-min must compile to a per-partition
+    WindowGroupLimit (the distributed k-min merge KMV needs — without
+    the pushdown every partition sorts its full per-type hash stream).
+    Asserted on the sketch-build stage: the operator localCheckpoints
+    its tiny result, which truncates lineage out of the final plan."""
+    from hive_2_spark.core.aggregates import _kmv_sketch
+
+    plan = plan_of(_kmv_sketch(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
 def test_sessionize_single_exchange(spark):
     """Gap-island sessionization must hash-partition on user_id exactly
     once: both windows AND the session group-by reuse that partitioning.

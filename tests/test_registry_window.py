@@ -20,6 +20,7 @@ from hive_2_spark import registry
 # rotation), never as a side effect of adding an operator.
 _ROUND11_NEW = [
     "read_python_datasource_pushdown", "graph_communities_incremental",
+    "agg_kmv_portable",
 ]
 
 _ROTATION = [
@@ -39,7 +40,7 @@ _ROTATION = [
     "event_sessionize", "event_funnel", "event_retention",
     "agg_approx", "agg_sketch_merge",
     "event_paths",
-    "text_stats", "token_count", "lang_id", "fingerprint",
+    "text_stats", "token_count", "lang_id",
 ]
 
 

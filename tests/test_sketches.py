@@ -37,3 +37,51 @@ def test_agg_sketch_merge_key(spark):
     li = load_table(spark, SF_DIR, "lineitem")
     assert row.total_rows == li.count()
     assert row.distinct_parts == li.select("l_partkey").distinct().count()
+
+
+def test_kmv_estimates_track_exact_overlaps(spark):
+    """agg_kmv_portable accuracy gate (round 11): every pairwise size /
+    union / intersection estimate must sit within +-25% of the exact
+    value at sf0.01 (k=256 => ~6.3% standard error; the priority sets
+    share ~86% of their members so the draws are correlated — the gate
+    leaves 4-sigma headroom). At sf0.001 the sets are smaller than k,
+    so the sketch IS the set and the estimates must be EXACT."""
+    from tests.conftest import SF_DIR_MID
+
+    from hive_2_spark.core.aggregates import agg_kmv_portable
+
+    m = (
+        load_table(spark, SF_DIR_MID, "orders")
+        .select(F.col("o_orderpriority").alias("t"), "o_custkey")
+        .distinct()
+    )
+    sizes = {r.t: r.n for r in
+             m.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()}
+    a = m.select(F.col("t").alias("t_a"), "o_custkey")
+    b = m.select(F.col("t").alias("t_b"), "o_custkey")
+    inter = {
+        (r.t_a, r.t_b): r.n
+        for r in a.join(b, "o_custkey")
+        .filter(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in agg_kmv_portable(spark, SF_DIR_MID).collect():
+        ex_a, ex_b = sizes[r.t_a], sizes[r.t_b]
+        ex_i = inter[(r.t_a, r.t_b)]
+        ex_u = ex_a + ex_b - ex_i
+        for est, exact in ((r.est_a, ex_a), (r.est_b, ex_b),
+                           (r.est_union, ex_u), (r.est_intersection, ex_i)):
+            assert abs(est - exact) <= 0.25 * exact, (r, est, exact)
+
+    # exact regime at sf0.001: |set| < k -> estimates are exact counts
+    m1 = (
+        load_table(spark, SF_DIR, "orders")
+        .select(F.col("o_orderpriority").alias("t"), "o_custkey")
+        .distinct()
+    )
+    sizes1 = {r.t: r.n for r in
+              m1.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert max(sizes1.values()) < 256  # precondition for the claim
+    for r in agg_kmv_portable(spark, SF_DIR).collect():
+        assert r.est_a == sizes1[r.t_a] and r.est_b == sizes1[r.t_b]
