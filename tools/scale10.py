@@ -172,6 +172,7 @@ _X100_KEYS = [
     "roundtrip_python_datasource",
     "graph_communities_lpa",
     "graph_communities_incremental",
+    "agg_kmv_portable",
 ]
 
 
