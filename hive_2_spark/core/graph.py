@@ -412,33 +412,12 @@ def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_DELTA_MOD = 7  # doc_id % 7 == 0 -> the "new arrivals" delta slice
 
 
-def graph_communities_incremental(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Incremental label maintenance for :func:`graph_communities_lpa`
-    — the streaming-shaped face of community detection (round-10
-    verdict item 7): when a DELTA of new documents arrives, do NOT
-    re-run LPA over the full graph; attach each delta node to an
-    existing community by one plurality vote over its already-labeled
-    neighbors. Work is proportional to the DELTA's incident edges —
-    the same cost discipline as `dedup_incremental` — while the base
-    labeling is the amortized corpus state (recomputed here only so
-    the oracle can replay it; production stores it).
-
-    Semantics (deterministic, fully SQL-replayable):
-    - delta = nodes with doc_id % ``_INC_DELTA_MOD`` == 0; base = rest;
-    - base labels = ``_LPA_ROUNDS`` of the SAME semi-synchronous LPA,
-      restricted to base-base edges;
-    - each delta node adopts the mode of its BASE neighbors' labels
-      (count desc, label asc — one vote round over delta-base edges
-      only; delta-delta edges are deliberately ignored, the standard
-      one-shot approximation: arrivals attach independently);
-    - a delta node with no labeled neighbor founds a singleton
-      community labeled with its own doc_id.
-
-    Output: (community, n_docs, n_delta) — community census with how
-    many members arrived in the delta.
-    """
+def _inc_edges_and_base(spark: SparkSession, sf_dir: str):
+    """(edges, base_labels) for the incremental-communities family —
+    shared by the batch key below and the streaming attach face
+    (streaming/communities.py), so the two can't drift. ``edges`` is
+    the symmetrized near-dup pair set (checkpointed); ``base_labels``
+    is the ``_LPA_ROUNDS`` LPA fixpoint over base-base edges."""
     from pyspark.sql.window import Window
 
     from hive_2_spark.llm.dedup import dedup_ngram_jaccard
@@ -478,6 +457,43 @@ def graph_communities_incremental(
             .select("node", "lbl")
             .localCheckpoint()
         )
+    return edges, labels
+
+
+def graph_communities_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental label maintenance for :func:`graph_communities_lpa`
+    — the streaming-shaped face of community detection (round-10
+    verdict item 7): when a DELTA of new documents arrives, do NOT
+    re-run LPA over the full graph; attach each delta node to an
+    existing community by one plurality vote over its already-labeled
+    neighbors. Work is proportional to the DELTA's incident edges —
+    the same cost discipline as `dedup_incremental` — while the base
+    labeling is the amortized corpus state (recomputed here only so
+    the oracle can replay it; production stores it).
+
+    Semantics (deterministic, fully SQL-replayable):
+    - delta = nodes with doc_id % ``_INC_DELTA_MOD`` == 0; base = rest;
+    - base labels = ``_LPA_ROUNDS`` of the SAME semi-synchronous LPA,
+      restricted to base-base edges;
+    - each delta node adopts the mode of its BASE neighbors' labels
+      (count desc, label asc — one vote round over delta-base edges
+      only; delta-delta edges are deliberately ignored, the standard
+      one-shot approximation: arrivals attach independently);
+    - a delta node with no labeled neighbor founds a singleton
+      community labeled with its own doc_id.
+
+    Output: (community, n_docs, n_delta) — community census with how
+    many members arrived in the delta.
+    """
+    from pyspark.sql.window import Window
+
+    edges, labels = _inc_edges_and_base(spark, sf_dir)
+    is_delta = lambda c: c % _INC_DELTA_MOD == 0  # noqa: E731
+    argmax_w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
     # --- the incremental step: delta-sized, one vote round ---
     delta_nodes = (
         edges.filter(is_delta(F.col("src")))
