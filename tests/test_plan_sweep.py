@@ -58,6 +58,14 @@ CARTESIAN_OK = {
                             # (n_keys/n_rows/max + percentile scalars) —
                             # the scalar-subquery shape over a histogram
                             # whose size is the count-of-counts domain
+    "agg_kmv_portable",     # t_a < t_b pair join over the 5-row per-
+                            # type sketch-stats frame — pure-inequality
+                            # join of a METADATA-sized relation (|types|
+                            # rows, never data-sized); nested-loop IS
+                            # the right plan, like sql_recursive_cte.
+                            # The corpus-sized stage (distinct member-
+                            # ship scan + k-min window) is hash/window
+                            # partitioned and plan-gated separately.
 }
 PYTHON_OK = {
     "udf_scalar",
