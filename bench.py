@@ -124,6 +124,7 @@ HEADLINE = [
     # --- round-11 additions ---
     "graph_communities_incremental",  # delta-sized community attach
     "agg_kmv_portable",       # KMV/theta set-intersection sketch
+    "sim_mrl_topk",           # Matryoshka coarse-to-fine ANN
 ]
 
 

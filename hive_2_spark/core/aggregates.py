@@ -728,16 +728,20 @@ _KMV_K = 256  # sketch size: k smallest hash values per set
 _KMV_M = 16 ** 12  # 48-bit hash domain (first 12 md5 hex chars)
 
 
-def _kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmv_sketch(
+    spark: SparkSession, sf_dir: str, orders: DataFrame | None = None
+) -> DataFrame:
     """(t, h): the k smallest distinct 48-bit hashes per priority — the
-    KMV sketch build. Factored out so the plan gate can assert the
+    KMV sketch build. Factored out so (a) the plan gate can assert the
     rank filter compiles to a per-partition WindowGroupLimit (the
     caller localCheckpoints the tiny result, which truncates lineage
-    and would hide the window from the final plan)."""
+    and would hide the window from the final plan) and (b) the
+    mergeability gate can sketch arbitrary slices (``orders`` override)
+    and prove slice-sketch union == whole-corpus sketch."""
     from pyspark.sql.window import Window
 
     m = (
-        load_table(spark, sf_dir, "orders")
+        (orders if orders is not None else load_table(spark, sf_dir, "orders"))
         .select(
             F.col("o_orderpriority").alias("t"),
             F.conv(

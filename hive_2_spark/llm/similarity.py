@@ -526,8 +526,103 @@ def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_DIM = 32  # coarse prefix width (Matryoshka truncation)
+_MRL_CAND = 50  # candidates the coarse pass keeps per query
+
+
+def sim_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine ANN via Matryoshka-style prefix truncation — the
+    third scale path beside sign-LSH (bucketing) and IVF (centroid
+    routing): score the corpus on the FIRST ``_MRL_DIM`` dimensions
+    (cheap coarse pass), keep ``_MRL_CAND`` candidates per query, then
+    re-rank ONLY the candidates with the exact full-dimension cosine.
+    MRL-trained embeddings pack most of the signal into the prefix, so
+    the fine pass touches a constant-per-query candidate set; on this
+    synthetic (worst-case random) corpus the recall@5 vs the exact
+    `sim_cosine_topk` is gated >= 0.6 per query in tests/test_ann_recall.
+
+    Scale: the coarse kernel does dim/2 of the full-scoring work per
+    row (in a production layout the prefix lives in its OWN column so
+    the scan reads dim/2 of the bytes too); only 24-byte (q, id, cos)
+    triples shuffle into the per-query WindowGroupLimit; the fine pass
+    re-reads just the semi-joined candidate rows. Both stages rank on
+    ROUND(,6) cosines with vec_id tie-breaks, so the whole pipeline —
+    candidates AND final ranks — is hash-replayed by the oracle.
+
+    Output: q_id, vec_id, cos (full-dim), rk — sim_cosine_topk's shape.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", _as_double(F.col("embedding"))
+    )
+    q = _collect_queries(e)
+    if q is None:  # empty corpus -> empty result, right schema
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, cos double, rk long"
+        )
+    qmat, _ = q
+    qpre = qmat[:, :_MRL_DIM]
+    qpre_n = np.sqrt(_fold_sq(qpre))
+    qfull_n = np.sqrt(_fold_sq(qmat))
+
+    @F.pandas_udf("array<double>")
+    def cos_prefix(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(vec.to_numpy()).astype(np.float64)[:, :_MRL_DIM]
+        nx = np.sqrt(_fold_sq(x))
+        cos = _fold_dot(x, qpre) / (nx[:, None] * qpre_n[None, :])
+        return pd.Series(list(cos))
+
+    @F.pandas_udf("array<double>")
+    def cos_full(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(vec.to_numpy()).astype(np.float64)
+        nx = np.sqrt(_fold_sq(x))
+        cos = _fold_dot(x, qmat) / (nx[:, None] * qfull_n[None, :])
+        return pd.Series(list(cos))
+
+    coarse = (
+        e.select("vec_id", F.posexplode(cos_prefix("vec")).alias(
+            "q_pos", "ccos_raw"))
+        .filter(F.col("vec_id") != F.col("q_pos"))
+        .select(
+            F.col("q_pos").cast("long").alias("q_id"), "vec_id",
+            F.round("ccos_raw", 6).alias("ccos"),
+        )
+    )
+    cw = W.partitionBy("q_id").orderBy(
+        F.col("ccos").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        coarse.withColumn("crk", F.row_number().over(cw))
+        .filter(F.col("crk") <= _MRL_CAND)
+        .select("q_id", "vec_id")
+    )
+    fine_rows = e.join(
+        cand.select("vec_id").distinct(), "vec_id", "left_semi"
+    )
+    fine = (
+        fine_rows.select(
+            "vec_id", F.posexplode(cos_full("vec")).alias("q_pos", "cos_raw")
+        )
+        .select(
+            F.col("q_pos").cast("long").alias("q_id"), "vec_id",
+            F.round("cos_raw", 6).alias("cos"),
+        )
+        .join(cand, ["q_id", "vec_id"])  # keep candidate pairs only
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        fine.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "cos", "rk")
+    )
+
+
 QUERIES = {
     "sim_maxsim_topk": sim_maxsim_topk,
+    "sim_mrl_topk": sim_mrl_topk,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_cosine_lsh": sim_cosine_lsh,
     "sim_pairwise_label": sim_pairwise_label,
@@ -665,6 +760,32 @@ ORACLES = {
         "AS rk FROM cands) "
         "SELECT q_id, vec_id, cos, CAST(rk AS BIGINT) AS rk, bucket "
         "FROM ranked WHERE rk <= 5"
+    ),
+    # coarse pass = the SAME rounded-cosine recipe over list_slice'd
+    # 32-dim prefixes; candidate cut AND final ranks replayed exactly
+    "sim_mrl_topk": (
+        "WITH e AS (SELECT vec_id, "
+        f"{_DK_VEC.format(c='embedding')} AS vec FROM embeddings), "
+        "q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 3), "
+        "coarse AS (SELECT e.vec_id, q.q_id, ROUND("
+        + _dk_cos(
+            f"list_slice(e.vec, 1, {_MRL_DIM})",
+            f"list_slice(q.q_vec, 1, {_MRL_DIM})",
+        )
+        + ", 6) AS ccos "
+        "FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id), "
+        "cand AS (SELECT q_id, vec_id FROM ("
+        "SELECT q_id, vec_id, ROW_NUMBER() OVER ("
+        "PARTITION BY q_id ORDER BY ccos DESC, vec_id ASC) AS crk "
+        f"FROM coarse) WHERE crk <= {_MRL_CAND}), "
+        "fine AS (SELECT c.q_id, c.vec_id, "
+        f"ROUND({_dk_cos('e.vec', 'q.q_vec')}, 6) AS cos "
+        "FROM cand c JOIN e ON e.vec_id = c.vec_id "
+        "JOIN q ON q.q_id = c.q_id) "
+        "SELECT q_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM ("
+        "SELECT q_id, vec_id, cos, ROW_NUMBER() OVER ("
+        "PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM fine) "
+        "WHERE rk <= 5"
     ),
     "sim_cosine_topk": (
         "WITH e AS (SELECT vec_id, "

@@ -75,18 +75,18 @@ _MODULES: list[str] = [
 # of round 10, computed mechanically from the union of genuine driver
 # windows r1-r6, r9, r10 — the r7/r8 artifacts were byte-copies of r6).
 # Keys 1-50 are the driver window:
-# (a) the two round-11 operators — never driver-checked;
+# (a) the four round-11 operators — never driver-checked;
 # (b) all 43 keys whose latest genuine driver hash-check is r1/r2
 #     (fixtures regenerated twice since), float/rounding risk first:
 #     Layer-A relational, joins, writes, dedup/sim, events, sketches;
 # (c) event_paths (carried: sat at _FRONT slot 52 in round 10, just
-#     outside the 50-key window) + the first 4 of the r3-era tier.
+#     outside the 50-key window) + the first 2 of the r3-era tier.
 # Exactly 50 — asserted below so rotation accounting can't drift
 # (round-11 ADVICE: r10's 52-key _FRONT silently wasted 2 slots).
 _FRONT: list[str] = [
     # --- (a) round-11 additions: new operators, never driver-checked ---
     "read_python_datasource_pushdown", "graph_communities_incremental",
-    "agg_kmv_portable",
+    "agg_kmv_portable", "sim_mrl_topk",
     # --- (b) the 43 r1/r2-era keys ---
     # Layer-A / relational (r1)
     "scan_full_table", "project_columns", "project_alias",
@@ -111,7 +111,7 @@ _FRONT: list[str] = [
     "agg_approx", "agg_sketch_merge",
     # --- (c) carry-forward + the start of the r3 tier ---
     "event_paths",
-    "text_stats", "token_count", "lang_id",
+    "text_stats", "token_count",
 ]
 assert len(_FRONT) == 50, f"driver window must be exactly 50, got {len(_FRONT)}"
 assert len(_FRONT) == len(set(_FRONT)), (

@@ -109,3 +109,31 @@ def test_pq_recovers_planted_twins(spark):
         adc[si] = np.inf
         top5 = set(int(t) for t in ids[np.argsort(adc)[:5]])
         assert int(ids[si]) + 1_000_000 in top5, ids[si]
+
+
+def test_mrl_recall_vs_brute_force(spark):
+    """Coarse-to-fine MRL search: the 32-dim-prefix coarse pass + exact
+    rerank must recover most of the full-dim exact top-5. The synthetic
+    embeddings are RANDOM (the worst case for prefix truncation — real
+    MRL-trained vectors concentrate signal in the prefix); measured
+    recall at sf0.01 is 0.8-1.0 per query, so gate per-query >= 0.6 and
+    mean >= 0.75 with headroom."""
+    from hive_2_spark.llm.similarity import sim_mrl_topk
+    from tests.conftest import SF_DIR_MID
+
+    exact = _topk_sets(sim_cosine_topk(spark, SF_DIR_MID))
+    approx = _topk_sets(sim_mrl_topk(spark, SF_DIR_MID))
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert min(recalls) >= 0.6, recalls
+    assert sum(recalls) / len(recalls) >= 0.75, recalls
+    # the fine stage is EXACT on its candidates: any returned neighbor
+    # that is in the exact top-5 must carry the same rounded cosine
+    exact_cos = {
+        (r.q_id, r.vec_id): r.cos
+        for r in sim_cosine_topk(spark, SF_DIR_MID).collect()
+    }
+    for r in sim_mrl_topk(spark, SF_DIR_MID).collect():
+        if (r.q_id, r.vec_id) in exact_cos:
+            assert r.cos == exact_cos[(r.q_id, r.vec_id)]

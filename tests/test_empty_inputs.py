@@ -179,6 +179,7 @@ KEYS = [
     # read_python_datasource: its rows are synthesized, not table-read)
     "graph_communities_incremental",
     "agg_kmv_portable",
+    "sim_mrl_topk",
 ]
 
 

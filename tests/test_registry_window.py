@@ -12,15 +12,15 @@ from pathlib import Path
 
 from hive_2_spark import registry
 
-# Round-11 window: (a) the two new round-11 operators (never
+# Round-11 window: (a) the four new round-11 operators (never
 # driver-checked), then (b) the rotation recorded in NOTES.md at the
 # end of round 10 — ALL 43 keys whose latest genuine driver hash-check
-# is r1/r2, then (c) the event_paths carry-forward + the first 4 keys
+# is r1/r2, then (c) the event_paths carry-forward + the first 2 keys
 # of the r3-era tier to fill exactly 50. Update deliberately (with a
 # rotation), never as a side effect of adding an operator.
 _ROUND11_NEW = [
     "read_python_datasource_pushdown", "graph_communities_incremental",
-    "agg_kmv_portable",
+    "agg_kmv_portable", "sim_mrl_topk",
 ]
 
 _ROTATION = [
@@ -40,7 +40,7 @@ _ROTATION = [
     "event_sessionize", "event_funnel", "event_retention",
     "agg_approx", "agg_sketch_merge",
     "event_paths",
-    "text_stats", "token_count", "lang_id",
+    "text_stats", "token_count",
 ]
 
 

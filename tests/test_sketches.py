@@ -85,3 +85,36 @@ def test_kmv_estimates_track_exact_overlaps(spark):
     assert max(sizes1.values()) < 256  # precondition for the claim
     for r in agg_kmv_portable(spark, SF_DIR).collect():
         assert r.est_a == sizes1[r.t_a] and r.est_b == sizes1[r.t_b]
+
+
+def test_kmv_sketch_merge_is_exact(spark):
+    """KMV mergeability contract — the property that makes the sketch a
+    100 TB rollup primitive: sketch three disjoint slices of orders
+    independently, union the sketches, cut back to the k smallest, and
+    the result must equal the whole-corpus sketch EXACTLY (k-min merge
+    is associative; no estimate drift from sharding)."""
+    from pyspark.sql.window import Window
+
+    from hive_2_spark.core.aggregates import _KMV_K, _kmv_sketch
+    from tests.conftest import SF_DIR_MID
+
+    whole = {
+        (r.t, r.h) for r in _kmv_sketch(spark, SF_DIR_MID).collect()
+    }
+    orders = load_table(spark, SF_DIR_MID, "orders")
+    parts = [
+        _kmv_sketch(spark, SF_DIR_MID, orders.filter(
+            F.col("o_orderkey") % 3 == i))
+        for i in range(3)
+    ]
+    merged_df = parts[0].unionByName(parts[1]).unionByName(parts[2]).distinct()
+    w = Window.partitionBy("t").orderBy(F.col("h").asc())
+    merged = {
+        (r.t, r.h)
+        for r in merged_df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("t", "h")
+        .collect()
+    }
+    assert merged == whole
+    assert len(whole) > 0

@@ -173,6 +173,7 @@ _X100_KEYS = [
     "graph_communities_lpa",
     "graph_communities_incremental",
     "agg_kmv_portable",
+    "sim_mrl_topk",
 ]
 
 
