@@ -125,6 +125,9 @@ HEADLINE = [
     "graph_communities_incremental",  # delta-sized community attach
     "agg_kmv_portable",       # KMV/theta set-intersection sketch
     "sim_mrl_topk",           # Matryoshka coarse-to-fine ANN
+    "graph_cc_largestar",     # O(log n)-round star-contraction CC
+    "event_bot_regularity",   # inter-arrival-regularity bot gate
+    "layout_rendezvous_shards",  # HRW stable sharding movement audit
 ]
 
 

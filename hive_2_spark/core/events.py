@@ -781,7 +781,79 @@ FROM streaks GROUP BY user_id
 """
 
 
+_BOT_MIN_EVENTS = 20       # below this a user can't be classified
+_BOT_CV2_E6_MAX = 250_000  # cv^2 < 0.25 (cv < 0.5): timer-like regularity
+
+
+def event_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by INTER-ARRIVAL REGULARITY — the
+    traffic-quality gate a training-data event pipeline runs before
+    trusting engagement signals: organic human activity has roughly
+    exponential gaps (coefficient of variation ~= 1), while scripted
+    clients fire on timers (cv -> 0). Flags users whose squared cv is
+    below ``_BOT_CV2_E6_MAX``/1e6 with at least ``_BOT_MIN_EVENTS``
+    events.
+
+    Exact-integer discipline end to end (the `agg_gini` pattern): gaps
+    are exact epoch-microsecond differences; S1 = sum(gap) (bigint —
+    telescopes to the user's active span), S2 = sum(gap^2) accumulated
+    in decimal(38,0) (a week-long gap squared is ~1e23, past bigint);
+    cv^2 = (n*S2 - S1^2)/S1^2 is emitted as the integer
+    ``cv2_e6`` = (n*S2 - S1^2)*1e6 DIV S1^2 — no doubles anywhere, so
+    the DuckDB oracle (HUGEINT) hash-matches bit-exactly. An all-ties
+    user (S1 = 0) is perfectly regular: cv2_e6 = 0 by definition, not
+    a division.
+
+    Scale: one user-partitioned lag window + one user-keyed aggregate
+    sharing the same hash partitioning (single Exchange); output is
+    user-sized. No corpus-sized state.
+
+    Output: user_id, n_events, span_us, mean_gap_us, cv2_e6, is_bot.
+    """
+    return _bot_report(load_table(spark, sf_dir, "events"))
+
+
+def _bot_report(e: DataFrame) -> DataFrame:
+    """Regularity census over any (user_id, ts, event_id) frame —
+    factored out so the planted-bot pytest can feed a synthetic timer
+    user through the exact production formula."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    dec = F.col("gap").cast("decimal(19,0)")
+    stats = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    cv2 = F.when(F.col("s1") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr(
+            "CAST((n_gaps * s2 - CAST(s1 AS DECIMAL(38,0)) * s1) * 1000000"
+            " DIV (CAST(s1 AS DECIMAL(38,0)) * s1) AS BIGINT)"
+        )
+    )
+    out = stats.select(
+        "user_id",
+        (F.col("n_gaps") + 1).cast("bigint").alias("n_events"),
+        F.col("s1").cast("bigint").alias("span_us"),
+        F.expr("s1 DIV n_gaps").cast("bigint").alias("mean_gap_us"),
+        cv2.alias("cv2_e6"),
+    )
+    return out.withColumn(
+        "is_bot",
+        (
+            (F.col("n_events") >= _BOT_MIN_EVENTS)
+            & (F.col("cv2_e6") < _BOT_CV2_E6_MAX)
+        ).cast("bigint"),
+    )
+
+
 QUERIES = {
+    "event_bot_regularity": event_bot_regularity,
     "event_cumulative_reach": event_cumulative_reach,
     "event_streaks": event_streaks,
     "event_concurrency_peak": event_concurrency_peak,
@@ -838,7 +910,38 @@ FROM pairs p JOIN sizes sa ON p.t_a = sa.event_type
 JOIN sizes sb ON p.t_b = sb.event_type
 """
 
+_BOT_REGULARITY_ORACLE = f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS s1,
+         SUM(CAST(gap AS HUGEINT) * gap) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+), r AS (
+  SELECT user_id,
+         n_gaps + 1 AS n_events,
+         s1 AS span_us,
+         s1 // n_gaps AS mean_gap_us,
+         CASE WHEN s1 = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((n_gaps * s2 - CAST(s1 AS HUGEINT) * s1) * 1000000
+                        // (CAST(s1 AS HUGEINT) * s1) AS BIGINT)
+         END AS cv2_e6
+  FROM s
+)
+SELECT user_id, n_events, span_us, mean_gap_us, cv2_e6,
+       CAST(CASE WHEN n_events >= {_BOT_MIN_EVENTS}
+                  AND cv2_e6 < {_BOT_CV2_E6_MAX}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+FROM r
+"""
+
 ORACLES = {
+    "event_bot_regularity": _BOT_REGULARITY_ORACLE,
     "event_cumulative_reach": _REACH_ORACLE,
     "event_streaks": _STREAKS_ORACLE,
     "event_concurrency_peak": _CONCURRENCY_ORACLE,

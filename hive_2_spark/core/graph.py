@@ -539,6 +539,109 @@ def graph_communities_incremental(
     )
 
 
+_CC_STAR_ROUNDS = 3  # large-star/small-star pairs; fixture converges in 1
+# (measured: the sf0.01 near-dup graph's 55 components, max size 4, reach
+# the star-forest fixed point after ONE pair), and converged star forests
+# are FIXED POINTS of both operations, so any unroll >= convergence depth
+# returns the identical edge set — the oracle can replay a fixed 3 safely.
+
+
+def _cc_large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond', SoCC'14): every node connects its STRICTLY
+    LARGER neighbors to the minimum of its closed neighborhood."""
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    mn = sym.groupBy("u").agg(
+        F.least(F.col("u"), F.min("v")).alias("m")
+    )
+    return (
+        sym.join(mn, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: edges canonicalized (larger, smaller); each
+    node connects its smaller-or-equal neighbors AND itself to the
+    minimum of that neighborhood."""
+    canon = (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    mn = canon.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        canon.join(mn, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionAll(mn.select("u", F.col("m").alias("v")))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def graph_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    rounds — the O(log n)-round CC algorithm massive graphs need,
+    beside the existing fixpoint min-propagation
+    (``llm/advanced.py::dedup_clusters``), which takes
+    O(component diameter) rounds. On a web-scale near-dup graph a
+    boilerplate chain can have diameter in the thousands; star rounds
+    collapse it in a logarithmic number of passes (Kiveris et al.,
+    SoCC'14), each pass a groupBy + self-join + distinct over an edge
+    set that only shrinks.
+
+    Determinism/oracle: every round is a pure function of the edge set
+    (min over neighborhoods, exact integer ids), and a converged star
+    forest is a FIXED POINT of both operations, so the fixed
+    ``_CC_STAR_ROUNDS`` unroll replays hash-exactly in DuckDB. A
+    production run loops until the edge set is unchanged;
+    tests/test_round11_ops.py drives the same round functions on a
+    48-node path graph (diameter 47 — far beyond the unroll) to the
+    fixed point and checks against union-find ground truth.
+
+    Scale: state is edge-sized and monotonically shrinking toward one
+    edge per non-root node; each round's join keys on the same column
+    its groupBy just hash-partitioned (the exchange is reused, not
+    repeated); per-round localCheckpoint truncates the lineage exactly
+    like the PageRank/LPA loops.
+
+    Output: (component, n_docs) — component = min doc_id, census row
+    per component (singletons excluded: isolated docs never enter the
+    pair graph).
+    """
+    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id").distinct()
+    )
+    e = (
+        pairs.filter(F.col("a_id") != F.col("b_id"))
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select("u")
+        .unionAll(e.select(F.col("v").alias("u")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = e
+    for _ in range(_CC_STAR_ROUNDS):
+        cur = _cc_small_star(_cc_large_star(cur)).localCheckpoint()
+    parents = cur.groupBy("u").agg(F.min("v").alias("p"))
+    comp = nodes.join(parents, "u", "left").select(
+        F.coalesce("p", F.col("u")).alias("component")
+    )
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_converged": graph_pagerank_converged,
@@ -546,6 +649,7 @@ QUERIES = {
     "graph_bfs_distance": graph_bfs_distance,
     "graph_communities_lpa": graph_communities_lpa,
     "graph_communities_incremental": graph_communities_incremental,
+    "graph_cc_largestar": graph_cc_largestar,
 }
 
 # mirrors the Spark side exactly: precomputed per-edge weight 1.0/deg,
@@ -813,6 +917,52 @@ FROM all_l GROUP BY lbl
 """
 
 
+def _cc_largestar_sql() -> str:
+    """Unrolls every large-star/small-star pair, then the parent census
+    — the same exact-integer round functions as the Spark side."""
+    from hive_2_spark.llm.dedup import ORACLES as _DEDUP_ORACLES
+
+    pairs = _DEDUP_ORACLES["dedup_ngram_jaccard"]
+    rounds = []
+    for k in range(1, _CC_STAR_ROUNDS + 1):
+        p = k - 1
+        rounds.append(
+            f"""ls{k} AS MATERIALIZED (
+  WITH sym AS (SELECT u, v FROM e{p} UNION SELECT v, u FROM e{p}),
+  mn AS (SELECT u, LEAST(u, MIN(v)) AS m FROM sym GROUP BY u)
+  SELECT DISTINCT s.v AS u, mn.m AS v
+  FROM sym s JOIN mn ON s.u = mn.u WHERE s.v > s.u
+), e{k} AS MATERIALIZED (
+  WITH canon AS (
+    SELECT DISTINCT GREATEST(u, v) AS u, LEAST(u, v) AS v
+    FROM ls{k} WHERE u <> v
+  ),
+  mn AS (SELECT u, MIN(v) AS m FROM canon GROUP BY u)
+  SELECT DISTINCT u, v FROM (
+    SELECT c.v AS u, mn.m AS v FROM canon c JOIN mn ON c.u = mn.u
+    UNION ALL
+    SELECT u, m AS v FROM mn
+  ) WHERE u <> v
+)"""
+        )
+    kf = _CC_STAR_ROUNDS
+    return f"""
+WITH p AS (SELECT DISTINCT a_id, b_id FROM ({pairs})),
+e0 AS MATERIALIZED (
+  SELECT a_id AS u, b_id AS v FROM p WHERE a_id <> b_id
+),
+{",".join(rounds)},
+par AS (SELECT u, MIN(v) AS pr FROM e{kf} GROUP BY u),
+nodes AS (
+  SELECT DISTINCT u FROM (SELECT u FROM e0 UNION ALL SELECT v FROM e0)
+)
+SELECT COALESCE(par.pr, nodes.u) AS component,
+       COUNT(*) AS n_docs
+FROM nodes LEFT JOIN par ON nodes.u = par.u
+GROUP BY 1
+"""
+
+
 ORACLES = {
     "graph_pagerank": _pagerank_sql(),
     "graph_pagerank_converged": _pagerank_converged_sql(),
@@ -820,4 +970,5 @@ ORACLES = {
     "graph_bfs_distance": _BFS_SQL,
     "graph_communities_lpa": _communities_lpa_sql(),
     "graph_communities_incremental": _communities_incremental_sql(),
+    "graph_cc_largestar": _cc_largestar_sql(),
 }

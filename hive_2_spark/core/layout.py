@@ -180,13 +180,141 @@ def catalog_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RV_N = 8  # shard count before the capacity change (after: _RV_N + 1)
+
+
+def _hrw_hash(doc: Column, shard: int) -> Column:
+    """48-bit rendezvous weight of (doc, shard): the first 12 md5 hex
+    chars of 'doc:shard' as an integer — deterministic, engine-neutral
+    (the same md5-prefix idiom as the KMV/reservoir samplers)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(doc.cast("string"), F.lit(f":{shard}"))), 1, 12
+        ),
+        16, 10,
+    ).cast("bigint")
+
+
+def _hrw_shard(doc: Column, n: int) -> Column:
+    """Highest-random-weight (rendezvous) shard for ``doc`` among
+    shards 0..n-1: argmax over the per-shard weights, built as ONE
+    ``greatest`` expression over (weight, shard) structs — plan-time
+    expression construction, whole-stage codegen at run time, no
+    explode and no shuffle."""
+    return F.greatest(
+        *[
+            F.struct(
+                _hrw_hash(doc, s).alias("h"),
+                F.lit(s).cast("bigint").alias("s"),
+            )
+            for s in range(n)
+        ]
+    )["s"]
+
+
+def layout_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STABLE shard assignment by rendezvous (highest-random-weight)
+    hashing, and the movement audit for a capacity change from
+    ``_RV_N`` to ``_RV_N + 1`` shards — the re-sharding discipline an
+    incremental 100 TB pipeline needs: with mod-N placement, growing N
+    by one relocates ~N/(N+1) of ALL documents (every downstream
+    bucketed index and dedup shard rebuilt); with rendezvous hashing
+    only ~1/(N+1) move, and every mover lands on the NEW shard
+    (adding a shard can only create a new argmax, never re-rank the
+    old ones — visible structurally in the output: ``n_arrived`` is 0
+    for every pre-existing shard).
+
+    Exact-integer end to end (md5-prefix weights, argmax with shard-id
+    tiebreak), so the DuckDB oracle replays the assignment bit-for-bit.
+
+    Scale: the assignment is a per-row expression over 2(N+1) md5
+    calls — no join, no shuffle; the census is one shard-keyed
+    aggregate. The movement rate is gated ~1/(N+1) in
+    tests/test_round11_ops.py.
+
+    Output: (scheme, shard, n_docs, n_arrived) — one row per scheme
+    ('rendezvous' | 'mod') and destination shard under N+1, where
+    ``n_arrived`` counts docs whose shard under N differed.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    a = d.select(
+        doc,
+        _hrw_shard(doc, _RV_N).alias("rv_old"),
+        _hrw_shard(doc, _RV_N + 1).alias("rv_new"),
+        (doc % _RV_N).alias("md_old"),
+        (doc % (_RV_N + 1)).alias("md_new"),
+    )
+
+    def census(scheme: str, old: str, new: str) -> DataFrame:
+        return a.groupBy(F.col(new).alias("shard")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col(old) != F.col(new)).cast("bigint"))
+            .alias("n_arrived"),
+        ).select(F.lit(scheme).alias("scheme"), "shard", "n_docs",
+                 "n_arrived")
+
+    return census("rendezvous", "rv_old", "rv_new").unionByName(
+        census("mod", "md_old", "md_new")
+    )
+
+
 QUERIES = {
+    "layout_rendezvous_shards": layout_rendezvous_shards,
     "zorder_layout": zorder_layout,
     "compact_small_files": compact_small_files,
     "catalog_bucketed_join": catalog_bucketed_join,
 }
 
+def _rendezvous_sql() -> str:
+    """Replays both shard layouts: per-(doc, shard) md5 weights over a
+    range() lateral, argmax with the SAME (h desc, s desc) tiebreak as
+    the Spark greatest-struct, then the two movement censuses."""
+    from hive_2_spark.core.aggregates import _dk_hex_int
+
+    n = _RV_N
+    h = _dk_hex_int(
+        "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.s AS VARCHAR))", 12
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, t.s, {h} AS h
+  FROM documents, range({n + 1}) t(s)
+),
+rv_new AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY h DESC, s DESC) AS rn
+    FROM w
+  ) WHERE rn = 1
+),
+rv_old AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY h DESC, s DESC) AS rn
+    FROM w WHERE s < {n}
+  ) WHERE rn = 1
+)
+SELECT 'rendezvous' AS scheme, nw.s AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ol.s <> nw.s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_arrived
+FROM rv_new nw JOIN rv_old ol USING (doc_id)
+GROUP BY nw.s
+UNION ALL
+SELECT 'mod' AS scheme, doc_id % {n + 1} AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % {n} <> doc_id % {n + 1}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_arrived
+FROM documents
+GROUP BY doc_id % {n + 1}
+"""
+
+
 ORACLES = {
+    "layout_rendezvous_shards": _rendezvous_sql(),
     "catalog_bucketed_join": (
         "SELECT o_orderstatus, COUNT(*) AS n_lines, "
         "ROUND(SUM(l_extendedprice), 2) AS revenue "

@@ -84,9 +84,14 @@ _MODULES: list[str] = [
 # Exactly 50 — asserted below so rotation accounting can't drift
 # (round-11 ADVICE: r10's 52-key _FRONT silently wasted 2 slots).
 _FRONT: list[str] = [
-    # --- (a) round-11 additions: new operators, never driver-checked ---
+    # --- (a) round-11 additions: new operators, never driver-checked.
+    # The 3 late-session ops displaced the (c) fillers (event_paths,
+    # text_stats, token_count -> round-12 plan front): a never-checked
+    # operator outranks any rotation filler for a window slot. ---
     "read_python_datasource_pushdown", "graph_communities_incremental",
     "agg_kmv_portable", "sim_mrl_topk",
+    "graph_cc_largestar", "event_bot_regularity",
+    "layout_rendezvous_shards",
     # --- (b) the 43 r1/r2-era keys ---
     # Layer-A / relational (r1)
     "scan_full_table", "project_columns", "project_alias",
@@ -109,9 +114,6 @@ _FRONT: list[str] = [
     "event_sessionize", "event_funnel", "event_retention",
     # sketches (r1, rows-only by documented necessity)
     "agg_approx", "agg_sketch_merge",
-    # --- (c) carry-forward + the start of the r3 tier ---
-    "event_paths",
-    "text_stats", "token_count",
 ]
 assert len(_FRONT) == 50, f"driver window must be exactly 50, got {len(_FRONT)}"
 assert len(_FRONT) == len(set(_FRONT)), (

@@ -180,6 +180,9 @@ KEYS = [
     "graph_communities_incremental",
     "agg_kmv_portable",
     "sim_mrl_topk",
+    "graph_cc_largestar",
+    "event_bot_regularity",
+    "layout_rendezvous_shards",
 ]
 
 

@@ -12,15 +12,19 @@ from pathlib import Path
 
 from hive_2_spark import registry
 
-# Round-11 window: (a) the four new round-11 operators (never
-# driver-checked), then (b) the rotation recorded in NOTES.md at the
-# end of round 10 — ALL 43 keys whose latest genuine driver hash-check
-# is r1/r2, then (c) the event_paths carry-forward + the first 2 keys
-# of the r3-era tier to fill exactly 50. Update deliberately (with a
-# rotation), never as a side effect of adding an operator.
+# Round-11 window: (a) the seven new round-11 operators (never
+# driver-checked — the three late-session ops displaced the filler
+# tier, since a never-checked operator outranks any rotation filler),
+# then (b) the rotation recorded in NOTES.md at the end of round 10 —
+# ALL 43 keys whose latest genuine driver hash-check is r1/r2. The
+# displaced fillers (event_paths, text_stats, token_count) move to the
+# round-12 plan front. Update deliberately (with a rotation), never as
+# a side effect of adding an operator.
 _ROUND11_NEW = [
     "read_python_datasource_pushdown", "graph_communities_incremental",
     "agg_kmv_portable", "sim_mrl_topk",
+    "graph_cc_largestar", "event_bot_regularity",
+    "layout_rendezvous_shards",
 ]
 
 _ROTATION = [
@@ -39,8 +43,6 @@ _ROTATION = [
     "emb_normalize", "emb_quantize_int8",
     "event_sessionize", "event_funnel", "event_retention",
     "agg_approx", "agg_sketch_merge",
-    "event_paths",
-    "text_stats", "token_count",
 ]
 
 

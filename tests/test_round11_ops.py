@@ -228,3 +228,132 @@ def test_incremental_work_is_delta_shaped(spark):
             # a delta-labeled community can only be a self-founded
             # singleton (base labels are never delta ids)
             assert r.n_docs == 1 and r.n_delta == 1
+
+
+def _uf_components(edges):
+    """Union-find ground truth: node -> min-id of its component."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = defaultdict(list)
+    for x in list(parent):
+        comp[find(x)].append(x)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def test_cc_largestar_matches_union_find(spark):
+    from hive_2_spark.core.graph import graph_cc_largestar
+    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+
+    edges = [
+        (r.a_id, r.b_id)
+        for r in dedup_ngram_jaccard(spark, SF_DIR)
+        .select("a_id", "b_id")
+        .collect()
+        if r.a_id != r.b_id
+    ]
+    gt = _uf_components(edges)
+    expect = Counter(gt.values())
+    got = {
+        r.component: r.n_docs
+        for r in graph_cc_largestar(spark, SF_DIR).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_cc_star_rounds_converge_logarithmically_on_a_path(spark):
+    """The reason this operator exists beside the fixpoint
+    min-propagation CC: a PATH of 48 nodes (diameter 47, where label
+    propagation needs ~47 rounds) reaches the star-forest fixed point
+    in <= 2*ceil(log2(48)) = 12 large/small-star pairs — and once
+    fixed, further pairs are no-ops (the idempotence the fixed
+    oracle unroll relies on)."""
+    import math
+
+    from hive_2_spark.core.graph import _cc_large_star, _cc_small_star
+
+    n = 48
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u bigint, v bigint"
+    )
+    cap = 2 * math.ceil(math.log2(n))
+    prev = None
+    rounds = 0
+    for _ in range(cap):
+        e = _cc_small_star(_cc_large_star(e)).localCheckpoint()
+        cur = {(r.u, r.v) for r in e.collect()}
+        rounds += 1
+        if cur == prev:
+            break
+        prev = cur
+    assert prev is not None and cur == prev, "no fixed point within cap"
+    # the fixed point is the single star rooted at node 0
+    assert cur == {(i, 0) for i in range(1, n)}
+    assert rounds <= cap
+    # idempotence: one more pair changes nothing
+    e2 = _cc_small_star(_cc_large_star(e))
+    assert {(r.u, r.v) for r in e2.collect()} == cur
+
+
+def test_rendezvous_minimal_movement(spark):
+    from hive_2_spark.core.layout import _RV_N, layout_rendezvous_shards
+
+    rows = layout_rendezvous_shards(spark, SF_DIR).collect()
+    total = sum(r.n_docs for r in rows if r.scheme == "rendezvous")
+    rv_moved = sum(r.n_arrived for r in rows if r.scheme == "rendezvous")
+    md_moved = sum(r.n_arrived for r in rows if r.scheme == "mod")
+    # ~1/(N+1) of docs move under rendezvous; ~N/(N+1) under mod-hash
+    assert 0.5 / (_RV_N + 1) <= rv_moved / total <= 2.0 / (_RV_N + 1)
+    assert md_moved / total >= 0.6
+    # structural HRW property: every mover lands on the NEW shard
+    for r in rows:
+        if r.scheme == "rendezvous" and r.shard != _RV_N:
+            assert r.n_arrived == 0
+
+
+def test_bot_regularity_flags_planted_timer(spark):
+    """A scripted 60 s-timer user must flag as a bot; a user with the
+    same rate but irregular (planted bursty) gaps must not."""
+    import datetime as dt
+
+    from hive_2_spark.core.events import (
+        _BOT_CV2_E6_MAX,
+        _BOT_MIN_EVENTS,
+        _bot_report,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for k in range(40):  # bot: exact 60 s cadence
+        rows.append((1, t0 + dt.timedelta(seconds=60 * k), eid))
+        eid += 1
+    # human-ish: bursts of 3 quick events, then a long pause (cv >> 0.5)
+    t = t0
+    for k in range(40):
+        gap = 2 if k % 4 else 1800
+        t = t + dt.timedelta(seconds=gap)
+        rows.append((2, t, eid))
+        eid += 1
+    e = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint"
+    )
+    got = {r.user_id: r for r in _bot_report(e).collect()}
+    assert got[1].is_bot == 1 and got[1].cv2_e6 == 0
+    assert got[2].is_bot == 0 and got[2].cv2_e6 >= _BOT_CV2_E6_MAX
+    assert got[1].n_events == 40 >= _BOT_MIN_EVENTS
+    assert got[1].mean_gap_us == 60_000_000

@@ -174,6 +174,9 @@ _X100_KEYS = [
     "graph_communities_incremental",
     "agg_kmv_portable",
     "sim_mrl_topk",
+    "graph_cc_largestar",
+    "event_bot_regularity",
+    "layout_rendezvous_shards",
 ]
 
 
