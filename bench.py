@@ -128,6 +128,7 @@ HEADLINE = [
     "graph_cc_largestar",     # O(log n)-round star-contraction CC
     "event_bot_regularity",   # inter-arrival-regularity bot gate
     "layout_rendezvous_shards",  # HRW stable sharding movement audit
+    "event_pattern_match",    # CEP sequence-pattern census (regex over slices)
 ]
 
 

@@ -852,8 +852,78 @@ def _bot_report(e: DataFrame) -> DataFrame:
     )
 
 
+# view -> click (<= 2 interleaved non-purchase events) -> purchase:
+# the v[^p]{0,2}c[^p]{0,2}p sequence, matched non-overlapping greedily
+# (identical semantics in Spark regexp_count and DuckDB
+# regexp_extract_all on this alternation-free pattern).
+_SEQ_PATTERN = "v[^p]{0,2}c[^p]{0,2}p"
+
+
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-PATTERN matching over bounded event slices — the
+    MATCH_RECOGNIZE capability class (Trino/Flink CEP) expressed
+    Spark-first: each user-MONTH's ordered event types collapse to a
+    compact symbol string (one initial per event — the five types have
+    distinct initials), and the pattern 'view, then click within 2
+    events, then purchase within 2 more' becomes one regex counted per
+    slice. Unlike `event_funnel` (per-user stage minima, order across
+    the whole history) this matches CONTIGUITY-constrained orderings
+    and counts repeated occurrences.
+
+    The matching unit is the calendar month (this fixture's 30-min
+    sessions average ~1 event — a session-scoped pattern would be
+    vacuous; a real deployment picks the slice its CEP window needs):
+    state is bounded by one user's events per month, never the full
+    history. The symbol string is built by sort_array(collect_list)
+    inside ONE (user, month)-keyed exchange; the regex runs once per
+    slice row. Unbounded-history patterns stream through
+    `applyInPandasWithState` instead (the stateful_spend face).
+
+    Output: user_id, n_periods, n_matched (months with >= 1 hit),
+    n_hits (non-overlapping matches, summed).
+    """
+    return _pattern_census(load_table(spark, sf_dir, "events"))
+
+
+def _pattern_census(e: DataFrame) -> DataFrame:
+    """Pattern census over any (user_id, ts, event_id, event_type)
+    frame — factored out so the planted-sequence pytest can drive the
+    exact production composition (ordering, slicing, regex)."""
+    seqs = (
+        e.select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM").alias("period"),
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            F.substring("event_type", 1, 1).alias("c"),
+        )
+        .groupBy("user_id", "period")
+        .agg(
+            F.collect_list(F.struct("us", "event_id", "c")).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.concat_ws(
+                "",
+                F.transform(F.array_sort("evs"), lambda s: s["c"]),
+            ).alias("seq"),
+        )
+    )
+    hits = seqs.select(
+        "user_id",
+        F.regexp_count("seq", F.lit(_SEQ_PATTERN)).cast("bigint")
+        .alias("hits"),
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.sum((F.col("hits") > 0).cast("bigint")).alias("n_matched"),
+        F.sum("hits").alias("n_hits"),
+    )
+
+
 QUERIES = {
     "event_bot_regularity": event_bot_regularity,
+    "event_pattern_match": event_pattern_match,
     "event_cumulative_reach": event_cumulative_reach,
     "event_streaks": event_streaks,
     "event_concurrency_peak": event_concurrency_peak,
@@ -940,8 +1010,28 @@ SELECT user_id, n_events, span_us, mean_gap_us, cv2_e6,
 FROM r
 """
 
+_PATTERN_MATCH_ORACLE = f"""
+WITH seqs AS (
+  SELECT user_id, strftime(ts, '%Y-%m') AS period,
+         string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY epoch_us(ts), event_id) AS seq
+  FROM events GROUP BY user_id, strftime(ts, '%Y-%m')
+), m AS (
+  SELECT user_id,
+         len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) AS hits
+  FROM seqs
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_periods,
+       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(SUM(hits) AS BIGINT) AS n_hits
+FROM m GROUP BY user_id
+"""
+
 ORACLES = {
     "event_bot_regularity": _BOT_REGULARITY_ORACLE,
+    "event_pattern_match": _PATTERN_MATCH_ORACLE,
     "event_cumulative_reach": _REACH_ORACLE,
     "event_streaks": _STREAKS_ORACLE,
     "event_concurrency_peak": _CONCURRENCY_ORACLE,

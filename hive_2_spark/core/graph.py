@@ -549,10 +549,17 @@ _CC_STAR_ROUNDS = 3  # large-star/small-star pairs; fixture converges in 1
 def _cc_large_star(e: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al., 'Connected Components in
     MapReduce and Beyond', SoCC'14): every node connects its STRICTLY
-    LARGER neighbors to the minimum of its closed neighborhood."""
+    LARGER neighbors to the minimum of its closed neighborhood.
+
+    Precondition (maintained by the caller and by both round outputs):
+    ``e`` is a DISTINCT one-row-per-unordered-pair edge set, so the
+    symmetrization below cannot create duplicates and needs no shuffle
+    — and duplicate edges wouldn't change the min/argmax semantics
+    anyway, only inflate the intermediate (the output distinct is the
+    one that carries the set contract)."""
     sym = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    )
     mn = sym.groupBy("u").agg(
         F.least(F.col("u"), F.min("v")).alias("m")
     )
@@ -567,13 +574,14 @@ def _cc_large_star(e: DataFrame) -> DataFrame:
 def _cc_small_star(e: DataFrame) -> DataFrame:
     """One small-star round: edges canonicalized (larger, smaller); each
     node connects its smaller-or-equal neighbors AND itself to the
-    minimum of that neighborhood."""
+    minimum of that neighborhood. Same distinct-input precondition as
+    :func:`_cc_large_star`; the greatest/least canonicalization is a
+    per-row projection, not a dedup pass."""
     canon = (
         e.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        .distinct()
     )
     mn = canon.groupBy("u").agg(F.min("v").alias("m"))
     out = (

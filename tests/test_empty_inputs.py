@@ -183,6 +183,7 @@ KEYS = [
     "graph_cc_largestar",
     "event_bot_regularity",
     "layout_rendezvous_shards",
+    "event_pattern_match",
 ]
 
 

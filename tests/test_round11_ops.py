@@ -357,3 +357,45 @@ def test_bot_regularity_flags_planted_timer(spark):
     assert got[2].is_bot == 0 and got[2].cv2_e6 >= _BOT_CV2_E6_MAX
     assert got[1].n_events == 40 >= _BOT_MIN_EVENTS
     assert got[1].mean_gap_us == 60_000_000
+
+
+def test_pattern_match_planted_sequences(spark):
+    """The contiguity constraint is the point: v..c..p with <= 2
+    interleaved events per hop matches; a 3-event hop breaks it;
+    non-overlapping counting never double-counts a symbol."""
+    import datetime as dt
+
+    from hive_2_spark.core.events import _pattern_census
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(user, types):
+        return [
+            (user, t0 + dt.timedelta(minutes=i), 1000 * user + i, t)
+            for i, t in enumerate(types)
+        ]
+
+    rows = (
+        # user 1: exact v c p, then v e e c e e p (2-hops at the cap)
+        mk(1, ["view", "click", "purchase",
+               "view", "error", "error", "click", "error", "error",
+               "purchase"])
+        # user 2: v e e e c p — 3 events between v and c: no match
+        + mk(2, ["view", "error", "error", "error", "click", "purchase"])
+        # user 3: v c p v c p — two disjoint hits; and v c (no p): none
+        + mk(3, ["view", "click", "purchase", "view", "click",
+                 "purchase", "view", "click"])
+        # user 4: purchase between hops kills it (v c e p is fine,
+        # v p c p is not a start)
+        + mk(4, ["view", "purchase", "click", "purchase"])
+    )
+    e = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, "
+              "event_type string"
+    )
+    got = {r.user_id: (r.n_periods, r.n_matched, r.n_hits)
+           for r in _pattern_census(e).collect()}
+    assert got[1] == (1, 1, 2)
+    assert got[2] == (1, 0, 0)
+    assert got[3] == (1, 1, 2)
+    assert got[4] == (1, 0, 0)

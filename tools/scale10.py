@@ -177,6 +177,7 @@ _X100_KEYS = [
     "graph_cc_largestar",
     "event_bot_regularity",
     "layout_rendezvous_shards",
+    "event_pattern_match",
 ]
 
 
