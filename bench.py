@@ -129,6 +129,7 @@ HEADLINE = [
     "event_bot_regularity",   # inter-arrival-regularity bot gate
     "layout_rendezvous_shards",  # HRW stable sharding movement audit
     "event_pattern_match",    # CEP sequence-pattern census (regex over slices)
+    "read_python_datasource_timetravel",  # versioned-manifest snapshot reads
 ]
 
 

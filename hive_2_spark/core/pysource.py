@@ -370,15 +370,31 @@ def _clean_staged(messages) -> None:
 
 
 class JsonlWriter(_DSWriter):
+    """Batch sink. With the ``version`` option set, the commit publishes
+    `_MANIFEST-V<version>` instead of `_MANIFEST` — an append-style
+    VERSION LOG (each manifest lists only its own commit's files, like
+    the stream writer's per-epoch manifests), which is what snapshot
+    reads and time travel consume (:func:`versioned_manifest_files`).
+    The version number is caller-assigned here; a production multi-
+    writer table CASes the next log entry instead (the Delta/Iceberg
+    commit-log discipline) — the publish itself is already atomic."""
+
     def __init__(self, options, overwrite):
         self.target = options["path"]
+        self.version = options.get("version")
         self.overwrite = overwrite
 
     def write(self, iterator):
         return _stage_partition(self.target, iterator)
 
     def commit(self, messages):
-        _publish(self.target, messages, "_MANIFEST", {})
+        if self.version is None:
+            _publish(self.target, messages, "_MANIFEST", {})
+        else:
+            v = int(self.version)
+            _publish(
+                self.target, messages, f"_MANIFEST-V{v}", {"version": v}
+            )
 
     def abort(self, messages):
         _clean_staged(messages)
@@ -421,6 +437,31 @@ def stream_sink_manifest_files(target: str) -> list[str]:
                 files.extend(
                     os.path.join(target, b) for b in _json.load(f)["files"]
                 )
+    return files
+
+
+def versioned_manifest_files(
+    target: str, as_of: int | None = None
+) -> list[str]:
+    """Absolute paths of the files visible in the snapshot AS OF
+    version ``as_of`` (inclusive; None = latest): the union of every
+    `_MANIFEST-V<v>` with v <= as_of. Snapshot isolation falls out of
+    the log structure — files staged by uncommitted or later writes
+    are simply not named by any manifest in range."""
+    import json as _json
+    import os
+
+    files: list[str] = []
+    for name in sorted(os.listdir(target)):
+        if not name.startswith("_MANIFEST-V") or name.endswith(".tmp"):
+            continue
+        v = int(name[len("_MANIFEST-V"):])
+        if as_of is not None and v > as_of:
+            continue
+        with open(os.path.join(target, name)) as f:
+            files.extend(
+                os.path.join(target, b) for b in _json.load(f)["files"]
+            )
     return files
 
 
@@ -471,10 +512,84 @@ def roundtrip_python_datasource(
     )
 
 
+_TT_VERSIONS = 3  # committed log versions in the time-travel key
+
+
+def read_python_datasource_timetravel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME TRAVEL over the versioned sink log — the snapshot-read face
+    of the lakehouse commit-log discipline (rows 103/105 cover
+    write/commit and pushdown): three deterministic document slices
+    (doc_id % 3 == v) are committed as log versions 0..2, then each
+    snapshot 'AS OF version v' is read back as the union of manifests
+    <= v and aggregated. Hash equality with the oracle's cumulative
+    slices proves BOTH directions of isolation: every committed file
+    is visible from its version on, and no file is visible before its
+    commit (or while merely staged).
+
+    Scale: a snapshot resolution is metadata-sized (read <= V small
+    manifests on the driver — Delta/Iceberg log replay); the data scan
+    reads only the named files. The version counter is caller-assigned
+    here (single writer); concurrent writers CAS the next log entry.
+
+    Output: (version, n_docs, sum_ids, sum_chars), one row per
+    snapshot, cumulative by construction.
+    """
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from hive_2_spark.catalog import load_table
+
+    _register_sink(spark)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        "hive2_pysink_tt",
+        spark.sparkContext.applicationId,
+        _uuid.uuid4().hex,
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    for v in range(_TT_VERSIONS):
+        (
+            d.filter(F.col("doc_id") % _TT_VERSIONS == v)
+            .write.format(_SINK_FORMAT)
+            .option("path", target)
+            .option("version", str(v))
+            .mode("append")
+            .save()
+        )
+    schema = "doc_id bigint, lang string, n_chars bigint"
+    snaps = []
+    for v in range(_TT_VERSIONS):
+        files = versioned_manifest_files(target, as_of=v)
+        back = (
+            spark.read.schema(schema).json(files)
+            if files
+            else spark.createDataFrame([], schema)
+        )
+        snaps.append(
+            back.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint")
+                .alias("sum_ids"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint")
+                .alias("sum_chars"),
+            ).select(F.lit(v).cast("bigint").alias("version"), "*")
+        )
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 QUERIES = {
     "read_python_datasource": read_python_datasource,
     "read_python_datasource_pushdown": read_python_datasource_pushdown,
     "roundtrip_python_datasource": roundtrip_python_datasource,
+    "read_python_datasource_timetravel": read_python_datasource_timetravel,
 }
 
 ORACLES = {
@@ -516,5 +631,18 @@ SELECT lang,
        CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
+""",
+    # cumulative slices: snapshot v sees exactly the docs committed by
+    # versions <= v (doc_id % 3 <= v); LEFT JOIN keeps all 3 snapshot
+    # rows on an empty corpus, mirroring the Spark side's per-version
+    # aggregates
+    "read_python_datasource_timetravel": f"""
+SELECT t.v AS version,
+       CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
+FROM range({_TT_VERSIONS}) t(v)
+LEFT JOIN documents ON doc_id % {_TT_VERSIONS} <= t.v
+GROUP BY t.v
 """,
 }

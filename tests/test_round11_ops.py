@@ -399,3 +399,50 @@ def test_pattern_match_planted_sequences(spark):
     assert got[2] == (1, 0, 0)
     assert got[3] == (1, 1, 2)
     assert got[4] == (1, 0, 0)
+
+
+def test_versioned_sink_time_travel_isolation(spark, tmp_path):
+    """Snapshot semantics come from the manifest log alone: a later
+    version's files and a staged-but-uncommitted tmp file are on disk
+    but invisible to an earlier as_of; the latest snapshot unions all
+    committed versions and nothing else."""
+    import json
+    import os
+
+    from hive_2_spark.core.pysource import (
+        _SINK_FORMAT,
+        _register_sink,
+        versioned_manifest_files,
+    )
+
+    _register_sink(spark)
+    target = str(tmp_path / "tt")
+    for v, ids in ((0, [1, 2]), (1, [3])):
+        spark.createDataFrame(
+            [(i,) for i in ids], "doc_id bigint"
+        ).coalesce(1).write.format(_SINK_FORMAT).option(
+            "path", target
+        ).option("version", str(v)).mode("append").save()
+    # plant an orphan staged file (a crashed writer's leftovers)
+    with open(os.path.join(target, "stage-orphan.jsonl.tmp"), "w") as f:
+        f.write(json.dumps({"doc_id": 999}) + "\n")
+
+    def ids_at(as_of):
+        files = versioned_manifest_files(target, as_of=as_of)
+        if not files:
+            return set()
+        return {
+            r.doc_id
+            for r in spark.read.schema("doc_id bigint").json(files).collect()
+        }
+
+    assert ids_at(0) == {1, 2}        # v1's file exists but is invisible
+    assert ids_at(1) == {1, 2, 3}
+    assert ids_at(None) == {1, 2, 3}  # latest
+    # the orphan tmp never appears in any snapshot
+    assert not any(
+        p.endswith(".tmp") for p in versioned_manifest_files(target)
+    )
+    # each log entry records its version (the commit-log audit field)
+    with open(os.path.join(target, "_MANIFEST-V1")) as f:
+        assert json.load(f)["version"] == 1

@@ -178,6 +178,7 @@ _X100_KEYS = [
     "event_bot_regularity",
     "layout_rendezvous_shards",
     "event_pattern_match",
+    "read_python_datasource_timetravel",
 ]
 
 
