@@ -501,3 +501,45 @@ def test_upsert_state_argmax_is_partial_agg_not_window(spark):
     plan = plan_of(latest_state_batch(spark, SF_DIR))
     assert "partial_max_by" in plan
     assert "Window" not in plan
+
+
+def test_bot_regularity_single_exchange(spark):
+    """event_bot_regularity's lag window and its user-keyed aggregate
+    must share ONE user_id hash partitioning — a second Exchange means
+    the agg stopped riding the window's shuffle."""
+    from hive_2_spark.core.events import event_bot_regularity
+
+    plan = plan_of(event_bot_regularity(spark, SF_DIR))
+    assert plan.count("+- Exchange") + plan.count(": Exchange") == 1, plan
+    # exact-integer contract: the decimal(38,0) S2 accumulator is in
+    # the plan, and nothing falls out of codegen into Python
+    assert "decimal(38,0)" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rendezvous_is_map_side_argmax(spark):
+    """layout_rendezvous_shards must compute the HRW argmax as a
+    per-row greatest(...) expression: no join, no explode/Generate —
+    the only exchanges are the two shard-count-sized census aggs."""
+    from hive_2_spark.core.layout import layout_rendezvous_shards
+
+    plan = plan_of(layout_rendezvous_shards(spark, SF_DIR))
+    assert "greatest" in plan
+    assert "Join" not in plan and "Generate" not in plan
+    assert plan.count("+- Exchange") + plan.count(": Exchange") == 2, plan
+    # column pruning: the scan reads doc_id only
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_pattern_match_two_bounded_exchanges(spark):
+    """event_pattern_match builds the symbol string on a (user, period)
+    partitioning and re-aggregates the census on user_id — exactly two
+    exchanges, the second over SLICE-sized rows (one per user-month),
+    never the event log twice; the regex compiles to codegen
+    (size(regexp_extract_all)), not a Python fallback."""
+    from hive_2_spark.core.events import event_pattern_match
+
+    plan = plan_of(event_pattern_match(spark, SF_DIR))
+    assert plan.count("+- Exchange") + plan.count(": Exchange") == 2, plan
+    assert "regexp_extract_all" in plan
+    assert "BatchEvalPython" not in plan
