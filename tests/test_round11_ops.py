@@ -446,3 +446,24 @@ def test_versioned_sink_time_travel_isolation(spark, tmp_path):
     # each log entry records its version (the commit-log audit field)
     with open(os.path.join(target, "_MANIFEST-V1")) as f:
         assert json.load(f)["version"] == 1
+
+
+def test_cc_largestar_agrees_with_fixpoint_cc(spark):
+    """Cross-algorithm consistency: the O(log n) star-contraction CC
+    and the convergence-stopped fixpoint min-propagation
+    (`dedup_clusters`) run over the SAME near-dup pair graph and must
+    produce the identical component census — two independent
+    algorithms, one answer."""
+    from collections import Counter
+
+    from hive_2_spark.core.graph import graph_cc_largestar
+    from hive_2_spark.llm.advanced import dedup_clusters
+
+    fixpoint = Counter(
+        r.cluster for r in dedup_clusters(spark, SF_DIR).collect()
+    )
+    star = {
+        r.component: r.n_docs
+        for r in graph_cc_largestar(spark, SF_DIR).collect()
+    }
+    assert star == dict(fixpoint)
