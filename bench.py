@@ -130,6 +130,7 @@ HEADLINE = [
     "layout_rendezvous_shards",  # HRW stable sharding movement audit
     "event_pattern_match",    # CEP sequence-pattern census (regex over slices)
     "read_python_datasource_timetravel",  # versioned-manifest snapshot reads
+    "graph_random_walks",     # deterministic DeepWalk corpus census
 ]
 
 

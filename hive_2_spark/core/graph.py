@@ -650,6 +650,90 @@ def graph_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WALK_STEPS = 4
+
+
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC random-walk corpus generation over the near-dup
+    document graph — the DeepWalk/node2vec primitive (one fixed-length
+    walk per start node; the walk sequences are what a skip-gram
+    embedding trainer consumes), and the seventh graph face beside
+    propagation (PageRank/LPA), traversal (BFS), closure (triangles),
+    and contraction (CC): SAMPLING.
+
+    Walk rule, exact and engine-portable: at step k a walk started at
+    ``start`` sitting on ``cur`` moves to neighbor number
+    ``md5(start:k:cur) % deg(cur) + 1`` in the (src, dst-ascending)
+    adjacency numbering — md5 in place of the RNG (the
+    sample_reservoir discipline), keyed on (start, k, cur) so
+    different walks at the same node diverge while reruns, shards, and
+    engines agree bit-for-bit. The DuckDB oracle replays every hop.
+
+    Scale: the adjacency numbering is one src-partitioned rank window
+    over the edge list, built once and checkpointed; each step is one
+    node-sized walk frame joined against it (join key = the same src
+    the window partitioned by). Walk state never exceeds
+    (#starts x 8 bytes); at 100 TB the walk corpus is written out
+    step-by-step instead of unioned, and the per-(start, k, cur) hash
+    keeps restarts idempotent.
+
+    Output: (node, n_visits) — how often each node is visited across
+    all walks and steps (0..``_WALK_STEPS``), the walk-frequency
+    census an embedding pipeline uses to check coverage before
+    training.
+    """
+    from pyspark.sql.window import Window
+
+    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id").distinct()
+    )
+    e = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")) \
+        .unionAll(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+    nb = e.withColumn(
+        "idx",
+        F.row_number().over(
+            Window.partitionBy("src").orderBy(F.col("dst").asc())
+        ),
+    ).localCheckpoint()
+    deg = nb.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    walks = deg.select(F.col("src").alias("start"), F.col("src").alias("cur"))
+    visited = [walks.select(F.col("cur"))]
+    for k in range(1, _WALK_STEPS + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("start").cast("string"),
+                        F.lit(f":{k}:"),
+                        F.col("cur").cast("string"),
+                    )
+                ),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("bigint")
+        walks = (
+            walks.join(deg, walks.cur == deg.src)
+            .withColumn("nxt_idx", h % F.col("d") + 1)
+            .join(
+                nb,
+                (nb.src == F.col("cur")) & (nb.idx == F.col("nxt_idx")),
+            )
+            .select("start", F.col("dst").alias("cur"))
+        )
+        visited.append(walks.select(F.col("cur")))
+    allv = visited[0]
+    for v in visited[1:]:
+        allv = allv.unionAll(v)
+    return allv.groupBy(F.col("cur").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_visits")
+    )
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_converged": graph_pagerank_converged,
@@ -658,6 +742,7 @@ QUERIES = {
     "graph_communities_lpa": graph_communities_lpa,
     "graph_communities_incremental": graph_communities_incremental,
     "graph_cc_largestar": graph_cc_largestar,
+    "graph_random_walks": graph_random_walks,
 }
 
 # mirrors the Spark side exactly: precomputed per-edge weight 1.0/deg,
@@ -971,6 +1056,53 @@ GROUP BY 1
 """
 
 
+def _random_walks_sql() -> str:
+    """Replays every hop: the same (src, dst-asc) adjacency numbering
+    and the same md5(start:k:cur) % deg + 1 next-step rule."""
+    from hive_2_spark.core.aggregates import _dk_hex_int
+
+    from hive_2_spark.llm.dedup import ORACLES as _DEDUP_ORACLES
+
+    pairs = _DEDUP_ORACLES["dedup_ngram_jaccard"]
+    steps = []
+    for k in range(1, _WALK_STEPS + 1):
+        h = _dk_hex_int(
+            "md5(CAST(w.start AS VARCHAR) || "
+            f"':{k}:' || CAST(w.cur AS VARCHAR))",
+            12,
+        )
+        steps.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT w.start, nb.dst AS cur
+  FROM w{k - 1} w
+  JOIN deg ON w.cur = deg.src
+  JOIN nb ON nb.src = w.cur AND nb.idx = ({h}) % deg.d + 1
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT cur FROM w{k}" for k in range(_WALK_STEPS + 1)
+    )
+    return f"""
+WITH p AS (SELECT DISTINCT a_id, b_id FROM ({pairs})),
+e AS (
+  SELECT a_id AS src, b_id AS dst FROM p
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM p
+),
+nb AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst ASC) AS idx
+  FROM e
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+w0 AS (SELECT src AS start, src AS cur FROM deg),
+{",".join(steps)},
+allv AS ({union})
+SELECT cur AS node, COUNT(*) AS n_visits
+FROM allv GROUP BY cur
+"""
+
+
 ORACLES = {
     "graph_pagerank": _pagerank_sql(),
     "graph_pagerank_converged": _pagerank_converged_sql(),
@@ -979,4 +1111,5 @@ ORACLES = {
     "graph_communities_lpa": _communities_lpa_sql(),
     "graph_communities_incremental": _communities_incremental_sql(),
     "graph_cc_largestar": _cc_largestar_sql(),
+    "graph_random_walks": _random_walks_sql(),
 }

@@ -184,6 +184,7 @@ KEYS = [
     "event_bot_regularity",
     "layout_rendezvous_shards",
     "event_pattern_match",
+    "graph_random_walks",
     # read_python_datasource_timetravel excluded: one row per log
     # version (all-zero on an empty corpus) is its correct output —
     # the same REPORT-shape exclusion as curation_funnel

@@ -467,3 +467,50 @@ def test_cc_largestar_agrees_with_fixpoint_cc(spark):
         for r in graph_cc_largestar(spark, SF_DIR).collect()
     }
     assert star == dict(fixpoint)
+
+
+def _py_walk_census(edges, steps):
+    """Pure-Python replay of the md5 walk rule (independent of both
+    engines): adjacency numbered (src, dst-asc), next neighbor =
+    md5('start:k:cur') % deg + 1."""
+    import hashlib
+
+    nb: dict = {}
+    for u, v in edges:
+        nb.setdefault(u, set()).add(v)
+        nb.setdefault(v, set()).add(u)
+    adj = {u: sorted(vs) for u, vs in nb.items()}
+    census: Counter = Counter()
+    for start in adj:
+        cur = start
+        census[cur] += 1
+        for k in range(1, steps + 1):
+            h = int(
+                hashlib.md5(f"{start}:{k}:{cur}".encode()).hexdigest()[:12],
+                16,
+            )
+            cur = adj[cur][h % len(adj[cur])]
+            census[cur] += 1
+    return dict(census)
+
+
+def test_random_walks_match_python_ground_truth(spark):
+    from hive_2_spark.core.graph import _WALK_STEPS, graph_random_walks
+    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+
+    edges = [
+        (r.a_id, r.b_id)
+        for r in dedup_ngram_jaccard(spark, SF_DIR)
+        .select("a_id", "b_id")
+        .collect()
+    ]
+    expect = _py_walk_census(edges, _WALK_STEPS)
+    got = {
+        r.node: r.n_visits
+        for r in graph_random_walks(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # walk-completion invariant: no dead ends in a symmetrized graph,
+    # so total visits = #nodes * (steps + 1)
+    n_nodes = len({x for e in edges for x in e})
+    assert sum(got.values()) == n_nodes * (_WALK_STEPS + 1)

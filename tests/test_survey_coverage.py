@@ -106,12 +106,12 @@ BRIEF_EXTRAS = [
     # round-10 additions (SURVEY §2B rows 101-103)
     "agg_countmin_portable", "text_langid_profile", "sample_reservoir",
     "roundtrip_python_datasource", "graph_communities_lpa",
-    # round-11 additions (SURVEY §2B rows 105-113)
+    # round-11 additions (SURVEY §2B rows 105-114)
     "read_python_datasource_pushdown", "graph_communities_incremental",
     "agg_kmv_portable", "sim_mrl_topk",
     "graph_cc_largestar", "event_bot_regularity",
     "layout_rendezvous_shards", "event_pattern_match",
-    "read_python_datasource_timetravel",
+    "read_python_datasource_timetravel", "graph_random_walks",
 ]
 
 

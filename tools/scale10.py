@@ -179,6 +179,7 @@ _X100_KEYS = [
     "layout_rendezvous_shards",
     "event_pattern_match",
     "read_python_datasource_timetravel",
+    "graph_random_walks",
 ]
 
 
