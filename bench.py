@@ -179,6 +179,16 @@ def _render_stdout_line(
                 # name the dropped keys so the artifact is self-
                 # describing (round-10 verdict item 6)
                 payload["omitted_keys"] = sorted(omitted)
+            else:
+                # too many to name: a stable digest of the sorted key
+                # list instead (round-11 verdict item 4), so a reader
+                # can confirm WHICH keys were dropped against
+                # BENCH_TREND.jsonl without trusting the bare count
+                import hashlib
+
+                payload["omitted_hash"] = hashlib.md5(
+                    ",".join(sorted(omitted)).encode()
+                ).hexdigest()[:12]
         return json.dumps(payload, separators=(",", ":"))
 
     line = ""

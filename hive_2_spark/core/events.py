@@ -830,10 +830,24 @@ def _bot_report(e: DataFrame) -> DataFrame:
         F.sum("gap").alias("s1"),
         F.sum(dec * dec).alias("s2"),
     )
+    # cv2_e6 via divmod: (D DIV S)*1e6 + (D MOD S)*1e6 DIV S with
+    # D = n*S2 - S1^2 >= 0 (Cauchy-Schwarz) and S = S1^2. Scaling D by
+    # 1e6 BEFORE the division (the round-11 shape) capped n*S2 at
+    # ~1.7e32 before the decimal(38,0) intermediate overflowed — NULL
+    # in non-ANSI Spark, an error in the driver's ANSI session, and a
+    # different failure in DuckDB's HUGEINT. Dividing first keeps every
+    # intermediate <= max(D, (D MOD S)*1e6): D MOD S < S <= ~1e29 even
+    # for a 10-year span, so the only bound left is D itself — the
+    # full ~1.7e38 decimal(38,0)/HUGEINT range, 1e6x more headroom,
+    # same exact integer result (D >= 0 makes trunc == floor, so Spark
+    # DIV and DuckDB // agree).
+    stats = stats.withColumn(
+        "ss", F.expr("CAST(s1 AS DECIMAL(38,0)) * s1")
+    ).withColumn("d", F.expr("n_gaps * s2 - ss"))
     cv2 = F.when(F.col("s1") == 0, F.lit(0).cast("bigint")).otherwise(
         F.expr(
-            "CAST((n_gaps * s2 - CAST(s1 AS DECIMAL(38,0)) * s1) * 1000000"
-            " DIV (CAST(s1 AS DECIMAL(38,0)) * s1) AS BIGINT)"
+            "CAST((d DIV ss) * 1000000"
+            " + ((d % ss) * 1000000) DIV ss AS BIGINT)"
         )
     )
     out = stats.select(
@@ -992,16 +1006,23 @@ WITH g AS (
          CAST(SUM(gap) AS BIGINT) AS s1,
          SUM(CAST(gap AS HUGEINT) * gap) AS s2
   FROM g WHERE gap IS NOT NULL GROUP BY user_id
+), s2_ AS (
+  SELECT user_id, n_gaps, s1, s2,
+         CAST(s1 AS HUGEINT) * s1 AS ss,
+         n_gaps * s2 - CAST(s1 AS HUGEINT) * s1 AS d
+  FROM s
 ), r AS (
   SELECT user_id,
          n_gaps + 1 AS n_events,
          s1 AS span_us,
          s1 // n_gaps AS mean_gap_us,
+         -- divmod split mirrors the Spark side: divide before the 1e6
+         -- scale-up so the intermediate never exceeds max(d, (d%ss)*1e6)
          CASE WHEN s1 = 0 THEN CAST(0 AS BIGINT)
-              ELSE CAST((n_gaps * s2 - CAST(s1 AS HUGEINT) * s1) * 1000000
-                        // (CAST(s1 AS HUGEINT) * s1) AS BIGINT)
+              ELSE CAST((d // ss) * 1000000
+                        + ((d % ss) * 1000000) // ss AS BIGINT)
          END AS cv2_e6
-  FROM s
+  FROM s2_
 )
 SELECT user_id, n_events, span_us, mean_gap_us, cv2_e6,
        CAST(CASE WHEN n_events >= {_BOT_MIN_EVENTS}

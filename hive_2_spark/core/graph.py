@@ -274,19 +274,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is produced exactly once as x < y < z (no /6 correction, no
     orientation step). Scale: the edge list is the (blocked, capped)
     near-dup pair set — orders of magnitude smaller than the corpus —
-    and the joins shuffle only 8-byte ids. localCheckpoint materializes
-    the edges once so the pair pipeline doesn't run three times. For
-    general graphs with hubs, orient wedges from the lower-degree
-    endpoint first; the dup graph's block cap already bounds degree.
+    and the joins shuffle only 8-byte ids. The edge list is the SHARED
+    near-dup pair index (``llm.dedup.neardup_pair_index``, persisted
+    once per (application, sf_dir)) so the pair build never reruns per
+    consumer. For general graphs with hubs, orient wedges from the
+    lower-degree endpoint first; the dup graph's block cap already
+    bounds degree.
     """
-    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+    from hive_2_spark.llm.dedup import neardup_pair_index
 
-    edges = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .select("a_id", "b_id")
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = neardup_pair_index(spark, sf_dir)
     e1 = edges.select(F.col("a_id").alias("x"), F.col("b_id").alias("y"))
     e2 = edges.select(F.col("a_id").alias("y"), F.col("b_id").alias("z"))
     e3 = edges.select(F.col("a_id").alias("x"), F.col("b_id").alias("z"))
@@ -371,16 +368,9 @@ def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+    from hive_2_spark.llm.dedup import neardup_edges_sym
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id").distinct()
-    edges = (
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
-        )
-        .localCheckpoint()
-    )
+    edges = neardup_edges_sym(spark, sf_dir).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -420,18 +410,9 @@ def _inc_edges_and_base(spark: SparkSession, sf_dir: str):
     is the ``_LPA_ROUNDS`` LPA fixpoint over base-base edges."""
     from pyspark.sql.window import Window
 
-    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+    from hive_2_spark.llm.dedup import neardup_edges_sym
 
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id").distinct()
-    )
-    edges = (
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
-        )
-        .localCheckpoint()
-    )
+    edges = neardup_edges_sym(spark, sf_dir).localCheckpoint()
     is_delta = lambda c: c % _INC_DELTA_MOD == 0  # noqa: E731
     base_edges = edges.filter(
         ~is_delta(F.col("src")) & ~is_delta(F.col("dst"))
@@ -622,11 +603,9 @@ def graph_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
     per component (singletons excluded: isolated docs never enter the
     pair graph).
     """
-    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+    from hive_2_spark.llm.dedup import neardup_pair_index
 
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id").distinct()
-    )
+    pairs = neardup_pair_index(spark, sf_dir)
     e = (
         pairs.filter(F.col("a_id") != F.col("b_id"))
         .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
@@ -647,6 +626,33 @@ def graph_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def cc_star_converged(spark: SparkSession, sf_dir: str) -> bool:
+    """Round-11 ADVICE guard: the fixed ``_CC_STAR_ROUNDS`` unroll is
+    only CORRECT if the star forest it reaches is a fixed point of the
+    large-star/small-star pair — otherwise the census (and its oracle,
+    which replays the identical unroll) would hash-match while both
+    are wrong. Replays the key's exact edge pipeline, runs ONE extra
+    round pair, and reports whether the edge set is unchanged. Run on
+    every non-oracle fixture (tools/scale10.py 10x/100x legs call this
+    after timing the key; tests pin the oracle fixtures), so a corpus
+    whose near-dup components outgrow the unroll fails loudly instead
+    of silently censusing unconverged stars."""
+    from hive_2_spark.llm.dedup import neardup_pair_index
+
+    pairs = neardup_pair_index(spark, sf_dir)
+    cur = (
+        pairs.filter(F.col("a_id") != F.col("b_id"))
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_STAR_ROUNDS):
+        cur = _cc_small_star(_cc_large_star(cur)).localCheckpoint()
+    nxt = _cc_small_star(_cc_large_star(cur)).localCheckpoint()
+    return (
+        nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty()
     )
 
 
@@ -684,15 +690,9 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+    from hive_2_spark.llm.dedup import neardup_edges_sym
 
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id").distinct()
-    )
-    e = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")) \
-        .unionAll(
-            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
-        )
+    e = neardup_edges_sym(spark, sf_dir)
     nb = e.withColumn(
         "idx",
         F.row_number().over(

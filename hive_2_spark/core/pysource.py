@@ -338,11 +338,8 @@ def _stage_partition(target: str, iterator) -> _Staged:
     return _Staged(path=tmp, rows=n)
 
 
-def _publish(target: str, messages, manifest_name: str, extra: dict) -> None:
-    """Driver-side half: one atomic rename per staged file, then the
-    manifest itself staged + renamed — a crash anywhere leaves either
-    the previous manifest or the new one, never a truncated in-between
-    (round-11 ADVICE closed the batch path, which wrote it directly)."""
+def _rename_staged(target: str, messages) -> tuple[list[str], int]:
+    """One atomic rename per staged file; returns (basenames, rows)."""
     files = []
     total = 0
     for m in messages:
@@ -352,11 +349,58 @@ def _publish(target: str, messages, manifest_name: str, extra: dict) -> None:
         _os.rename(m.path, final)  # atomic publish per task
         files.append(_os.path.basename(final))
         total += m.rows
+    return files, total
+
+
+def _publish(target: str, messages, manifest_name: str, extra: dict) -> None:
+    """Driver-side half: one atomic rename per staged file, then the
+    manifest itself staged + renamed — a crash anywhere leaves either
+    the previous manifest or the new one, never a truncated in-between
+    (round-11 ADVICE closed the batch path, which wrote it directly)."""
+    files, total = _rename_staged(target, messages)
     manifest = {"files": sorted(files), "rows": total, **extra}
     mpath = _os.path.join(target, manifest_name)
     with open(mpath + ".tmp", "w") as f:
         _json.dump(manifest, f)
     _os.rename(mpath + ".tmp", mpath)
+
+
+def _publish_cas(target: str, messages) -> int:
+    """Multi-writer commit (round-11 verdict item 3): claim the NEXT
+    log version by compare-and-swap on the manifest NAME. The manifest
+    body is fully written to a private tmp first, then ``os.link``
+    tries to bind it to `_MANIFEST-V<v>` — link fails with EEXIST if
+    any other writer claimed v between our scan and our claim, in
+    which case we rescan and retry with the new max+1. Readers only
+    ever see a manifest name once its bytes are complete (link makes
+    the full file appear atomically — the same guarantee the
+    rename-based single-writer path gives), and two writers can never
+    both win the same version. This is the Delta/Iceberg commit-log
+    CAS expressed over a filesystem with atomic link semantics; an
+    object store implements the same contract with put-if-absent."""
+    files, total = _rename_staged(target, messages)
+    tmp = _os.path.join(target, f"caschk-{_uuid.uuid4().hex}.tmp")
+    try:
+        while True:
+            existing = [
+                int(n[len("_MANIFEST-V"):])
+                for n in _os.listdir(target)
+                if n.startswith("_MANIFEST-V") and not n.endswith(".tmp")
+            ]
+            v = max(existing, default=-1) + 1
+            manifest = {"files": sorted(files), "rows": total, "version": v}
+            with open(tmp, "w") as f:
+                _json.dump(manifest, f)
+            try:
+                _os.link(tmp, _os.path.join(target, f"_MANIFEST-V{v}"))
+            except FileExistsError:
+                continue  # lost the race for v — rescan, claim max+1
+            return v
+    finally:
+        try:
+            _os.remove(tmp)
+        except OSError:
+            pass
 
 
 def _clean_staged(messages) -> None:
@@ -375,9 +419,10 @@ class JsonlWriter(_DSWriter):
     VERSION LOG (each manifest lists only its own commit's files, like
     the stream writer's per-epoch manifests), which is what snapshot
     reads and time travel consume (:func:`versioned_manifest_files`).
-    The version number is caller-assigned here; a production multi-
-    writer table CASes the next log entry instead (the Delta/Iceberg
-    commit-log discipline) — the publish itself is already atomic."""
+    ``version`` may be a caller-assigned integer (single writer) or
+    ``"auto"``: the commit then CASes the next log entry — see
+    :func:`_publish_cas` — so concurrent writers each land a distinct
+    version (the Delta/Iceberg commit-log discipline)."""
 
     def __init__(self, options, overwrite):
         self.target = options["path"]
@@ -390,6 +435,8 @@ class JsonlWriter(_DSWriter):
     def commit(self, messages):
         if self.version is None:
             _publish(self.target, messages, "_MANIFEST", {})
+        elif self.version == "auto":
+            _publish_cas(self.target, messages)
         else:
             v = int(self.version)
             _publish(
@@ -441,13 +488,17 @@ def stream_sink_manifest_files(target: str) -> list[str]:
 
 
 def versioned_manifest_files(
-    target: str, as_of: int | None = None
+    target: str, as_of: int | None = None, since: int | None = None
 ) -> list[str]:
     """Absolute paths of the files visible in the snapshot AS OF
     version ``as_of`` (inclusive; None = latest): the union of every
-    `_MANIFEST-V<v>` with v <= as_of. Snapshot isolation falls out of
-    the log structure — files staged by uncommitted or later writes
-    are simply not named by any manifest in range."""
+    `_MANIFEST-V<v>` with v <= as_of. With ``since`` set, only
+    manifests with v > since are read — the CHANGES BETWEEN face
+    (snapshot diff = the files committed in (since, as_of]), which is
+    metadata-only because each log entry names exactly its own
+    commit's files. Snapshot isolation falls out of the log structure
+    — files staged by uncommitted or later writes are simply not named
+    by any manifest in range."""
     import json as _json
     import os
 
@@ -458,11 +509,38 @@ def versioned_manifest_files(
         v = int(name[len("_MANIFEST-V"):])
         if as_of is not None and v > as_of:
             continue
+        if since is not None and v <= since:
+            continue
         with open(os.path.join(target, name)) as f:
             files.extend(
                 os.path.join(target, b) for b in _json.load(f)["files"]
             )
     return files
+
+
+def _fresh_run_dir(spark: SparkSession, base_name: str) -> str:
+    """Allocate ``$TMPDIR/<base_name>/<applicationId>/<uuid>/`` for one
+    sink invocation, REMOVING prior invocations' dirs under the same
+    application first (round-11 ADVICE: bench best-of-3 plus the
+    10x/100x scale legs accumulated unbounded JSONL dumps otherwise).
+    Only this application's subtree is touched — a concurrent process
+    owns a different applicationId. Safe because the registry contract
+    materializes each key's result before the next invocation; a
+    caller holding a LAZY DataFrame from a previous invocation across
+    a new call would lose its files (don't do that)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    base = os.path.join(
+        tempfile.gettempdir(), base_name, spark.sparkContext.applicationId
+    )
+    if os.path.isdir(base):
+        shutil.rmtree(base, ignore_errors=True)
+    run = os.path.join(base, _uuid.uuid4().hex)
+    os.makedirs(run, exist_ok=True)
+    return run
 
 
 def sink_manifest_files(target: str) -> list[str]:
@@ -483,19 +561,10 @@ def roundtrip_python_datasource(
     and aggregate — proves write/commit/read end-to-end. The oracle is
     the same aggregate straight off the source table: equality holds
     iff the sink wrote exactly the input, no dupes, no losses."""
-    import os
-    import tempfile
-    import uuid as _uuid
-
     from hive_2_spark.catalog import load_table
 
     _register_sink(spark)
-    target = os.path.join(
-        tempfile.gettempdir(),
-        "hive2_pysink",
-        spark.sparkContext.applicationId,
-        _uuid.uuid4().hex,
-    )
+    target = _fresh_run_dir(spark, "hive2_pysink")
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
@@ -531,24 +600,17 @@ def read_python_datasource_timetravel(
     Scale: a snapshot resolution is metadata-sized (read <= V small
     manifests on the driver — Delta/Iceberg log replay); the data scan
     reads only the named files. The version counter is caller-assigned
-    here (single writer); concurrent writers CAS the next log entry.
+    here (single writer); concurrent writers use ``version="auto"``,
+    which CASes the next log entry (:func:`_publish_cas`, exercised
+    end-to-end by ``read_python_datasource_changes``).
 
     Output: (version, n_docs, sum_ids, sum_chars), one row per
     snapshot, cumulative by construction.
     """
-    import os
-    import tempfile
-    import uuid as _uuid
-
     from hive_2_spark.catalog import load_table
 
     _register_sink(spark)
-    target = os.path.join(
-        tempfile.gettempdir(),
-        "hive2_pysink_tt",
-        spark.sparkContext.applicationId,
-        _uuid.uuid4().hex,
-    )
+    target = _fresh_run_dir(spark, "hive2_pysink_tt")
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
@@ -585,11 +647,79 @@ def read_python_datasource_timetravel(
     return out
 
 
+def read_python_datasource_changes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHANGES BETWEEN over the versioned sink log — the CDC face of
+    time travel (pairs with ``cdc_changes``, which diffs row images;
+    this diffs COMMITS): for every version pair since < as_of, read
+    exactly the files committed in (since, as_of] and aggregate them.
+    The three slices are committed with ``version="auto"``, so the
+    multi-writer CAS path (:func:`_publish_cas`) is exercised inside a
+    hash-checked key: sequential autos must land versions 0, 1, 2, and
+    the per-pair aggregates only match the oracle if every commit
+    claimed exactly the version the log order implies.
+
+    Scale: resolving a change set is metadata-only — each log entry
+    names its own commit's files, so (since, as_of] is a manifest-name
+    range scan, never a data diff; the data scan reads only the
+    changed files (how a downstream incremental consumer tails a
+    lakehouse table without re-reading the snapshot).
+
+    Output: (since_v, as_of_v, n_docs, sum_ids, sum_chars), one row
+    per ordered version pair, since < as_of.
+    """
+    from hive_2_spark.catalog import load_table
+
+    _register_sink(spark)
+    target = _fresh_run_dir(spark, "hive2_pysink_chg")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    for v in range(_TT_VERSIONS):
+        (
+            d.filter(F.col("doc_id") % _TT_VERSIONS == v)
+            .write.format(_SINK_FORMAT)
+            .option("path", target)
+            .option("version", "auto")
+            .mode("append")
+            .save()
+        )
+    schema = "doc_id bigint, lang string, n_chars bigint"
+    outs = []
+    for lo in range(_TT_VERSIONS):
+        for hi in range(lo + 1, _TT_VERSIONS):
+            files = versioned_manifest_files(target, as_of=hi, since=lo)
+            back = (
+                spark.read.schema(schema).json(files)
+                if files
+                else spark.createDataFrame([], schema)
+            )
+            outs.append(
+                back.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint")
+                    .alias("sum_ids"),
+                    F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint")
+                    .alias("sum_chars"),
+                ).select(
+                    F.lit(lo).cast("bigint").alias("since_v"),
+                    F.lit(hi).cast("bigint").alias("as_of_v"),
+                    "*",
+                )
+            )
+    out = outs[0]
+    for s in outs[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 QUERIES = {
     "read_python_datasource": read_python_datasource,
     "read_python_datasource_pushdown": read_python_datasource_pushdown,
     "roundtrip_python_datasource": roundtrip_python_datasource,
     "read_python_datasource_timetravel": read_python_datasource_timetravel,
+    "read_python_datasource_changes": read_python_datasource_changes,
 }
 
 ORACLES = {
@@ -644,5 +774,20 @@ SELECT t.v AS version,
 FROM range({_TT_VERSIONS}) t(v)
 LEFT JOIN documents ON doc_id % {_TT_VERSIONS} <= t.v
 GROUP BY t.v
+""",
+    # change set (lo, hi]: exactly the docs committed by versions in
+    # the half-open range — auto-assigned versions must equal commit
+    # order (0,1,2) for these aggregates to match
+    "read_python_datasource_changes": f"""
+SELECT p.lo AS since_v, p.hi AS as_of_v,
+       CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
+FROM (SELECT a.v AS lo, b.v AS hi
+      FROM range({_TT_VERSIONS}) a(v) JOIN range({_TT_VERSIONS}) b(v)
+        ON a.v < b.v) p
+LEFT JOIN documents
+  ON doc_id % {_TT_VERSIONS} > p.lo AND doc_id % {_TT_VERSIONS} <= p.hi
+GROUP BY p.lo, p.hi
 """,
 }

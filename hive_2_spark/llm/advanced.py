@@ -471,9 +471,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each node labeled with its component's min doc_id) for ANY chain
     length — matching the recursive-CTE oracle by construction.
     """
-    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+    from hive_2_spark.llm.dedup import neardup_pair_index
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    pairs = neardup_pair_index(spark, sf_dir)
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).localCheckpoint()

@@ -529,9 +529,9 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs classified by split: (pair_class, n_pairs,
     n_docs). The train-val row is the leakage headline — every such
     pair means a val doc whose near-twin is trained on."""
-    from hive_2_spark.llm.dedup import dedup_ngram_jaccard
+    from hive_2_spark.llm.dedup import neardup_pair_index
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    pairs = neardup_pair_index(spark, sf_dir)
     sa, sb = _split_name(F.col("a_id")), _split_name(F.col("b_id"))
     p = pairs.withColumn(
         "pair_class", F.concat_ws("-", F.least(sa, sb), F.greatest(sa, sb))

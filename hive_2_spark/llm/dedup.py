@@ -200,6 +200,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return small_pairs.unionByName(mega_pairs)
 
 
+# The stored near-dup index (round-11 verdict item 2): seven downstream
+# operators — triangles, LPA communities, the incremental-communities
+# base replay, star CC, random walks, fixpoint CC (llm/advanced.py),
+# and the split-leakage audit — consume the ngram-Jaccard pair set as
+# their edge list. Production keeps that pair set as a persisted
+# BUCKETED table maintained incrementally (the dedup_incremental_indexed
+# discipline); the in-process equivalent is compute-once-per-
+# (applicationId, sf_dir) + persist, so the FIRST consumer pays the
+# blocked+banded pair build and every later one probes the materialized
+# index. Same keying/eviction rules as ``_PF_CACHE`` above (dir-only
+# keys would outlive their SparkContext; foreign-app entries are
+# dropped without unpersist because their blocks died with the
+# context). One entry live at a time per application.
+_PAIR_INDEX_CACHE: dict = {}
+
+
+def neardup_pair_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct near-dup (a_id, b_id) pairs (a < b by construction),
+    persisted once per (application, sf_dir) — the shared edge frame
+    the graph family probes instead of re-running the pair build."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, str(sf_dir))
+    hit = _PAIR_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in list(_PAIR_INDEX_CACHE):
+        old = _PAIR_INDEX_CACHE.pop(k)
+        if k[0] != app_id:
+            continue  # dead/foreign session — blocks already gone
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    df = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("a_id", "b_id")
+        .distinct()
+        .persist()
+    )
+    _PAIR_INDEX_CACHE[key] = df
+    return df
+
+
+def neardup_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized (src, dst) edge view of :func:`neardup_pair_index`.
+    The union reads the persisted pair blocks twice — no pair-build
+    recompute — so callers that need both directions (LPA, random
+    walks, incremental communities) share one materialization too."""
+    pairs = neardup_pair_index(spark, sf_dir)
+    return pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+
+
 # Exact-threshold self-join subset: every 5th doc plus the planted twins.
 # Keeps the NAIVE all-pairs oracle tractable at sf0.1 while the Spark
 # side runs the scale algorithm on the same rows.

@@ -71,49 +71,47 @@ _MODULES: list[str] = [
     "hive_2_spark.core.joins",
 ]
 
-# Round-11 rotation (executes the plan recorded in NOTES.md at the end
-# of round 10, computed mechanically from the union of genuine driver
-# windows r1-r6, r9, r10 — the r7/r8 artifacts were byte-copies of r6).
-# Keys 1-50 are the driver window:
-# (a) the four round-11 operators — never driver-checked;
-# (b) all 43 keys whose latest genuine driver hash-check is r1/r2
-#     (fixtures regenerated twice since), float/rounding risk first:
-#     Layer-A relational, joins, writes, dedup/sim, events, sketches;
-# (c) event_paths (carried: sat at _FRONT slot 52 in round 10, just
-#     outside the 50-key window) + the first 2 of the r3-era tier.
-# Exactly 50 — asserted below so rotation accounting can't drift
-# (round-11 ADVICE: r10's 52-key _FRONT silently wasted 2 slots).
+# Round-12 rotation (executes the plan recorded in NOTES.md at the end
+# of round 11, computed mechanically from the union of genuine driver
+# windows r1-r6, r9, r10, r11 — the r7/r8 artifacts were byte-copies
+# of r6). Keys 1-50 are the driver window:
+# (a) any new round-12 operators — never driver-checked, always first;
+# (b) the three round-11 operators that landed after the r11 window
+#     was consumed (never driver-checked);
+# (c) the three fillers displaced late in round 11 (event_paths,
+#     text_stats, token_count — recorded in NOTES.md);
+# (d) ALL 34 keys whose latest genuine driver hash-check is r3
+#     (NOTES.md's round-12 plan listed 31 by name; the mechanical
+#     recompute also surfaces lang_id — included here so no r3-era
+#     key is skipped);
+# (e) the front of the r4-stale tier in registry order — the
+#     DISPLACEABLE tail: new round-12 operators push these out.
+# Exactly 50 — asserted below so rotation accounting can't drift.
 _FRONT: list[str] = [
-    # --- (a) round-11 additions: new operators, never driver-checked.
-    # The 3 late-session ops displaced the (c) fillers (event_paths,
-    # text_stats, token_count -> round-12 plan front): a never-checked
-    # operator outranks any rotation filler for a window slot. ---
-    "read_python_datasource_pushdown", "graph_communities_incremental",
-    "agg_kmv_portable", "sim_mrl_topk",
-    "graph_cc_largestar", "event_bot_regularity",
-    "layout_rendezvous_shards",
-    # --- (b) the 43 r1/r2-era keys ---
-    # Layer-A / relational (r1)
-    "scan_full_table", "project_columns", "project_alias",
-    "computed_column", "filter_eq_conj", "filter_range", "filter_in",
-    "filter_like", "filter_null", "topk_limit", "distinct_pair",
-    "count_subquery", "exists_probe", "model_over_agg", "pivot_keys",
-    "set_union",
-    # join family (r1)
-    "join_has_many", "join_many_to_many", "join_lookup_one",
-    "join_outer", "join_semi", "join_anti", "join_full_outer",
-    "join_null_safe",
-    # writes / model semantics (r2)
-    "insert_rows", "update_rows", "delete_rows", "upsert_rows",
-    "changed_rows_diff", "validate_rules",
-    # dedup / similarity (r2; dedup_minhash_lsh is rows-only)
-    "dedup_exact", "dedup_minhash_portable", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "sim_cosine_topk", "sim_pairwise_label",
-    "emb_normalize", "emb_quantize_int8",
-    # events (r2)
-    "event_sessionize", "event_funnel", "event_retention",
-    # sketches (r1, rows-only by documented necessity)
-    "agg_approx", "agg_sketch_merge",
+    # --- (a) round-12 additions land HERE as they ship, each
+    #     displacing one key from the (e) tail ---
+    "read_python_datasource_changes",
+    # --- (b) round-11 operators that missed the r11 window ---
+    "event_pattern_match", "read_python_datasource_timetravel",
+    "graph_random_walks",
+    # --- (c) fillers displaced late in round 11 ---
+    "event_paths", "text_stats", "token_count",
+    # --- (d) the 34 r3-era keys (media_phash_dedup and media_features
+    #     are rows-only by documented necessity) ---
+    "lang_id", "fingerprint", "text_chunk", "token_pack",
+    "bm25_topk", "keyword_search_and", "dedup_embedding",
+    "dedup_clusters", "dedup_levenshtein", "dedup_keep_best",
+    "dedup_clusters_lsh", "media_stats", "media_resize",
+    "media_frame_sample", "media_phash_dedup",
+    "fn_string", "fn_date", "fn_math", "fn_cond", "fn_json",
+    "fn_array", "fn_explode", "cast_ingest", "ts_parse_format",
+    "num_format", "bool_verbose", "row_to_json", "fill_defaults",
+    "fn_string2", "fn_date2", "fn_hash", "fn_map", "fn_try",
+    "fn_array2",
+    # --- (e) r4-stale tier front, registry order (displaceable) ---
+    "media_features", "cluster_kmeans", "cluster_mix_report",
+    "udf_scalar", "udf_pandas_scalar", "udf_grouped_agg",
+    "udf_grouped_map", "udf_sql_registered", "udf_table",
 ]
 assert len(_FRONT) == 50, f"driver window must be exactly 50, got {len(_FRONT)}"
 assert len(_FRONT) == len(set(_FRONT)), (

@@ -121,6 +121,31 @@ def test_omitted_keys_named_when_they_fit(monkeypatch) -> None:
     assert "omitted_keys" not in parsed
 
 
+def test_bare_count_branch_carries_omitted_digest(monkeypatch) -> None:
+    """Round-11 verdict item 4: when omitted keys can't be named
+    inline, the line must carry `omitted_hash` = md5 of the sorted
+    dropped-key list, so a reader can verify WHICH keys were dropped
+    against BENCH_TREND.jsonl's full map instead of trusting a bare
+    count. The digest must be reproducible from the kept/full key
+    sets alone."""
+    import hashlib
+
+    t = {f"k{i:02d}": 1.0e11 + i * 9.97e8 for i in range(40)}
+    monkeypatch.setattr(bench, "_STDOUT_LINE_LIMIT", 400)
+    parsed = json.loads(bench._render_stdout_line(sum(t.values()), t, 0.1))
+    assert parsed.get("queries_omitted", 0) > 0
+    assert "omitted_keys" not in parsed
+    dropped = sorted(k for k in t if k not in parsed["queries"])
+    assert len(dropped) == parsed["queries_omitted"]
+    expect = hashlib.md5(",".join(dropped).encode()).hexdigest()[:12]
+    assert parsed["omitted_hash"] == expect
+    # the NAMED branch never carries the digest — one mechanism at a time
+    monkeypatch.setattr(bench, "_STDOUT_LINE_LIMIT", 840)
+    named = json.loads(bench._render_stdout_line(sum(t.values()), t, 0.1))
+    if "omitted_keys" in named:
+        assert "omitted_hash" not in named
+
+
 def test_precision_kept_when_it_fits() -> None:
     t = {"a_key": 0.2567, "b_key": 5.0312}
     parsed = json.loads(bench._render_stdout_line(5.2879, t, 0.01))

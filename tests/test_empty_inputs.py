@@ -185,9 +185,10 @@ KEYS = [
     "layout_rendezvous_shards",
     "event_pattern_match",
     "graph_random_walks",
-    # read_python_datasource_timetravel excluded: one row per log
-    # version (all-zero on an empty corpus) is its correct output —
-    # the same REPORT-shape exclusion as curation_funnel
+    # read_python_datasource_timetravel / _changes excluded: one row
+    # per log version / version pair (all-zero on an empty corpus) is
+    # their correct output — the same REPORT-shape exclusion as
+    # curation_funnel
 ]
 
 

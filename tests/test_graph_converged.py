@@ -177,3 +177,12 @@ def test_converged_loop_reads_cached_edges(spark):
     assert "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan
     assert "lineitem" not in plan and "orders" not in plan
+
+
+def test_cc_star_unroll_is_converged_on_oracle_fixture(spark):
+    """Round-11 ADVICE: the fixed _CC_STAR_ROUNDS unroll must reach a
+    fixed point on the oracle fixture — one extra large/small-star
+    pair leaves the edge set unchanged. tools/scale10.py runs the same
+    guard on the 10x/100x fixtures, where there's no oracle to catch a
+    non-converged (wrong-but-hash-matching) census."""
+    assert G.cc_star_converged(spark, SF_DIR)

@@ -359,6 +359,37 @@ def test_bot_regularity_flags_planted_timer(spark):
     assert got[1].mean_gap_us == 60_000_000
 
 
+def test_bot_regularity_decimal_headroom(spark):
+    """Round-11 ADVICE: the old formula scaled D = n*S2 - S1^2 by 1e6
+    BEFORE dividing, overflowing decimal(38,0) once n*S2 > ~1.7e32 —
+    NULL in a non-ANSI session, an error in the driver's ANSI one. A
+    user with 101 gaps, one of them a century, sits past that bound;
+    the divmod formula must produce the exact pure-int value."""
+    import datetime as dt
+
+    from hive_2_spark.core.events import _bot_report
+
+    century_us = 3_155_760_000 * 1_000_000  # ~100 years in microseconds
+    gaps_us = [1_000_000] * 100 + [century_us]
+    assert (len(gaps_us) * sum(g * g for g in gaps_us)) * 10**6 > 17 * 10**37
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(7, t0, 0)]
+    t_us = 0
+    for i, g in enumerate(gaps_us, start=1):
+        t_us += g
+        rows.append((7, t0 + dt.timedelta(microseconds=t_us), i))
+    e = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint"
+    )
+    got = _bot_report(e).collect()[0]
+    n, s1 = len(gaps_us), sum(gaps_us)
+    d, ss = n * sum(g * g for g in gaps_us) - s1 * s1, s1 * s1
+    expected = (d // ss) * 10**6 + ((d % ss) * 10**6) // ss
+    assert got.cv2_e6 is not None and got.cv2_e6 == expected
+    assert got.span_us == s1 and got.is_bot == 0
+
+
 def test_pattern_match_planted_sequences(spark):
     """The contiguity constraint is the point: v..c..p with <= 2
     interleaved events per hop matches; a 3-event hop breaks it;
@@ -446,6 +477,127 @@ def test_versioned_sink_time_travel_isolation(spark, tmp_path):
     # each log entry records its version (the commit-log audit field)
     with open(os.path.join(target, "_MANIFEST-V1")) as f:
         assert json.load(f)["version"] == 1
+
+
+def test_versioned_sink_auto_cas_sequential(spark, tmp_path):
+    """version="auto" claims max+1: sequential commits land V0, V1,
+    and a pre-existing foreign V7 pushes the next auto claim to V8."""
+    import json
+    import os
+
+    from hive_2_spark.core.pysource import (
+        _SINK_FORMAT,
+        _register_sink,
+        versioned_manifest_files,
+    )
+
+    _register_sink(spark)
+    target = str(tmp_path / "cas")
+    for ids in ([1, 2], [3]):
+        spark.createDataFrame(
+            [(i,) for i in ids], "doc_id bigint"
+        ).coalesce(1).write.format(_SINK_FORMAT).option(
+            "path", target
+        ).option("version", "auto").mode("append").save()
+    assert os.path.exists(os.path.join(target, "_MANIFEST-V0"))
+    assert os.path.exists(os.path.join(target, "_MANIFEST-V1"))
+    with open(os.path.join(target, "_MANIFEST-V1")) as f:
+        assert json.load(f)["version"] == 1
+    # a foreign writer's later entry moves the next claim past it
+    with open(os.path.join(target, "_MANIFEST-V7"), "w") as f:
+        json.dump({"files": [], "rows": 0, "version": 7}, f)
+    spark.createDataFrame([(4,)], "doc_id bigint").coalesce(1).write.format(
+        _SINK_FORMAT
+    ).option("path", target).option("version", "auto").mode("append").save()
+    assert os.path.exists(os.path.join(target, "_MANIFEST-V8"))
+    got = {
+        r.doc_id
+        for r in spark.read.schema("doc_id bigint")
+        .json(versioned_manifest_files(target))
+        .collect()
+    }
+    assert got == {1, 2, 3, 4}
+    # no stray CAS scratch files survive a commit
+    assert not [n for n in os.listdir(target) if n.startswith("caschk-")]
+
+
+def test_versioned_sink_auto_cas_contention(tmp_path):
+    """Two writers racing the SAME next version must land distinct
+    versions with no lost commit: drive _publish_cas directly from two
+    threads gated on a barrier (the racy window is scan -> link)."""
+    import json
+    import os
+    import threading
+
+    from hive_2_spark.core.pysource import _Staged, _publish_cas
+
+    target = str(tmp_path / "race")
+    os.makedirs(target)
+    results: list[int] = []
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(2)
+
+    def writer(tag: str):
+        try:
+            staged = os.path.join(target, f"stage-{tag}.jsonl.tmp")
+            with open(staged, "w") as f:
+                f.write(json.dumps({"doc_id": tag}) + "\n")
+            barrier.wait()
+            results.append(
+                _publish_cas(target, [_Staged(path=staged, rows=1)])
+            )
+        except BaseException as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(t,)) for t in ("a", "b")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert sorted(results) == [0, 1]  # both committed, distinct versions
+    names = set()
+    for v in (0, 1):
+        with open(os.path.join(target, f"_MANIFEST-V{v}")) as f:
+            m = json.load(f)
+            assert m["version"] == v and m["rows"] == 1
+            names.update(m["files"])
+    assert len(names) == 2  # each commit published its own file
+
+
+def test_changes_between_reads_only_the_range(spark, tmp_path):
+    """versioned_manifest_files(since=lo, as_of=hi) must name exactly
+    the files committed in (lo, hi] — the snapshot-diff contract."""
+    from hive_2_spark.core.pysource import (
+        _SINK_FORMAT,
+        _register_sink,
+        versioned_manifest_files,
+    )
+
+    _register_sink(spark)
+    target = str(tmp_path / "chg")
+    for ids in ([1], [2, 3], [4]):
+        spark.createDataFrame(
+            [(i,) for i in ids], "doc_id bigint"
+        ).coalesce(1).write.format(_SINK_FORMAT).option(
+            "path", target
+        ).option("version", "auto").mode("append").save()
+
+    def ids_between(lo, hi):
+        files = versioned_manifest_files(target, as_of=hi, since=lo)
+        if not files:
+            return set()
+        return {
+            r.doc_id
+            for r in spark.read.schema("doc_id bigint").json(files).collect()
+        }
+
+    assert ids_between(0, 1) == {2, 3}
+    assert ids_between(0, 2) == {2, 3, 4}
+    assert ids_between(1, 2) == {4}
+    assert ids_between(2, 2) == set()  # empty range — no manifests read
 
 
 def test_cc_largestar_agrees_with_fixpoint_cc(spark):

@@ -121,6 +121,17 @@ def bench() -> None:
             print(f"{key:28s} {tag} {best:7.3f}s", file=sys.stderr)
     for key, r in results.items():
         r["exponent"] = round(math.log(r["t10"] / r["t1"]) / math.log(10), 2)
+    if "graph_cc_largestar" in keys:
+        # round-11 ADVICE: on non-oracle fixtures the fixed star unroll
+        # needs an explicit fixed-point check — a larger fixture's
+        # components could outgrow it with no oracle to catch it
+        from hive_2_spark.core.graph import cc_star_converged
+
+        for d in (SF1, X10_DIR):
+            assert cc_star_converged(spark, d), (
+                f"graph_cc_largestar unroll NOT converged at {d}"
+            )
+        print("cc_star_converged: ok at 1x and 10x", file=sys.stderr)
     print(json.dumps(results))
     _write_md(results)
     spark.stop()
@@ -222,6 +233,14 @@ def bench100(keys: list[str] | None = None) -> None:
         r["exponent"] = round(
             math.log(r["t100"] / r["t10"]) / math.log(10), 2
         )
+    if "graph_cc_largestar" in run_keys:
+        from hive_2_spark.core.graph import cc_star_converged
+
+        for d in (X10_DIR, X100_DIR):
+            assert cc_star_converged(spark, d), (
+                f"graph_cc_largestar unroll NOT converged at {d}"
+            )
+        print("cc_star_converged: ok at 10x and 100x", file=sys.stderr)
     print(json.dumps(results))
     _write_md100(results)
     spark.stop()
