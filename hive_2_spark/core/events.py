@@ -935,9 +935,92 @@ def _pattern_census(e: DataFrame) -> DataFrame:
     )
 
 
+# view -> purchase horizon. 48 h on this fixture: its per-user streams
+# are sparse (~1 event per 30-min session, p25 of the view->purchase
+# gap ~= 48 h), so this splits the census ~25/75 instead of matching
+# nothing; a real CEP deployment sets the clause's own N.
+_CHAIN_HORIZON_US = 48 * 3600 * 1_000_000
+
+
+def event_pattern_match_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED sequence matching — MATCH_RECOGNIZE's ``within N
+    minutes`` clause beside :func:`event_pattern_match` (which bounds
+    by EVENT COUNT): a purchase "completes a chain" iff SOME view v
+    and click c exist with v < c < p in the (ts, event_id) order and
+    ts_p - ts_v within the horizon (48 h here; `_CHAIN_HORIZON_US`) —
+    the whole sequence inside the bound.
+    Unlike `event_funnel_windowed` (per-user FIRST-event stage chain,
+    one row per corpus) this censuses every purchase.
+
+    The existential is decided EXACTLY by two chained running-max
+    windows, no per-candidate joins and no regex: let lv = latest view
+    strictly before each row, and lcv = max over preceding CLICKS of
+    their lv. lv is monotone non-decreasing in event order, so lcv is
+    precisely "the latest view that precedes some click preceding me",
+    and a chain exists iff lcv is non-null and ts_p - lcv <= horizon.
+    (Proof of the reduction: if the latest view before the LATEST
+    preceding click is older than the horizon, every view before every
+    earlier click is older still — monotonicity — so no (v, c) pair
+    qualifies.)
+
+    Scale: both windows, the purchase filter, and the census share ONE
+    user_id hash partitioning (single Exchange, plan-gated); per-row
+    state is two bigints, never a buffered candidate set — this is the
+    shape CEP engines compile `A -> B -> C within T` to, and it
+    streams as-is (the running maxima are the applyInPandasWithState
+    state vector).
+
+    Output: user_id, n_purchases, n_chains (purchases completing a
+    chain; predecessors are shareable across purchases by definition —
+    non-overlap censuses are `event_pattern_match`'s contract).
+    """
+    return _chain_census(load_table(spark, sf_dir, "events"))
+
+
+def _chain_census(e: DataFrame) -> DataFrame:
+    """Chain census over any (user_id, ts, event_id, event_type) frame
+    — factored out so the planted-chain pytest drives the production
+    windows exactly."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = (
+        e.select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "event_type",
+        )
+        .withColumn(
+            "lv",
+            F.max(
+                F.when(F.col("event_type") == "view", F.col("us"))
+            ).over(w),
+        )
+        .withColumn(
+            "lcv",
+            F.max(
+                F.when(F.col("event_type") == "click", F.col("lv"))
+            ).over(w),
+        )
+    )
+    p = g.filter(F.col("event_type") == "purchase")
+    chain = (
+        F.col("lcv").isNotNull()
+        & ((F.col("us") - F.col("lcv")) <= _CHAIN_HORIZON_US)
+    ).cast("bigint")
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(chain).alias("n_chains"),
+    )
+
+
 QUERIES = {
     "event_bot_regularity": event_bot_regularity,
     "event_pattern_match": event_pattern_match,
+    "event_pattern_match_within": event_pattern_match_within,
     "event_cumulative_reach": event_cumulative_reach,
     "event_streaks": event_streaks,
     "event_concurrency_peak": event_concurrency_peak,
@@ -1050,9 +1133,36 @@ SELECT user_id,
 FROM m GROUP BY user_id
 """
 
+_PATTERN_WITHIN_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+), w1 AS (
+  SELECT user_id, us, event_id, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN us END) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+  FROM o
+), w2 AS (
+  SELECT user_id, us, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN lv END) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lcv
+  FROM w1
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN lcv IS NOT NULL
+                      AND us - lcv <= {_CHAIN_HORIZON_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_chains
+FROM w2
+WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
 ORACLES = {
     "event_bot_regularity": _BOT_REGULARITY_ORACLE,
     "event_pattern_match": _PATTERN_MATCH_ORACLE,
+    "event_pattern_match_within": _PATTERN_WITHIN_ORACLE,
     "event_cumulative_reach": _REACH_ORACLE,
     "event_streaks": _STREAKS_ORACLE,
     "event_concurrency_peak": _CONCURRENCY_ORACLE,

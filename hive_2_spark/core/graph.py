@@ -734,6 +734,132 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# node2vec bias weights, integer-scaled (x4) so the cumulative-weight
+# pick is exact in both engines: return (back to the previous node)
+# alpha = 1/p with p = 2 -> 2; common neighbor of prev (distance 1)
+# alpha = 1 -> 4; farther (distance 2 from prev) alpha = 1/q with
+# q = 4 -> 1. p > 1 discourages immediate backtracking, q > 1 keeps
+# the walk local (the BFS-ish regime that embeds structural roles).
+_N2V_RET_W = 2
+_N2V_COMMON_W = 4
+_N2V_FAR_W = 1
+_N2V_STEPS = 3
+
+
+def graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIASED second-order random walks (node2vec, Grover & Leskovec
+    KDD'16) over the near-dup document graph — row 114's deterministic
+    walk upgraded from first-order (next hop depends on cur alone) to
+    second-order: the transition out of ``cur`` is weighted by where
+    the walk CAME FROM (``prev``): weight 1/p to return to prev, 1 to
+    a common neighbor of prev, 1/q to a node farther from prev — the
+    p/q dials between structural-role and community embeddings, and
+    the walk corpus is what a skip-gram trainer consumes.
+
+    Deterministic in the row-114 discipline: the RNG is
+    md5(start:k:prev:cur) reduced mod the TOTAL transition weight, and
+    the chosen neighbor is the first whose running weight (cumsum in
+    the (src, dst-asc) adjacency numbering) exceeds the draw — exact
+    integer weighted sampling, bit-identical across engines/shards/
+    reruns. Step 1 has no prev and stays uniform (the row-114 rule).
+
+    Scale: each step fans the #walks-sized frame out to candidate
+    edges (sum of deg(cur) rows), marks distance-1 candidates with ONE
+    equi-join against the shared persisted pair index (never a
+    neighborhood collect), and collapses back to #walks rows with two
+    start-partitioned windows. This is the tradeoff node2vec is KNOWN
+    for (second-order state = the alias-table blowup in the paper);
+    production precomputes per-(prev, cur) alias tables once per epoch
+    — here the fan-out IS that table, rebuilt per step and never
+    wider than the edge list.
+
+    Output: (node, n_visits) across steps 0..3 — the coverage census
+    (biased counts differ from row 114's uniform ones on any node
+    whose neighbors share edges).
+    """
+    from pyspark.sql.window import Window
+
+    from hive_2_spark.llm.dedup import neardup_edges_sym
+
+    e = neardup_edges_sym(spark, sf_dir)
+    nb = e.withColumn(
+        "idx",
+        F.row_number().over(
+            Window.partitionBy("src").orderBy(F.col("dst").asc())
+        ),
+    ).localCheckpoint()
+    deg = nb.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    mark = nb.select(
+        F.col("src").alias("m_src"),
+        F.col("dst").alias("m_dst"),
+        F.lit(1).alias("is_common"),
+    )
+
+    def h12(*cols):
+        return F.conv(
+            F.substring(F.md5(F.concat(*cols)), 1, 12), 16, 10
+        ).cast("bigint")
+
+    # step 1: uniform (no prev yet) — md5(start:1:cur) % deg + 1
+    w0 = deg.select(F.col("src").alias("start"), F.col("src").alias("cur"))
+    h1 = h12(
+        F.col("start").cast("string"), F.lit(":1:"),
+        F.col("cur").cast("string"),
+    )
+    walks = (
+        w0.join(deg, w0.cur == deg.src)
+        .withColumn("nxt_idx", h1 % F.col("d") + 1)
+        .join(nb, (nb.src == F.col("cur")) & (nb.idx == F.col("nxt_idx")))
+        .select(
+            "start", F.col("cur").alias("prev"), F.col("dst").alias("cur")
+        )
+    )
+    visited = [w0.select("cur"), walks.select("cur")]
+    cum_w = Window.partitionBy("start").orderBy("idx")
+    tot_w = Window.partitionBy("start")
+    for k in range(2, _N2V_STEPS + 1):
+        cand = (
+            walks.join(nb, nb.src == walks.cur)
+            .join(
+                mark,
+                (F.col("m_src") == F.col("prev"))
+                & (F.col("m_dst") == F.col("dst")),
+                "left",
+            )
+            .withColumn(
+                "wt",
+                F.when(F.col("dst") == F.col("prev"), _N2V_RET_W)
+                .when(F.col("is_common").isNotNull(), _N2V_COMMON_W)
+                .otherwise(_N2V_FAR_W),
+            )
+        )
+        r = h12(
+            F.col("start").cast("string"), F.lit(f":{k}:"),
+            F.col("prev").cast("string"), F.lit(":"),
+            F.col("cur").cast("string"),
+        )
+        walks = (
+            cand.withColumn("cum", F.sum("wt").over(cum_w))
+            .withColumn("tot", F.sum("wt").over(tot_w))
+            .withColumn("draw", r % F.col("tot"))
+            .filter(
+                (F.col("draw") >= F.col("cum") - F.col("wt"))
+                & (F.col("draw") < F.col("cum"))
+            )
+            .select(
+                "start", F.col("cur").alias("prev"),
+                F.col("dst").alias("cur"),
+            )
+        )
+        visited.append(walks.select("cur"))
+    allv = visited[0]
+    for v in visited[1:]:
+        allv = allv.unionAll(v)
+    return allv.groupBy(F.col("cur").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_visits")
+    )
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_converged": graph_pagerank_converged,
@@ -743,6 +869,7 @@ QUERIES = {
     "graph_communities_incremental": graph_communities_incremental,
     "graph_cc_largestar": graph_cc_largestar,
     "graph_random_walks": graph_random_walks,
+    "graph_node2vec_walks": graph_node2vec_walks,
 }
 
 # mirrors the Spark side exactly: precomputed per-edge weight 1.0/deg,
@@ -1103,6 +1230,74 @@ FROM allv GROUP BY cur
 """
 
 
+def _node2vec_sql() -> str:
+    """Replays every biased hop: same adjacency numbering, same
+    integer weights, same md5(start:k:prev:cur) % total-weight draw,
+    same first-cum-exceeding-the-draw pick."""
+    from hive_2_spark.core.aggregates import _dk_hex_int
+
+    from hive_2_spark.llm.dedup import ORACLES as _DEDUP_ORACLES
+
+    pairs = _DEDUP_ORACLES["dedup_ngram_jaccard"]
+    h1 = _dk_hex_int(
+        "md5(CAST(w.start AS VARCHAR) || ':1:' || CAST(w.cur AS VARCHAR))",
+        12,
+    )
+    steps = []
+    for k in range(2, _N2V_STEPS + 1):
+        hk = _dk_hex_int(
+            f"md5(CAST(start AS VARCHAR) || ':{k}:' || "
+            "CAST(prev AS VARCHAR) || ':' || CAST(cur AS VARCHAR))",
+            12,
+        )
+        steps.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT start, cur AS prev, dst AS cur FROM (
+    SELECT start, prev, cur, dst, wt,
+           SUM(wt) OVER (PARTITION BY start ORDER BY idx) AS cum,
+           ({hk}) % (SUM(wt) OVER (PARTITION BY start)) AS draw
+    FROM (
+      SELECT w.start, w.prev, w.cur, nb.dst, nb.idx,
+             CASE WHEN nb.dst = w.prev THEN {_N2V_RET_W}
+                  WHEN m.src IS NOT NULL THEN {_N2V_COMMON_W}
+                  ELSE {_N2V_FAR_W} END AS wt
+      FROM w{k - 1} w
+      JOIN nb ON nb.src = w.cur
+      LEFT JOIN e m ON m.src = w.prev AND m.dst = nb.dst
+    )
+  ) WHERE draw >= cum - wt AND draw < cum
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT cur FROM w{k}" for k in range(_N2V_STEPS + 1)
+    )
+    return f"""
+WITH p AS (SELECT DISTINCT a_id, b_id FROM ({pairs})),
+e AS (
+  SELECT a_id AS src, b_id AS dst FROM p
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM p
+),
+nb AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst ASC) AS idx
+  FROM e
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+w0 AS (SELECT src AS start, src AS cur FROM deg),
+w1 AS MATERIALIZED (
+  SELECT w.start, w.cur AS prev, nb.dst AS cur
+  FROM w0 w
+  JOIN deg ON w.cur = deg.src
+  JOIN nb ON nb.src = w.cur AND nb.idx = ({h1}) % deg.d + 1
+),
+{",".join(steps)},
+allv AS ({union})
+SELECT cur AS node, COUNT(*) AS n_visits
+FROM allv GROUP BY cur
+"""
+
+
 ORACLES = {
     "graph_pagerank": _pagerank_sql(),
     "graph_pagerank_converged": _pagerank_converged_sql(),
@@ -1112,4 +1307,5 @@ ORACLES = {
     "graph_communities_incremental": _communities_incremental_sql(),
     "graph_cc_largestar": _cc_largestar_sql(),
     "graph_random_walks": _random_walks_sql(),
+    "graph_node2vec_walks": _node2vec_sql(),
 }

@@ -185,6 +185,9 @@ KEYS = [
     "layout_rendezvous_shards",
     "event_pattern_match",
     "graph_random_walks",
+    # round-12 additions
+    "event_pattern_match_within",
+    "graph_node2vec_walks",
     # read_python_datasource_timetravel / _changes excluded: one row
     # per log version / version pair (all-zero on an empty corpus) is
     # their correct output — the same REPORT-shape exclusion as

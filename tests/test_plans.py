@@ -517,6 +517,20 @@ def test_bot_regularity_single_exchange(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_pattern_within_single_exchange(spark):
+    """event_pattern_match_within: both running-max windows, the
+    purchase filter, and the census agg must share ONE user_id hash
+    partitioning (and one sort) — the CEP-compilation shape; a second
+    Exchange means a stage stopped riding the window's shuffle. No
+    regex, no joins, no Python."""
+    from hive_2_spark.core.events import event_pattern_match_within
+
+    plan = plan_of(event_pattern_match_within(spark, SF_DIR))
+    assert plan.count("+- Exchange") + plan.count(": Exchange") == 1, plan
+    assert plan.count("+- Sort") + plan.count(": Sort") == 1, plan
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
 def test_rendezvous_is_map_side_argmax(spark):
     """layout_rendezvous_shards must compute the HRW argmax as a
     per-row greatest(...) expression: no join, no explode/Generate —

@@ -22,6 +22,8 @@ from hive_2_spark import registry
 #     registry order as the displaceable tail.
 _ROUND12_NEW: list[str] = [
     "read_python_datasource_changes",
+    "event_pattern_match_within",
+    "graph_node2vec_walks",
 ]
 
 _NEVER_CHECKED = [

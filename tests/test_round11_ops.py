@@ -432,6 +432,46 @@ def test_pattern_match_planted_sequences(spark):
     assert got[4] == (1, 0, 0)
 
 
+def test_pattern_within_planted_chains(spark):
+    """Planted sequences drive the production windows: a tight
+    v->c->p chains; v->c->p wider than the horizon doesn't; c->v->p
+    (view after click) doesn't; a second purchase after a chained one
+    may reuse the same predecessors (documented shareable semantics);
+    a view newer than the click is NOT usable for chains before the
+    next click (lv snapshots at click time)."""
+    import datetime as dt
+
+    from hive_2_spark.core.events import _CHAIN_HORIZON_US, _chain_census
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    h = _CHAIN_HORIZON_US // 1_000_000  # horizon in seconds
+    rows = [
+        # user 1: tight chain + a second purchase sharing predecessors
+        (1, t0, 0, "view"), (1, t0 + m, 1, "click"),
+        (1, t0 + 2 * m, 2, "purchase"), (1, t0 + 3 * m, 3, "purchase"),
+        # user 2: ordered v->c->p but v..p span exceeds the horizon
+        (2, t0, 4, "view"),
+        (2, t0 + dt.timedelta(seconds=h - 60), 5, "click"),
+        (2, t0 + dt.timedelta(seconds=h + 60), 6, "purchase"),
+        # user 3: click precedes the only view — no chain
+        (3, t0, 7, "click"), (3, t0 + m, 8, "view"),
+        (3, t0 + 2 * m, 9, "purchase"),
+        # user 4: v c p with a LATER view that must not matter
+        (4, t0, 10, "view"), (4, t0 + m, 11, "click"),
+        (4, t0 + 2 * m, 12, "view"), (4, t0 + 3 * m, 13, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    )
+    got = {r.user_id: (r.n_purchases, r.n_chains)
+           for r in _chain_census(e).collect()}
+    assert got[1] == (2, 2)
+    assert got[2] == (1, 0)
+    assert got[3] == (1, 0)
+    assert got[4] == (1, 1)
+
+
 def test_versioned_sink_time_travel_isolation(spark, tmp_path):
     """Snapshot semantics come from the manifest log alone: a later
     version's files and a staged-but-uncommitted tmp file are on disk
@@ -666,3 +706,71 @@ def test_random_walks_match_python_ground_truth(spark):
     # so total visits = #nodes * (steps + 1)
     n_nodes = len({x for e in edges for x in e})
     assert sum(got.values()) == n_nodes * (_WALK_STEPS + 1)
+
+
+def _py_node2vec_census(edges, steps):
+    """Pure-Python replay of the BIASED walk rule (independent of both
+    engines): step 1 uniform; step k >= 2 weighted by return/common/
+    far vs prev, cumulative weights in dst-asc order, draw =
+    md5('start:k:prev:cur') % total."""
+    import hashlib
+
+    from hive_2_spark.core.graph import (
+        _N2V_COMMON_W,
+        _N2V_FAR_W,
+        _N2V_RET_W,
+    )
+
+    nbset: dict = {}
+    for u, v in edges:
+        nbset.setdefault(u, set()).add(v)
+        nbset.setdefault(v, set()).add(u)
+    adj = {u: sorted(vs) for u, vs in nbset.items()}
+    census: Counter = Counter()
+    for start in adj:
+        cur = start
+        census[cur] += 1
+        h = int(
+            hashlib.md5(f"{start}:1:{cur}".encode()).hexdigest()[:12], 16
+        )
+        prev, cur = cur, adj[cur][h % len(adj[cur])]
+        census[cur] += 1
+        for k in range(2, steps + 1):
+            wts = [
+                _N2V_RET_W if x == prev
+                else _N2V_COMMON_W if x in nbset[prev]
+                else _N2V_FAR_W
+                for x in adj[cur]
+            ]
+            draw = int(
+                hashlib.md5(
+                    f"{start}:{k}:{prev}:{cur}".encode()
+                ).hexdigest()[:12],
+                16,
+            ) % sum(wts)
+            cum = 0
+            for x, w in zip(adj[cur], wts):
+                cum += w
+                if draw < cum:
+                    prev, cur = cur, x
+                    break
+            census[cur] += 1
+    return dict(census)
+
+
+def test_node2vec_walks_match_python_ground_truth(spark):
+    from hive_2_spark.core.graph import _N2V_STEPS, graph_node2vec_walks
+    from hive_2_spark.llm.dedup import neardup_pair_index
+
+    edges = [
+        (r.a_id, r.b_id)
+        for r in neardup_pair_index(spark, SF_DIR).collect()
+    ]
+    expect = _py_node2vec_census(edges, _N2V_STEPS)
+    got = {
+        r.node: r.n_visits
+        for r in graph_node2vec_walks(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    n_nodes = len({x for e in edges for x in e})
+    assert sum(got.values()) == n_nodes * (_N2V_STEPS + 1)

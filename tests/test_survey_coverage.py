@@ -112,8 +112,9 @@ BRIEF_EXTRAS = [
     "graph_cc_largestar", "event_bot_regularity",
     "layout_rendezvous_shards", "event_pattern_match",
     "read_python_datasource_timetravel", "graph_random_walks",
-    # round-12 additions (SURVEY §2B row 115)
-    "read_python_datasource_changes",
+    # round-12 additions (SURVEY §2B rows 115+)
+    "read_python_datasource_changes", "event_pattern_match_within",
+    "graph_node2vec_walks",
 ]
 
 
