@@ -131,6 +131,12 @@ HEADLINE = [
     "event_pattern_match",    # CEP sequence-pattern census (regex over slices)
     "read_python_datasource_timetravel",  # versioned-manifest snapshot reads
     "graph_random_walks",     # deterministic DeepWalk corpus census
+    # --- round-12 additions ---
+    "read_python_datasource_changes",  # CHANGES BETWEEN over the CAS log
+    "event_pattern_match_within",      # time-bounded CEP (one exchange)
+    "graph_node2vec_walks",            # biased 2nd-order walk census
+    "agg_sample_quantile_portable",    # bottom-k sample quantile sketch
+    "quality_vocab_zipf",              # per-lang Zipf head audit
 ]
 
 

@@ -846,10 +846,119 @@ def agg_kmv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ_K = 512  # bottom-k sample size per shard
+
+
+def _sq_sample(
+    spark: SparkSession, sf_dir: str, li: DataFrame | None = None
+) -> DataFrame:
+    """(shard, pri, okey, lineno, cents): the k rows with the SMALLEST
+    md5 priorities per ship-year shard — a deterministic simple random
+    sample (hash priority plays the RNG, the `sample_reservoir`
+    discipline). Factored out so the mergeability gate can sample
+    arbitrary slices (``li`` override)."""
+    from pyspark.sql.window import Window
+
+    rows = (
+        (li if li is not None else load_table(spark, sf_dir, "lineitem"))
+        .select(
+            F.year("l_shipdate").cast("string").alias("shard"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("bigint").alias("pri"),
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").cast("bigint").alias("lineno"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("pri", "okey", "lineno")
+    return (
+        rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SQ_K)
+        .select("shard", "pri", "okey", "lineno", "cents")
+    )
+
+
+def agg_sample_quantile_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PORTABLE bottom-k-sample QUANTILE sketch — the fourth mergeable
+    summary beside `agg_hll_portable` (distinct), `agg_countmin_portable`
+    (frequency) and `agg_kmv_portable` (set algebra): per-shard price
+    quantiles estimated from a k=512 hash-priority sample, and the ALL
+    row merged from the SHARD SAMPLES ALONE — never rescanning the
+    facts — because the k smallest priorities of the union are each
+    among their own shard's k smallest (the same closure KMV's k-min
+    merge rests on). At 100 TB each shard ships k rows to the
+    coordinator instead of re-sorting the fact table; a t-digest/KLL
+    trades exactness of THIS estimator for smaller k, but its random
+    compaction has no engine-portable replay — the bottom-k sample is
+    the deterministic member of that family.
+
+    Everything is exact integers: cents = floor(price*100 + 0.5),
+    48-bit md5 priorities with (okey, lineno) collision tiebreak, and
+    the type-1 quantile rule value-at-rank ceil(q*n) = (n*q100 + 99)
+    DIV 100 over the (cents, pri, okey, lineno)-sorted sample — both
+    engines replay the selection and the pick bit-for-bit. Accuracy vs
+    the exact CDF is gated in tests/test_sketches.py (the estimated
+    p50/p90 must land within +-6 rank points of their target, the
+    k=512 two-sigma band).
+
+    Output: (shard, n_sample, p50_cents, p90_cents, p99_cents), one
+    row per ship-year plus the merged 'ALL' row.
+    """
+    from pyspark.sql.window import Window
+
+    shard_s = _sq_sample(spark, sf_dir).localCheckpoint()  # sketch-sized
+    w_all = Window.partitionBy(F.lit(1)).orderBy("pri", "okey", "lineno")
+    all_s = (
+        shard_s.withColumn("rn", F.row_number().over(w_all))
+        .filter(F.col("rn") <= _SQ_K)
+        .select(
+            F.lit("ALL").alias("shard"), "pri", "okey", "lineno", "cents"
+        )
+    )
+    s = shard_s.unionByName(all_s)
+    w_val = Window.partitionBy("shard").orderBy(
+        "cents", "pri", "okey", "lineno"
+    )
+    w_n = Window.partitionBy("shard")
+    v = s.withColumn("vr", F.row_number().over(w_val)).withColumn(
+        "n", F.count(F.lit(1)).over(w_n)
+    )
+
+    def pick(q100: int, name: str):
+        return F.max(
+            F.when(
+                F.col("vr") == F.expr(f"(n * {q100} + 99) DIV 100"),
+                F.col("cents"),
+            )
+        ).alias(name)
+
+    return v.groupBy("shard").agg(
+        F.max("n").cast("bigint").alias("n_sample"),
+        pick(50, "p50_cents"),
+        pick(90, "p90_cents"),
+        pick(99, "p99_cents"),
+    )
+
+
 QUERIES = {
     "agg_hll_portable": agg_hll_portable,
     "agg_countmin_portable": agg_countmin_portable,
     "agg_kmv_portable": agg_kmv_portable,
+    "agg_sample_quantile_portable": agg_sample_quantile_portable,
     "agg_gini": agg_gini,
     "agg_groupby": agg_groupby,
     "agg_argmax": agg_argmax,
@@ -1009,6 +1118,43 @@ FROM est e LEFT JOIN exacts x ON e.shard = x.shard AND e.k = x.k
     # pure integer arithmetic end-to-end (rank-window k-min, MAX, one
     # integer division per estimate); 12-nibble strpos hex decode
     # because DuckDB has no conv()
+    "agg_sample_quantile_portable": f"""
+WITH rows AS (
+  SELECT CAST(year(l_shipdate) AS VARCHAR) AS shard,
+         {_dk_hex_int(
+            "md5(CAST(l_orderkey AS VARCHAR) || ':' || "
+            "CAST(l_linenumber AS VARCHAR))", 12)} AS pri,
+         l_orderkey AS okey,
+         CAST(l_linenumber AS BIGINT) AS lineno,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), shard_s AS (
+  SELECT shard, pri, okey, lineno, cents FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY shard ORDER BY pri, okey, lineno) AS rn
+    FROM rows)
+  WHERE rn <= {_SQ_K}
+), all_s AS (
+  SELECT 'ALL' AS shard, pri, okey, lineno, cents FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY pri, okey, lineno) AS rn
+    FROM shard_s)
+  WHERE rn <= {_SQ_K}
+), s AS (
+  SELECT * FROM shard_s UNION ALL SELECT * FROM all_s
+), v AS (
+  SELECT shard, cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY shard ORDER BY cents, pri, okey, lineno) AS vr,
+         COUNT(*) OVER (PARTITION BY shard) AS n
+  FROM s
+)
+SELECT shard,
+       CAST(MAX(n) AS BIGINT) AS n_sample,
+       MAX(CASE WHEN vr = (n * 50 + 99) // 100 THEN cents END) AS p50_cents,
+       MAX(CASE WHEN vr = (n * 90 + 99) // 100 THEN cents END) AS p90_cents,
+       MAX(CASE WHEN vr = (n * 99 + 99) // 100 THEN cents END) AS p99_cents
+FROM v GROUP BY shard
+""",
     "agg_kmv_portable": f"""
 WITH m AS (
   SELECT DISTINCT o_orderpriority AS t,

@@ -363,7 +363,74 @@ def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZIPF_TOP_COVER = 10  # head size for the coverage share
+
+
+def quality_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary ZIPF-SHAPE audit — the distributional
+    health check a tokenizer/corpus pipeline runs beside the surface
+    gates: natural language has f(r) ~ 1/r (f1/f10 ~= 10, the head covering a
+    large token share); boilerplate or templated spam flattens the
+    head (ratios collapse toward 1), and random/gibberish text starves
+    it (coverage collapses). The deep-rank probe is ADAPTIVE — the
+    median-rank term, ceil(n_terms/2) — so the audit stays defined on
+    any vocabulary size (a fixed rank 100 is NULL on this fixture's
+    31-term synthetic vocab). Reported as
+    EXACT integer ratios instead of a fitted log-log slope: ln() is
+    the one place the two engines' libm can disagree by an ulp, and
+    per-mille-scaled integer divisions carry the same decision signal
+    with zero cross-engine drift (the `quality_benford` discipline).
+
+    Scale: one token explode into a (lang, term)-keyed count (the
+    dedup/contamination shuffle, partial-aggregated map-side), a
+    lang-partitioned rank window over the vocab-sized count frame, and
+    a lang-sized final aggregate. The fact table never shuffles twice.
+
+    Output per lang: n_terms, n_tokens, f1 (top-term count),
+    f1_f10_e3 = 1000*f1 DIV f10, f1_fmid_e3 (mid = ceil(n_terms/2)),
+    top10_cover_pm (per-mille of all tokens in the top 10 terms).
+    """
+    from pyspark.sql.window import Window
+
+    from hive_2_spark.llm.dedup import _NORM
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(_NORM(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    from pyspark.sql.window import Window as _W
+
+    ranked = tf.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "nt", F.count(F.lit(1)).over(_W.partitionBy("lang"))
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.max(F.when(F.col("rk") == 1, F.col("c"))).cast("bigint")
+        .alias("f1"),
+        F.expr(
+            "CAST(1000 * MAX(CASE WHEN rk = 1 THEN c END)"
+            " DIV MAX(CASE WHEN rk = 10 THEN c END) AS BIGINT)"
+        ).alias("f1_f10_e3"),
+        F.expr(
+            "CAST(1000 * MAX(CASE WHEN rk = 1 THEN c END)"
+            " DIV MAX(CASE WHEN rk = (nt + 1) DIV 2 THEN c END)"
+            " AS BIGINT)"
+        ).alias("f1_fmid_e3"),
+        F.expr(
+            f"CAST(1000 * SUM(CASE WHEN rk <= {_ZIPF_TOP_COVER} THEN c"
+            " ELSE 0 END) DIV SUM(c) AS BIGINT)"
+        ).alias("top10_cover_pm"),
+    )
+
+
 QUERIES = {
+    "quality_vocab_zipf": quality_vocab_zipf,
     "quality_benford": quality_benford,
     "quality_pmi_bigrams": quality_pmi_bigrams,
     "quality_repetition": quality_repetition,
@@ -377,6 +444,35 @@ QUERIES = {
 # range(a, b) is stop-exclusive so range(1, len) yields 1..len-1 — one
 # start per bigram. list_distinct mirrors array_distinct.
 ORACLES = {
+    # same normalizer as the dedup family; rank ties broken (c DESC,
+    # w ASC) on both sides so the rk=10/rk=100 picks are deterministic
+    "quality_vocab_zipf": f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(trim(regexp_replace(regexp_replace(
+           lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '))
+         AS w
+  FROM documents
+), tf AS (
+  SELECT lang, w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY lang, w
+), ranked AS (
+  SELECT lang, w, c,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS nt
+  FROM tf
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(MAX(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS f1,
+       CAST(1000 * MAX(CASE WHEN rk = 1 THEN c END)
+            // MAX(CASE WHEN rk = 10 THEN c END) AS BIGINT) AS f1_f10_e3,
+       CAST(1000 * MAX(CASE WHEN rk = 1 THEN c END)
+            // MAX(CASE WHEN rk = (nt + 1) // 2 THEN c END) AS BIGINT)
+         AS f1_fmid_e3,
+       CAST(1000 * SUM(CASE WHEN rk <= {_ZIPF_TOP_COVER} THEN c ELSE 0 END)
+            // SUM(c) AS BIGINT) AS top10_cover_pm
+FROM ranked GROUP BY lang
+""",
     # FLOOR before the bigint cast (DuckDB's double->int cast rounds);
     # the Benford expectation is the same interpolated literal CASE
     "quality_benford": f"""

@@ -143,6 +143,79 @@ def ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHAIN_OUTPUT = "user_id long, n_purchases long, n_chains long"
+# lv/lcv use -1 as the "unset" sentinel (state schemas reject NULLs in
+# tuples cleanly; every real epoch-microsecond is >= 0)
+CHAIN_STATE = "lv long, lcv long, n_purchases long, n_chains long"
+
+
+def _update_chains(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming fold of the `event_pattern_match_within` semantics —
+    the two running maxima its batch windows carry ARE the state
+    vector: lv = latest view epoch-us so far, lcv = the latest view as
+    of the latest click. Same per-key order assumption as the EWMA
+    face (event-time order within the batch re-established here;
+    across batches ordered ingestion)."""
+    from hive_2_spark.core.events import _CHAIN_HORIZON_US
+
+    if state.exists:
+        lv, lcv, n_p, n_c = state.get
+    else:
+        lv, lcv, n_p, n_c = -1, -1, 0, 0
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values(["us", "event_id"])
+    for et, us in zip(rows["event_type"], rows["us"]):
+        us = int(us)
+        if et == "view":
+            lv = us
+        elif et == "click":
+            lcv = lv
+        elif et == "purchase":
+            n_p += 1
+            if lcv >= 0 and us - lcv <= _CHAIN_HORIZON_US:
+                n_c += 1
+    state.update((lv, lcv, n_p, n_c))
+    if n_p == 0:
+        yield pd.DataFrame({"user_id": [], "n_purchases": [], "n_chains": []})
+        return
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_purchases": [n_p], "n_chains": [n_c]}
+    )
+
+
+def chain_census_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of ``core.events.event_pattern_match_within``:
+    the time-bounded CEP chain census folded across micro-batches.
+    State = (lv, lcv, n_purchases, n_chains) per user — two clocks and
+    two counters, O(distinct users); the shuffle is keyed by user_id
+    only, mirroring the batch plan's single exchange. The batch face
+    is the oracle-verified semantics; tests assert the streaming run
+    emits identical rows."""
+    from hive_2_spark.streaming.windows import _read_stream_events
+
+    events = _read_stream_events(spark, sf_dir)
+    return (
+        events.select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "event_type",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_chains,
+            outputStructType=CHAIN_OUTPUT,
+            stateStructType=CHAIN_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def tws_supported() -> bool:
     """transformWithStateInPandas streams state through a protobuf-based
     runner; without the google.protobuf package the worker crashes with

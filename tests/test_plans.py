@@ -212,6 +212,17 @@ def test_kmv_sketch_kmin_is_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_sample_quantile_bottomk_is_window_group_limit(spark):
+    """agg_sample_quantile_portable's per-shard bottom-k must compile
+    to a per-partition WindowGroupLimit — each partition forwards at
+    most k rows per shard instead of sorting its full slice (the same
+    pushdown the KMV sketch build rides)."""
+    from hive_2_spark.core.aggregates import _sq_sample
+
+    plan = plan_of(_sq_sample(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
 def test_sessionize_single_exchange(spark):
     """Gap-island sessionization must hash-partition on user_id exactly
     once: both windows AND the session group-by reuse that partitioning.

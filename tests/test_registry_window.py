@@ -24,6 +24,8 @@ _ROUND12_NEW: list[str] = [
     "read_python_datasource_changes",
     "event_pattern_match_within",
     "graph_node2vec_walks",
+    "agg_sample_quantile_portable",
+    "quality_vocab_zipf",
 ]
 
 _NEVER_CHECKED = [

@@ -118,3 +118,59 @@ def test_kmv_sketch_merge_is_exact(spark):
     }
     assert merged == whole
     assert len(whole) > 0
+
+
+def test_sample_quantile_estimates_track_exact_cdf(spark):
+    """Accuracy gate for the bottom-k sample quantile sketch: the
+    exact CDF evaluated AT each estimated quantile must sit within the
+    k=512 two-sigma rank band of its target (2*sqrt(0.25/512) ~= 0.044
+    for p50; tighter at the tails — use 6 rank points across the
+    board)."""
+    from hive_2_spark.core.aggregates import agg_sample_quantile_portable
+    from tests.conftest import SF_DIR_MID
+
+    est = {
+        r.shard: r
+        for r in agg_sample_quantile_portable(spark, SF_DIR_MID).collect()
+    }
+    li = load_table(spark, SF_DIR_MID, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("cents")
+    )
+    total = li.count()
+    for q100, col in ((50, "p50_cents"), (90, "p90_cents"),
+                      (99, "p99_cents")):
+        v = est["ALL"][col]
+        cdf = li.filter(F.col("cents") <= v).count() / total
+        assert abs(cdf - q100 / 100) <= 0.06, (col, v, cdf)
+
+
+def test_sample_quantile_merge_is_exact(spark):
+    """Mergeability contract: bottom-k samples of three disjoint
+    slices, unioned and cut back to the k smallest priorities, must
+    equal the whole-corpus bottom-k sample EXACTLY — the closure that
+    lets the ALL row be computed from shard samples alone."""
+    from pyspark.sql.window import Window
+
+    from hive_2_spark.core.aggregates import _SQ_K, _sq_sample
+    from tests.conftest import SF_DIR_MID
+
+    whole = {
+        (r.shard, r.pri, r.okey, r.lineno)
+        for r in _sq_sample(spark, SF_DIR_MID).collect()
+    }
+    li = load_table(spark, SF_DIR_MID, "lineitem")
+    parts = [
+        _sq_sample(spark, SF_DIR_MID, li.filter(F.col("l_orderkey") % 3 == i))
+        for i in range(3)
+    ]
+    merged_df = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    w = Window.partitionBy("shard").orderBy("pri", "okey", "lineno")
+    merged = {
+        (r.shard, r.pri, r.okey, r.lineno)
+        for r in merged_df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SQ_K)
+        .collect()
+    }
+    assert merged == whole
+    assert len(whole) > 0

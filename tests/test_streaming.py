@@ -90,6 +90,32 @@ def test_ewma_stream_matches_batch_face(spark):
     assert stream_rows == batch_rows
 
 
+def test_chain_stream_matches_batch_face(spark):
+    """Stateful streaming chain census == oracle-verified batch
+    event_pattern_match_within, value-for-value (update mode: last
+    emitted row per key wins) — proves the batch docstring's claim
+    that the two running maxima ARE the streaming state vector."""
+    from hive_2_spark.core.events import event_pattern_match_within
+    from hive_2_spark.streaming import stateful
+
+    n = _run_to_memory(
+        spark, stateful.chain_census_stream(spark, SF_DIR),
+        "t_chains", "update"
+    )
+    assert n > 0
+    stream_rows = {
+        r["user_id"]: (r["n_purchases"], r["n_chains"])
+        for r in spark.sql(
+            "SELECT user_id, n_purchases, n_chains FROM t_chains"
+        ).collect()
+    }
+    batch_rows = {
+        r["user_id"]: (r["n_purchases"], r["n_chains"])
+        for r in event_pattern_match_within(spark, SF_DIR).collect()
+    }
+    assert stream_rows == batch_rows
+
+
 def test_stream_dedup_stateful(spark):
     n = _run_to_memory(
         spark, sw.stream_dedup_builder(spark, SF_DIR), "t_dedup", "append"

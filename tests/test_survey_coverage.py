@@ -114,7 +114,8 @@ BRIEF_EXTRAS = [
     "read_python_datasource_timetravel", "graph_random_walks",
     # round-12 additions (SURVEY §2B rows 115+)
     "read_python_datasource_changes", "event_pattern_match_within",
-    "graph_node2vec_walks",
+    "graph_node2vec_walks", "agg_sample_quantile_portable",
+    "quality_vocab_zipf",
 ]
 
 

@@ -191,6 +191,13 @@ _X100_KEYS = [
     "event_pattern_match",
     "read_python_datasource_timetravel",
     "graph_random_walks",
+    # round-12: the new operators' asymptotic legs; graph_random_walks
+    # stays listed — item 6 re-measures it on the shared pair index.
+    "read_python_datasource_changes",
+    "event_pattern_match_within",
+    "graph_node2vec_walks",
+    "agg_sample_quantile_portable",
+    "quality_vocab_zipf",
 ]
 
 
