@@ -137,6 +137,7 @@ HEADLINE = [
     "graph_node2vec_walks",            # biased 2nd-order walk census
     "agg_sample_quantile_portable",    # bottom-k sample quantile sketch
     "quality_vocab_zipf",              # per-lang Zipf head audit
+    "layout_hilbert_curve",            # unrolled xy2d layout census
 ]
 
 

@@ -259,8 +259,104 @@ def layout_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HILB_BITS = 8  # 256 x 256 grid -> 16-bit Hilbert index
+_HILB_N = 1 << _HILB_BITS
+_HILB_BUCKET = 4096  # 16 index ranges in the census
+
+
+def _hilbert_step_exprs(bits: int = _HILB_BITS) -> list[tuple[str, str, str]]:
+    """Per-iteration (d, x, y) update fragments of the standard xy2d
+    Hilbert transform (one tuple per bit plane, most significant
+    first), shared VERBATIM by the Spark plan (F.expr) and the DuckDB
+    oracle so both engines evaluate identical integer arithmetic. The
+    quadrant term (3*rx) XOR ry is spelled as a CASE over rx, ry in
+    {0,1} because the engines spell bitwise XOR differently; the
+    rotation flips use the full grid size n (not the plane size s) —
+    the classic rot() contract."""
+    n = 1 << bits
+    steps = []
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        quad = (
+            f"(CASE WHEN {rx} = 0 THEN {ry} "
+            f"WHEN {ry} = 0 THEN 3 ELSE 2 END)"
+        )
+        steps.append((
+            f"d + {s * s} * {quad}",
+            f"(CASE WHEN {ry} = 1 THEN x "
+            f"WHEN {rx} = 1 THEN {n - 1} - y ELSE y END)",
+            f"(CASE WHEN {ry} = 1 THEN y "
+            f"WHEN {rx} = 1 THEN {n - 1} - x ELSE x END)",
+        ))
+    return steps
+
+
+def hilbert_index(df: DataFrame) -> DataFrame:
+    """Append ``hd`` (the 16-bit Hilbert index) to a frame carrying
+    integer columns ``x``, ``y`` in [0, 256). Pure unrolled codegen
+    expressions — 8 bit-plane rounds of CASE/AND/negate, no UDF, no
+    shuffle; x and y must update SIMULTANEOUSLY from the previous
+    round (a withColumn chain would feed round k's y into round k's x)
+    so each round is one select over the prior round's columns."""
+    carry = [c for c in df.columns if c not in ("x", "y")]
+    cur = df.withColumn("d", F.lit(0).cast("bigint"))
+    for d_e, x_e, y_e in _hilbert_step_exprs():
+        cur = cur.select(
+            F.expr(d_e).alias("d"),
+            F.expr(x_e).alias("x"),
+            F.expr(y_e).alias("y"),
+            *carry,
+        )
+    return cur.select(*carry, F.col("d").alias("hd"))
+
+
+def layout_hilbert_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-CURVE data layout — the locality-preserving successor
+    to `zorder_layout`: consecutive Hilbert indices are ALWAYS
+    spatially adjacent (manhattan distance exactly 1), while the
+    z-order/Morton curve jumps across the grid at power-of-two seams,
+    so range scans over a Hilbert-clustered table touch spatially
+    tighter row groups (the CLUSTER BY curve choice Delta/Iceberg
+    expose). The curve-defining property itself — bijectivity over all
+    65536 cells and unit-step adjacency, where Morton shows thousands
+    of multi-cell jumps — is gated in tests/test_layout.py.
+
+    This key maps orders onto the 256x256 (customer-bits, day-bits)
+    grid via 8 unrolled bit-plane rounds of the classic xy2d transform
+    (pure codegen CASE/AND arithmetic, no UDF — the same shared SQL
+    fragments the oracle replays), then reports the layout census per
+    4096-wide index range: how many rows and distinct cells each
+    contiguous curve segment holds — the file/row-group manifest a
+    curve-clustered rewrite would produce.
+
+    Output: (bucket, n_rows, n_cells, min_hd, max_hd), 16 rows.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % _HILB_N).cast("bigint").alias("x"),
+        # o_orderdate is TIMESTAMP_NTZ in the fixture: unix_date over
+        # the DATE part is NTZ-safe and matches DuckDB's epoch-us DIV
+        (
+            F.expr("unix_date(CAST(o_orderdate AS DATE))").cast("bigint")
+            % _HILB_N
+        ).alias("y"),
+    )
+    return (
+        hilbert_index(o)
+        .groupBy(F.expr(f"hd DIV {_HILB_BUCKET}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("hd").alias("n_cells"),
+            F.min("hd").alias("min_hd"),
+            F.max("hd").alias("max_hd"),
+        )
+    )
+
+
 QUERIES = {
     "layout_rendezvous_shards": layout_rendezvous_shards,
+    "layout_hilbert_curve": layout_hilbert_curve,
     "zorder_layout": zorder_layout,
     "compact_small_files": compact_small_files,
     "catalog_bucketed_join": catalog_bucketed_join,
@@ -313,8 +409,34 @@ GROUP BY doc_id % {n + 1}
 """
 
 
+def _hilbert_sql() -> str:
+    """Replays the same unrolled xy2d fragments, one CTE per bit
+    plane, then the same 4096-wide range census."""
+    steps = "".join(
+        f", st{j} AS (SELECT {d_e} AS d, {x_e} AS x, {y_e} AS y"
+        f" FROM st{j - 1})"
+        for j, (d_e, x_e, y_e) in enumerate(_hilbert_step_exprs(), start=1)
+    )
+    return f"""
+WITH st0 AS (
+  SELECT CAST(o_custkey % {_HILB_N} AS BIGINT) AS x,
+         CAST((epoch_us(o_orderdate) // 86400000000) % {_HILB_N}
+              AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM orders
+){steps}
+SELECT d // {_HILB_BUCKET} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT d) AS BIGINT) AS n_cells,
+       MIN(d) AS min_hd,
+       MAX(d) AS max_hd
+FROM st{_HILB_BITS} GROUP BY 1
+"""
+
+
 ORACLES = {
     "layout_rendezvous_shards": _rendezvous_sql(),
+    "layout_hilbert_curve": _hilbert_sql(),
     "catalog_bucketed_join": (
         "SELECT o_orderstatus, COUNT(*) AS n_lines, "
         "ROUND(SUM(l_extendedprice), 2) AS revenue "

@@ -92,7 +92,7 @@ _FRONT: list[str] = [
     #     displacing one key from the (e) tail ---
     "read_python_datasource_changes", "event_pattern_match_within",
     "graph_node2vec_walks", "agg_sample_quantile_portable",
-    "quality_vocab_zipf",
+    "quality_vocab_zipf", "layout_hilbert_curve",
     # --- (b) round-11 operators that missed the r11 window ---
     "event_pattern_match", "read_python_datasource_timetravel",
     "graph_random_walks",
@@ -112,7 +112,7 @@ _FRONT: list[str] = [
     "fn_array2",
     # --- (e) r4-stale tier front, registry order (displaceable) ---
     "media_features", "cluster_kmeans", "cluster_mix_report",
-    "udf_scalar", "udf_pandas_scalar",
+    "udf_scalar",
 ]
 assert len(_FRONT) == 50, f"driver window must be exactly 50, got {len(_FRONT)}"
 assert len(_FRONT) == len(set(_FRONT)), (

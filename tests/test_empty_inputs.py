@@ -190,6 +190,7 @@ KEYS = [
     "graph_node2vec_walks",
     "agg_sample_quantile_portable",
     "quality_vocab_zipf",
+    "layout_hilbert_curve",
     # read_python_datasource_timetravel / _changes excluded: one row
     # per log version / version pair (all-zero on an empty corpus) is
     # their correct output — the same REPORT-shape exclusion as

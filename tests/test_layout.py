@@ -113,3 +113,44 @@ def test_compact_small_files_reduces_file_count(spark):
     assert (
         spark.read.parquet(out).count() == spark.read.parquet(frag).count()
     )
+
+
+def test_hilbert_curve_is_bijective_and_unit_adjacent(spark):
+    """The curve-defining properties over the FULL 256x256 domain:
+    (a) xy2d is a bijection (65536 distinct indices); (b) consecutive
+    Hilbert indices are ALWAYS manhattan-adjacent (distance exactly
+    1) — the locality guarantee z-order lacks; (c) the Morton curve on
+    the same domain has thousands of multi-cell jumps, which is the
+    reason to pay for the Hilbert rotation arithmetic at all."""
+    from pyspark.sql.window import Window
+
+    from hive_2_spark.core.layout import _HILB_N, hilbert_index
+
+    dom = spark.range(_HILB_N * _HILB_N).select(
+        (F.col("id") % _HILB_N).alias("x"),
+        (F.col("id") / F.lit(_HILB_N)).cast("bigint").alias("y"),
+    )
+    h = hilbert_index(
+        dom.select("x", "y", F.col("x").alias("ox"), F.col("y").alias("oy"))
+    ).localCheckpoint()
+    assert h.select("hd").distinct().count() == _HILB_N * _HILB_N
+    w = Window.orderBy("hd")
+    adj = (
+        h.select("hd", "ox", "oy")
+        .withColumn("dx", F.abs(F.col("ox") - F.lag("ox").over(w)))
+        .withColumn("dy", F.abs(F.col("oy") - F.lag("oy").over(w)))
+        .filter(F.col("dx").isNotNull())
+    )
+    assert adj.filter(F.col("dx") + F.col("dy") != 1).count() == 0
+    # Morton on the same domain: count consecutive-index jumps > 1
+    m = dom.select(
+        "x", "y", morton_key(F.col("x"), F.col("y"), 8).alias("zd")
+    )
+    wz = Window.orderBy("zd")
+    zadj = (
+        m.withColumn("dx", F.abs(F.col("x") - F.lag("x").over(wz)))
+        .withColumn("dy", F.abs(F.col("y") - F.lag("y").over(wz)))
+        .filter(F.col("dx").isNotNull())
+    )
+    z_jumps = zadj.filter(F.col("dx") + F.col("dy") != 1).count()
+    assert z_jumps > 1000  # z-order seam jumps: the locality gap

@@ -26,6 +26,7 @@ _ROUND12_NEW: list[str] = [
     "graph_node2vec_walks",
     "agg_sample_quantile_portable",
     "quality_vocab_zipf",
+    "layout_hilbert_curve",
 ]
 
 _NEVER_CHECKED = [

@@ -115,7 +115,7 @@ BRIEF_EXTRAS = [
     # round-12 additions (SURVEY §2B rows 115+)
     "read_python_datasource_changes", "event_pattern_match_within",
     "graph_node2vec_walks", "agg_sample_quantile_portable",
-    "quality_vocab_zipf",
+    "quality_vocab_zipf", "layout_hilbert_curve",
 ]
 
 

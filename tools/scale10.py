@@ -198,6 +198,7 @@ _X100_KEYS = [
     "graph_node2vec_walks",
     "agg_sample_quantile_portable",
     "quality_vocab_zipf",
+    "layout_hilbert_curve",
 ]
 
 
