@@ -138,6 +138,8 @@ HEADLINE = [
     "agg_sample_quantile_portable",    # bottom-k sample quantile sketch
     "quality_vocab_zipf",              # per-lang Zipf head audit
     "layout_hilbert_curve",            # unrolled xy2d layout census
+    "curation_soft_dedup_weights",     # 1/cluster-size soft-dedup weights
+    "event_markov_stationary",         # journey-chain fixpoint (16 rounds)
 ]
 
 

@@ -1017,7 +1017,75 @@ def _chain_census(e: DataFrame) -> DataFrame:
     )
 
 
+_MKV_ROUNDS = 16  # power-iteration unroll; residual shrinks ~4x/round
+# (second eigenvalue ~0.26 on the fixtures): 16 rounds -> ~1e-11, below
+# the 1e-6 output grain with five decades of margin (pytest-gated)
+
+
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY distribution of the session Markov chain — where
+    user journeys concentrate in the long run, the summary statistic
+    Markov-chain attribution and journey simulation start from (the
+    chain itself is `event_transitions`; this is its fixpoint face,
+    the same relationship `graph_pagerank` has to its edge list).
+
+    pi_0 = uniform over observed source types; pi_{k+1}(j) =
+    sum_i pi_k(i) * n_ij / n_i, unrolled ``_MKV_ROUNDS`` times so the
+    DuckDB oracle replays every round (the pagerank discipline:
+    doubles multiply/sum un-rounded through the rounds, ROUND(.., 6)
+    only at the very end, after a final mass normalization that keeps
+    the output a distribution even if some type has no outgoing
+    transitions). Transition probabilities reuse the EXACT session
+    boundaries of `event_transitions` via the shared ``sessionized``
+    core.
+
+    Scale: the transition matrix is |event_types|^2 rows — the whole
+    iteration runs on broadcast-sized frames; the only corpus-sized
+    work is the one sessionize exchange that builds the counts.
+
+    Output: (event_type, pi), one row per type reachable in one step.
+    """
+    e = sessionized(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    t = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("src_type"),
+            F.col("event_type").alias("dst_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rs", F.sum("n").over(Window.partitionBy("src_type"))
+        )
+        .localCheckpoint()  # tiny; probed _MKV_ROUNDS times
+    )
+    n_src = t.select("src_type").distinct().count()
+    pi = t.select("src_type").distinct().select(
+        F.col("src_type").alias("event_type"),
+        (F.lit(1.0) / F.lit(float(n_src))).alias("pi"),
+    )
+    for _ in range(_MKV_ROUNDS):
+        pi = (
+            t.join(pi, t.src_type == pi.event_type)
+            .groupBy(F.col("dst_type").alias("et"))
+            .agg(F.sum(F.col("pi") * F.col("n") / F.col("rs")).alias("pi"))
+            .select(F.col("et").alias("event_type"), "pi")
+        )
+    total = pi.agg(F.sum("pi").alias("s"))
+    return (
+        pi.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            F.round(F.col("pi") / F.col("s"), 6).alias("pi"),
+        )
+    )
+
+
 QUERIES = {
+    "event_markov_stationary": event_markov_stationary,
     "event_bot_regularity": event_bot_regularity,
     "event_pattern_match": event_pattern_match,
     "event_pattern_match_within": event_pattern_match_within,
@@ -1159,7 +1227,61 @@ WHERE event_type = 'purchase'
 GROUP BY user_id
 """
 
+def _markov_stationary_sql() -> str:
+    """Replays every power-iteration round over the same session-
+    scoped transition counts (the transitions oracle's CTE chain),
+    with the identical uniform start, n/rs double probabilities,
+    final normalization, and 6-decimal rounding."""
+    rounds = "".join(
+        f""", pi{k} AS (
+  SELECT t.dst_type AS event_type,
+         SUM(pi.pi * CAST(t.n AS DOUBLE) / t.rs) AS pi
+  FROM pi{k - 1} pi JOIN t ON t.src_type = pi.event_type
+  GROUP BY t.dst_type
+)"""
+        for k in range(1, _MKV_ROUNDS + 1)
+    )
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), numbered AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_s) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+), paired AS (
+  SELECT lag(event_type) OVER
+           (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+           AS src_type,
+         event_type AS dst_type
+  FROM numbered
+), c AS (
+  SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM paired WHERE src_type IS NOT NULL GROUP BY src_type, dst_type
+), t AS (
+  SELECT src_type, dst_type, n,
+         SUM(n) OVER (PARTITION BY src_type) AS rs
+  FROM c
+), pi0 AS (
+  SELECT src_type AS event_type,
+         1.0 / (SELECT COUNT(DISTINCT src_type) FROM t) AS pi
+  FROM (SELECT DISTINCT src_type FROM t)
+){rounds}
+SELECT event_type,
+       ROUND(pi / (SELECT SUM(pi) FROM pi{_MKV_ROUNDS}), 6) AS pi
+FROM pi{_MKV_ROUNDS}
+"""
+
+
 ORACLES = {
+    "event_markov_stationary": _markov_stationary_sql(),
     "event_bot_regularity": _BOT_REGULARITY_ORACLE,
     "event_pattern_match": _PATTERN_MATCH_ORACLE,
     "event_pattern_match_within": _PATTERN_WITHIN_ORACLE,

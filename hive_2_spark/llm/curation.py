@@ -578,7 +578,55 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_soft_dedup_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SOFT dedup: training weight 1e6 DIV near-dup-cluster-size per
+    document — the downweight-instead-of-drop alternative to
+    `dedup_keep_best` (the SemDeDup-style treatment): every near-dup
+    FAMILY contributes ~one document of total weight, so duplicated
+    boilerplate stops dominating the loss while intra-family variation
+    (the reason not to hard-drop) is preserved. Docs outside the pair
+    graph are their own singleton cluster at full weight.
+
+    Scale: cluster labels come from the convergence-stopped fixpoint
+    CC over the SHARED persisted pair index (built once per session);
+    sizes are one cluster-keyed count over the node-sized label frame;
+    the full-corpus singleton fill is one left-anti join on doc_id.
+    Exact integers end to end (weights per-million via DIV).
+
+    Output: (doc_id, cluster, csize, weight_e6), one row per corpus
+    document.
+    """
+    from hive_2_spark.llm.advanced import dedup_clusters
+    from hive_2_spark.llm.dedup import corpus_with_dups
+
+    cl = dedup_clusters(spark, sf_dir)
+    sizes = cl.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
+    clustered = cl.join(sizes, "cluster").select("doc_id", "cluster", "csize")
+    singles = (
+        corpus_with_dups(spark, sf_dir)
+        .select("doc_id")
+        .join(cl, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("cluster"),
+            F.lit(1).alias("csize"),
+        )
+    )
+    return (
+        clustered.unionByName(singles)
+        .select(
+            "doc_id",
+            "cluster",
+            F.col("csize").cast("bigint").alias("csize"),
+            F.expr("CAST(1000000 DIV csize AS BIGINT)").alias("weight_e6"),
+        )
+    )
+
+
 QUERIES = {
+    "curation_soft_dedup_weights": curation_soft_dedup_weights,
     "curation_split_assign": curation_split_assign,
     "sample_reservoir": sample_reservoir,
     "curation_split_leakage": curation_split_leakage,
@@ -637,7 +685,40 @@ def _split_leakage_sql() -> str:
     )
 
 
+def _soft_dedup_sql() -> str:
+    """Nests the fixpoint-CC recursive CTE (imported from the advanced
+    module — same pair SQL, not re-derived) and fills singletons from
+    the same corpus-with-planted-twins definition."""
+    from hive_2_spark.llm.advanced import _DK_PAIRS
+
+    return (
+        f"{_DK_PAIRS}, "
+        "edges AS (SELECT a_id, b_id FROM p UNION SELECT b_id, a_id FROM p), "
+        "nodes AS (SELECT DISTINCT a_id AS node FROM edges), "
+        "reach AS (SELECT node, node AS r FROM nodes "
+        "          UNION SELECT e.a_id, r.r FROM edges e JOIN reach r "
+        "          ON e.b_id = r.node), "
+        "cl AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach "
+        "       GROUP BY node), "
+        "corpus AS (SELECT doc_id FROM documents "
+        "  UNION ALL SELECT doc_id + 20000000 FROM documents "
+        "  WHERE doc_id % 10 = 0 "
+        "  UNION ALL SELECT doc_id + 10000000 FROM documents "
+        "  WHERE doc_id % 10 = 0), "
+        "sz AS (SELECT cluster, COUNT(*) AS csize FROM cl GROUP BY cluster), "
+        "m AS (SELECT cl.doc_id, cl.cluster, sz.csize "
+        "      FROM cl JOIN sz USING (cluster) "
+        "      UNION ALL "
+        "      SELECT c.doc_id, c.doc_id, 1 FROM corpus c "
+        "      LEFT JOIN cl ON c.doc_id = cl.doc_id "
+        "      WHERE cl.doc_id IS NULL) "
+        "SELECT doc_id, cluster, CAST(csize AS BIGINT) AS csize, "
+        "CAST(1000000 // csize AS BIGINT) AS weight_e6 FROM m"
+    )
+
+
 ORACLES = {
+    "curation_soft_dedup_weights": _soft_dedup_sql(),
     "sample_reservoir": (
         f"SELECT doc_id, lang, md5('{_RESERVOIR_SEED}'"
         " || CAST(doc_id AS VARCHAR)) AS priority "

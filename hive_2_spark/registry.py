@@ -93,6 +93,7 @@ _FRONT: list[str] = [
     "read_python_datasource_changes", "event_pattern_match_within",
     "graph_node2vec_walks", "agg_sample_quantile_portable",
     "quality_vocab_zipf", "layout_hilbert_curve",
+    "curation_soft_dedup_weights", "event_markov_stationary",
     # --- (b) round-11 operators that missed the r11 window ---
     "event_pattern_match", "read_python_datasource_timetravel",
     "graph_random_walks",
@@ -111,8 +112,7 @@ _FRONT: list[str] = [
     "fn_string2", "fn_date2", "fn_hash", "fn_map", "fn_try",
     "fn_array2",
     # --- (e) r4-stale tier front, registry order (displaceable) ---
-    "media_features", "cluster_kmeans", "cluster_mix_report",
-    "udf_scalar",
+    "media_features", "cluster_kmeans",
 ]
 assert len(_FRONT) == 50, f"driver window must be exactly 50, got {len(_FRONT)}"
 assert len(_FRONT) == len(set(_FRONT)), (

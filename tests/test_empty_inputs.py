@@ -191,6 +191,8 @@ KEYS = [
     "agg_sample_quantile_portable",
     "quality_vocab_zipf",
     "layout_hilbert_curve",
+    "curation_soft_dedup_weights",
+    "event_markov_stationary",
     # read_python_datasource_timetravel / _changes excluded: one row
     # per log version / version pair (all-zero on an empty corpus) is
     # their correct output — the same REPORT-shape exclusion as

@@ -27,6 +27,8 @@ _ROUND12_NEW: list[str] = [
     "agg_sample_quantile_portable",
     "quality_vocab_zipf",
     "layout_hilbert_curve",
+    "curation_soft_dedup_weights",
+    "event_markov_stationary",
 ]
 
 _NEVER_CHECKED = [

@@ -774,3 +774,48 @@ def test_node2vec_walks_match_python_ground_truth(spark):
     assert got == expect
     n_nodes = len({x for e in edges for x in e})
     assert sum(got.values()) == n_nodes * (_N2V_STEPS + 1)
+
+
+def test_markov_stationary_pure_python_and_converged(spark):
+    """Pure-Python replay (independent of both engines): rebuild the
+    transition matrix from the oracle-verified event_transitions
+    counts, run the same uniform-start power iteration, and match the
+    key's output to its 6-decimal grain. Also assert the fixed unroll
+    has actually CONVERGED on this fixture — one extra round moves no
+    component by more than 1e-9 (so the unrolled snapshot is the
+    fixpoint, not an arbitrary cut)."""
+    from hive_2_spark.core.events import (
+        _MKV_ROUNDS,
+        event_markov_stationary,
+        event_transitions,
+    )
+    from tests.conftest import SF_DIR
+
+    t = event_transitions(spark, SF_DIR).collect()
+    rs: dict = {}
+    for r in t:
+        rs[r.src_type] = rs.get(r.src_type, 0) + r.n
+    srcs = sorted(rs)
+    pi = {s: 1.0 / len(srcs) for s in srcs}
+
+    def step(pi):
+        out: dict = {}
+        for r in sorted(t, key=lambda r: (r.src_type, r.dst_type)):
+            if r.src_type in pi:
+                out[r.dst_type] = out.get(r.dst_type, 0.0) + (
+                    pi[r.src_type] * r.n / rs[r.src_type]
+                )
+        return out
+
+    for _ in range(_MKV_ROUNDS):
+        pi = step(pi)
+    extra = step(pi)
+    assert max(
+        abs(extra.get(k, 0.0) - pi.get(k, 0.0)) for k in set(pi) | set(extra)
+    ) < 1e-9
+    tot = sum(pi.values())
+    got = {r.event_type: r.pi for r in
+           event_markov_stationary(spark, SF_DIR).collect()}
+    assert set(got) == set(pi)
+    for k in pi:
+        assert abs(got[k] - pi[k] / tot) <= 1e-6, (k, got[k], pi[k] / tot)

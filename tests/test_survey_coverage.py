@@ -116,6 +116,7 @@ BRIEF_EXTRAS = [
     "read_python_datasource_changes", "event_pattern_match_within",
     "graph_node2vec_walks", "agg_sample_quantile_portable",
     "quality_vocab_zipf", "layout_hilbert_curve",
+    "curation_soft_dedup_weights", "event_markov_stationary",
 ]
 
 

@@ -199,6 +199,8 @@ _X100_KEYS = [
     "agg_sample_quantile_portable",
     "quality_vocab_zipf",
     "layout_hilbert_curve",
+    "curation_soft_dedup_weights",
+    "event_markov_stationary",
 ]
 
 
