@@ -27,6 +27,10 @@ CARTESIAN_OK = {
                             # plan a scalar subquery compiles to
     "bm25_topk",            # 1-row broadcast (N, avgdl) corpus stats —
                             # same scalar-subquery shape as tfidf
+    "event_markov_stationary",  # 1-row broadcast total-mass scalar for
+                            # the final normalization — same
+                            # scalar-subquery shape as tfidf/bm25;
+                            # the iteration itself is equi-joins only
     "retrieval_rrf_fusion", # embeds the bm25 scorer, so the same 1-row
                             # corpus-stats broadcast appears in its plan
     "quality_lm_score",     # 1-row broadcast corpus-total scalar
