@@ -607,6 +607,94 @@ def test_versioned_sink_auto_cas_contention(tmp_path):
     assert len(names) == 2  # each commit published its own file
 
 
+def test_log_tail_stream_follows_cas_commits(spark, tmp_path):
+    """The streaming TAIL face of the version log: a micro-batch
+    stream over the manifest log must deliver exactly the committed
+    rows (version-attributed, exactly-once), and a NEW version CAS'd
+    while the stream runs must arrive as a later batch — the
+    incremental-consumer contract the CHANGES BETWEEN key resolves in
+    batch."""
+    import json
+    import os
+    import time
+
+    from hive_2_spark.core.pysource import (
+        _SINK_FORMAT,
+        _register_sink,
+        tail_versions_stream,
+    )
+
+    _register_sink(spark)
+    target = str(tmp_path / "tail")
+
+    def commit(ids):
+        spark.createDataFrame(
+            [(i, "en", i * 10) for i in ids],
+            "doc_id bigint, lang string, n_chars bigint",
+        ).coalesce(1).write.format(_SINK_FORMAT).option(
+            "path", target
+        ).option("version", "auto").mode("append").save()
+
+    commit([1, 2])
+    commit([3])
+
+    q = (
+        tail_versions_stream(spark, target)
+        .writeStream.format("memory")
+        .queryName("t_logtail")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        def rows_now():
+            return {
+                (r.version, r.doc_id, r.lang, r.n_chars)
+                for r in spark.sql("SELECT * FROM t_logtail").collect()
+            }
+
+        def wait_for(n, deadline_s=120):
+            deadline = time.time() + deadline_s
+            while time.time() < deadline:
+                if q.exception() is not None:
+                    raise AssertionError(f"query died: {q.exception()}")
+                got = rows_now()
+                if len(got) >= n:
+                    return got
+                time.sleep(0.3)
+            raise AssertionError(f"timed out at {len(rows_now())}/{n} rows")
+
+        got = wait_for(3)
+        assert got == {
+            (0, 1, "en", 10), (0, 2, "en", 20), (1, 3, "en", 30)
+        }
+        # a version committed while the stream runs arrives incrementally
+        commit([4, 5])
+        got = wait_for(5)
+        assert got == {
+            (0, 1, "en", 10), (0, 2, "en", 20), (1, 3, "en", 30),
+            (2, 4, "en", 40), (2, 5, "en", 50),
+        }
+        # exactly-once: no duplicate (version, doc) pairs ever
+        all_rows = spark.sql(
+            "SELECT COUNT(*) AS n, COUNT(DISTINCT version || ':' || doc_id)"
+            " AS d FROM t_logtail"
+        ).collect()[0]
+        assert all_rows.n == all_rows.d == 5
+    finally:
+        q.stop()
+    # the log itself shows three CAS-claimed versions
+    names = sorted(
+        n for n in os.listdir(target) if n.startswith("_MANIFEST-V")
+    )
+    assert names == ["_MANIFEST-V0", "_MANIFEST-V1", "_MANIFEST-V2"]
+    for i, n in enumerate(names):
+        assert json.load(open(os.path.join(target, n)))["version"] == i
+
+
 def test_changes_between_reads_only_the_range(spark, tmp_path):
     """versioned_manifest_files(since=lo, as_of=hi) must name exactly
     the files committed in (lo, hi] — the snapshot-diff contract."""
