@@ -29,6 +29,8 @@ floor between engines. Window order ``(ts, event_id)`` is a total order
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1039,9 +1041,14 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries of `event_transitions` via the shared ``sessionized``
     core.
 
-    Scale: the transition matrix is |event_types|^2 rows — the whole
-    iteration runs on broadcast-sized frames; the only corpus-sized
-    work is the one sessionize exchange that builds the counts.
+    Scale: the transition matrix is |event_types|^2 rows — after the
+    one corpus-sized sessionize exchange that builds the counts, the
+    matrix is collected ONCE (bounded: |types|^2, a few dozen rows)
+    and the power iteration folds driver-side in plain Python — 2 job
+    launches instead of ~17 chained join+agg stages, identical
+    semantics and oracle (the documented driver-side-greedy
+    discipline of `retrieval_mmr`; doubles multiply/sum un-rounded
+    through the rounds, ROUND(.., 6) only at the very end).
 
     Output: (event_type, pi), one row per type reachable in one step.
     """
@@ -1060,28 +1067,28 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rs", F.sum("n").over(Window.partitionBy("src_type"))
         )
-        .localCheckpoint()  # tiny; probed _MKV_ROUNDS times
     )
-    n_src = t.select("src_type").distinct().count()
-    pi = t.select("src_type").distinct().select(
-        F.col("src_type").alias("event_type"),
-        (F.lit(1.0) / F.lit(float(n_src))).alias("pi"),
+    # bounded collect: |event_types|^2 rows, sorted for determinism
+    mat = sorted(
+        ((r["src_type"], r["dst_type"], r["n"], r["rs"])
+         for r in t.collect()),
+        key=lambda r: (r[0], r[1]),
     )
+    srcs = sorted({s for s, _, _, _ in mat})
+    pi = {s: 1.0 / float(len(srcs)) for s in srcs}
     for _ in range(_MKV_ROUNDS):
-        pi = (
-            t.join(pi, t.src_type == pi.event_type)
-            .groupBy(F.col("dst_type").alias("et"))
-            .agg(F.sum(F.col("pi") * F.col("n") / F.col("rs")).alias("pi"))
-            .select(F.col("et").alias("event_type"), "pi")
-        )
-    total = pi.agg(F.sum("pi").alias("s"))
-    return (
-        pi.crossJoin(F.broadcast(total))
-        .select(
-            "event_type",
-            F.round(F.col("pi") / F.col("s"), 6).alias("pi"),
-        )
-    )
+        nxt: dict[str, float] = {}
+        for src, dst, n, rs in mat:
+            if src in pi:
+                nxt[dst] = nxt.get(dst, 0.0) + pi[src] * n / rs
+        pi = nxt
+    total = sum(pi[k] for k in sorted(pi))
+    # HALF_UP like Spark/DuckDB ROUND (Python round() is half-even)
+    rows = [
+        (k, math.floor(pi[k] / total * 1e6 + 0.5) / 1e6)
+        for k in sorted(pi)
+    ]
+    return spark.createDataFrame(rows, "event_type string, pi double")
 
 
 QUERIES = {

@@ -299,7 +299,15 @@ def hilbert_index(df: DataFrame) -> DataFrame:
     expressions — 8 bit-plane rounds of CASE/AND/negate, no UDF, no
     shuffle; x and y must update SIMULTANEOUSLY from the previous
     round (a withColumn chain would feed round k's y into round k's x)
-    so each round is one select over the prior round's columns."""
+    so each round is one select over the prior round's columns.
+
+    Carry columns pass through untouched, so a caller column named
+    ``d`` would collide with the accumulator and be silently
+    clobbered — rejected up front (round-12 ADVICE)."""
+    assert "d" not in df.columns, (
+        "hilbert_index uses 'd' as its accumulator; rename the "
+        "caller's 'd' column first"
+    )
     carry = [c for c in df.columns if c not in ("x", "y")]
     cur = df.withColumn("d", F.lit(0).cast("bigint"))
     for d_e, x_e, y_e in _hilbert_step_exprs():

@@ -372,10 +372,12 @@ def quality_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates: natural language has f(r) ~ 1/r (f1/f10 ~= 10, the head covering a
     large token share); boilerplate or templated spam flattens the
     head (ratios collapse toward 1), and random/gibberish text starves
-    it (coverage collapses). The deep-rank probe is ADAPTIVE — the
-    median-rank term, ceil(n_terms/2) — so the audit stays defined on
-    any vocabulary size (a fixed rank 100 is NULL on this fixture's
-    31-term synthetic vocab). Reported as
+    it (coverage collapses). BOTH rank probes are ADAPTIVE — the head
+    ratio probes rank LEAST(10, n_terms) and the deep probe the
+    median rank ceil(n_terms/2) — so the audit stays defined on any
+    vocabulary size (a fixed rank 100 is NULL on this fixture's
+    31-term synthetic vocab, and a fixed rank 10 would be NULL on a
+    sub-10-term vocabulary — round-12 ADVICE). Reported as
     EXACT integer ratios instead of a fitted log-log slope: ln() is
     the one place the two engines' libm can disagree by an ulp, and
     per-mille-scaled integer divisions carry the same decision signal
@@ -415,7 +417,8 @@ def quality_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("f1"),
         F.expr(
             "CAST(1000 * MAX(CASE WHEN rk = 1 THEN c END)"
-            " DIV MAX(CASE WHEN rk = 10 THEN c END) AS BIGINT)"
+            " DIV MAX(CASE WHEN rk = LEAST(10, nt) THEN c END)"
+            " AS BIGINT)"
         ).alias("f1_f10_e3"),
         F.expr(
             "CAST(1000 * MAX(CASE WHEN rk = 1 THEN c END)"
@@ -465,7 +468,8 @@ SELECT lang,
        CAST(SUM(c) AS BIGINT) AS n_tokens,
        CAST(MAX(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS f1,
        CAST(1000 * MAX(CASE WHEN rk = 1 THEN c END)
-            // MAX(CASE WHEN rk = 10 THEN c END) AS BIGINT) AS f1_f10_e3,
+            // MAX(CASE WHEN rk = LEAST(10, nt) THEN c END)
+            AS BIGINT) AS f1_f10_e3,
        CAST(1000 * MAX(CASE WHEN rk = 1 THEN c END)
             // MAX(CASE WHEN rk = (nt + 1) // 2 THEN c END) AS BIGINT)
          AS f1_fmid_e3,

@@ -71,48 +71,40 @@ _MODULES: list[str] = [
     "hive_2_spark.core.joins",
 ]
 
-# Round-12 rotation (executes the plan recorded in NOTES.md at the end
-# of round 11, computed mechanically from the union of genuine driver
-# windows r1-r6, r9, r10, r11 — the r7/r8 artifacts were byte-copies
-# of r6). Keys 1-50 are the driver window:
-# (a) any new round-12 operators — never driver-checked, always first;
-# (b) the three round-11 operators that landed after the r11 window
-#     was consumed (never driver-checked);
-# (c) the three fillers displaced late in round 11 (event_paths,
-#     text_stats, token_count — recorded in NOTES.md);
-# (d) ALL 34 keys whose latest genuine driver hash-check is r3
-#     (NOTES.md's round-12 plan listed 31 by name; the mechanical
-#     recompute also surfaces lang_id — included here so no r3-era
-#     key is skipped);
-# (e) the front of the r4-stale tier in registry order — the
-#     DISPLACEABLE tail: new round-12 operators push these out.
+# Round-13 rotation (executes the plan recorded in NOTES.md at the end
+# of round 12, computed mechanically from the union of genuine driver
+# windows r1-r6, r9-r12 — the r7/r8 artifacts were byte-copies of r6).
+# Keys 1-50 are the driver window:
+# (a) any new round-13 operators — never driver-checked, always first;
+# (b) ALL 32 keys whose latest genuine driver hash-check is r4 (the
+#     mechanical recompute from CORRECTNESS_r{01..12}.json matches the
+#     NOTES.md name list exactly);
+# (c) the front of the r5-stale tier in registry order — the
+#     DISPLACEABLE tail: new round-13 operators push these out.
 # Exactly 50 — asserted below so rotation accounting can't drift.
 _FRONT: list[str] = [
-    # --- (a) round-12 additions land HERE as they ship, each
-    #     displacing one key from the (e) tail ---
-    "read_python_datasource_changes", "event_pattern_match_within",
-    "graph_node2vec_walks", "agg_sample_quantile_portable",
-    "quality_vocab_zipf", "layout_hilbert_curve",
-    "curation_soft_dedup_weights", "event_markov_stationary",
-    # --- (b) round-11 operators that missed the r11 window ---
-    "event_pattern_match", "read_python_datasource_timetravel",
-    "graph_random_walks",
-    # --- (c) fillers displaced late in round 11 ---
-    "event_paths", "text_stats", "token_count",
-    # --- (d) the 34 r3-era keys (media_phash_dedup and media_features
-    #     are rows-only by documented necessity) ---
-    "lang_id", "fingerprint", "text_chunk", "token_pack",
-    "bm25_topk", "keyword_search_and", "dedup_embedding",
-    "dedup_clusters", "dedup_levenshtein", "dedup_keep_best",
-    "dedup_clusters_lsh", "media_stats", "media_resize",
-    "media_frame_sample", "media_phash_dedup",
-    "fn_string", "fn_date", "fn_math", "fn_cond", "fn_json",
-    "fn_array", "fn_explode", "cast_ingest", "ts_parse_format",
-    "num_format", "bool_verbose", "row_to_json", "fill_defaults",
-    "fn_string2", "fn_date2", "fn_hash", "fn_map", "fn_try",
-    "fn_array2",
-    # --- (e) r4-stale tier front, registry order (displaceable) ---
-    "media_features", "cluster_kmeans",
+    # --- (a) round-13 additions land HERE as they ship, each
+    #     displacing one key from the (c) tail ---
+    # --- (b) the 32 r4-era keys, registry order ---
+    "cluster_mix_report",
+    "udf_scalar", "udf_pandas_scalar", "udf_grouped_agg",
+    "udf_grouped_map", "udf_sql_registered", "udf_table",
+    "roundtrip_csv", "roundtrip_json", "roundtrip_orc",
+    "partitioned_write_read", "read_binaryfile",
+    "read_python_datasource",
+    "ts_resample", "ts_interpolate", "ts_ewma", "ts_anomaly_zscore",
+    "ts_trend", "ts_rollup_cascade", "ts_forecast_linear",
+    "cdc_changes", "scd2_dimension", "graph_pagerank", "agg_argmax",
+    "win_median_rolling", "stream_cluster_monitor",
+    "dedup_incremental", "dedup_containment",
+    "dedup_substring_windows",
+    "event_transitions", "event_attribution", "event_cohort_ltv",
+    # --- (c) r5-stale tier front, registry order (displaceable) ---
+    "token_oov_rate", "sim_ivf_topk", "fn_lambda", "fn_variant",
+    "fn_binary", "fn_url", "fn_explode_outer", "fn_from_json",
+    "dedup_clusters_semantic", "dedup_url_canonical",
+    "emb_pca_power", "emb_whiten", "pivot_wide", "unpivot_long",
+    "pivot_dynamic", "join_salted", "agg_salted", "zorder_layout",
 ]
 assert len(_FRONT) == 50, f"driver window must be exactly 50, got {len(_FRONT)}"
 assert len(_FRONT) == len(set(_FRONT)), (

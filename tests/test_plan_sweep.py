@@ -27,10 +27,9 @@ CARTESIAN_OK = {
                             # plan a scalar subquery compiles to
     "bm25_topk",            # 1-row broadcast (N, avgdl) corpus stats —
                             # same scalar-subquery shape as tfidf
-    "event_markov_stationary",  # 1-row broadcast total-mass scalar for
-                            # the final normalization — same
-                            # scalar-subquery shape as tfidf/bm25;
-                            # the iteration itself is equi-joins only
+    # event_markov_stationary left this list in round 13: the power
+    # iteration and final normalization now fold driver-side over the
+    # collected |types|^2 matrix, so no cross join remains in its plan.
     "retrieval_rrf_fusion", # embeds the bm25 scorer, so the same 1-row
                             # corpus-stats broadcast appears in its plan
     "quality_lm_score",     # 1-row broadcast corpus-total scalar

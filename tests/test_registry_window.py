@@ -1,8 +1,8 @@
 """The driver's per-round correctness window is the FIRST 50 registry
-keys. Freeze the intended round-12 window so adding keys to a front
+keys. Freeze the intended round-13 window so adding keys to a front
 module (or reordering _MODULES/_FRONT) cannot silently displace the
 keys it must re-verify. New keys belong at the TOP of the window while
-the round is open (displacing one key from the r4 filler tail); after
+the round is open (displacing one key from the r5 filler tail); after
 the round's CORRECTNESS lands, rotate deliberately."""
 
 from __future__ import annotations
@@ -12,58 +12,44 @@ from pathlib import Path
 
 from hive_2_spark import registry
 
-# Round-12 window (the NOTES.md plan recorded at the end of round 11):
-# (a) new round-12 operators — never driver-checked, inserted at the
-#     top as they land; (b) the three round-11 operators that shipped
-#     after the r11 window was consumed; (c) the three fillers
-#     displaced late in round 11; (d) ALL keys whose latest genuine
-#     driver hash-check is r3 (mechanically recomputed — 34 keys, the
-#     NOTES name-list plus lang_id); (e) the r4-stale tier front in
-#     registry order as the displaceable tail.
-_ROUND12_NEW: list[str] = [
-    "read_python_datasource_changes",
-    "event_pattern_match_within",
-    "graph_node2vec_walks",
-    "agg_sample_quantile_portable",
-    "quality_vocab_zipf",
-    "layout_hilbert_curve",
-    "curation_soft_dedup_weights",
-    "event_markov_stationary",
+# Round-13 window (the NOTES.md plan recorded at the end of round 12):
+# (a) new round-13 operators — never driver-checked, inserted at the
+#     top as they land; (b) ALL keys whose latest genuine driver
+#     hash-check is r4 (mechanically recomputed from the union of
+#     genuine windows r1-r6, r9-r12 — 32 keys, matching the NOTES
+#     name list exactly); (c) the r5-stale tier front in registry
+#     order as the displaceable tail.
+_ROUND13_NEW: list[str] = [
 ]
 
-_NEVER_CHECKED = [
-    "event_pattern_match", "read_python_datasource_timetravel",
-    "graph_random_walks",
-]
-
-_DISPLACED_FILLERS = ["event_paths", "text_stats", "token_count"]
-
-_R3_TIER = [
-    "lang_id", "fingerprint", "text_chunk", "token_pack",
-    "bm25_topk", "keyword_search_and", "dedup_embedding",
-    "dedup_clusters", "dedup_levenshtein", "dedup_keep_best",
-    "dedup_clusters_lsh", "media_stats", "media_resize",
-    "media_frame_sample", "media_phash_dedup",
-    "fn_string", "fn_date", "fn_math", "fn_cond", "fn_json",
-    "fn_array", "fn_explode", "cast_ingest", "ts_parse_format",
-    "num_format", "bool_verbose", "row_to_json", "fill_defaults",
-    "fn_string2", "fn_date2", "fn_hash", "fn_map", "fn_try",
-    "fn_array2",
-]
-
-_R4_FILL = [
-    "media_features", "cluster_kmeans", "cluster_mix_report",
+_R4_TIER = [
+    "cluster_mix_report",
     "udf_scalar", "udf_pandas_scalar", "udf_grouped_agg",
     "udf_grouped_map", "udf_sql_registered", "udf_table",
-    "roundtrip_csv",
+    "roundtrip_csv", "roundtrip_json", "roundtrip_orc",
+    "partitioned_write_read", "read_binaryfile",
+    "read_python_datasource",
+    "ts_resample", "ts_interpolate", "ts_ewma", "ts_anomaly_zscore",
+    "ts_trend", "ts_rollup_cascade", "ts_forecast_linear",
+    "cdc_changes", "scd2_dimension", "graph_pagerank", "agg_argmax",
+    "win_median_rolling", "stream_cluster_monitor",
+    "dedup_incremental", "dedup_containment",
+    "dedup_substring_windows",
+    "event_transitions", "event_attribution", "event_cohort_ltv",
+]
+
+_R5_FILL = [
+    "token_oov_rate", "sim_ivf_topk", "fn_lambda", "fn_variant",
+    "fn_binary", "fn_url", "fn_explode_outer", "fn_from_json",
+    "dedup_clusters_semantic", "dedup_url_canonical",
+    "emb_pca_power", "emb_whiten", "pivot_wide", "unpivot_long",
+    "pivot_dynamic", "join_salted", "agg_salted", "zorder_layout",
 ]
 
 
 def _window() -> list[str]:
-    keep = 50 - len(_ROUND12_NEW) - len(_NEVER_CHECKED) \
-        - len(_DISPLACED_FILLERS) - len(_R3_TIER)
-    return (_ROUND12_NEW + _NEVER_CHECKED + _DISPLACED_FILLERS
-            + _R3_TIER + _R4_FILL[:keep])
+    keep = 50 - len(_ROUND13_NEW) - len(_R4_TIER)
+    return _ROUND13_NEW + _R4_TIER + _R5_FILL[:keep]
 
 
 def test_window_is_exactly_50():
@@ -71,39 +57,39 @@ def test_window_is_exactly_50():
 
 
 def test_new_operators_never_displace_stale_tiers():
-    """New round-12 keys may only displace the r4 filler tail — the
-    never-checked / displaced-filler / r3 tiers must all stay in."""
-    assert len(_ROUND12_NEW) <= len(_R4_FILL), (
+    """New round-13 keys may only displace the r5 filler tail — the
+    r4 tier must stay in whole."""
+    assert len(_ROUND13_NEW) <= len(_R5_FILL), (
         "too many new keys for the displaceable tail — rotate "
         "deliberately instead"
     )
 
 
-def test_first_50_keys_are_the_round12_window():
+def test_first_50_keys_are_the_round13_window():
     window = list(registry.all_queries())[:50]
     assert window == _window()
 
 
 def test_rotation_slots_not_wasted_on_fresh_keys():
     """Every rotation slot must be spent on a key the driver did NOT
-    hash in its round-11 window (the freshest genuine artifact) — a
+    hash in its round-12 window (the freshest genuine artifact) — a
     slot on a just-checked key is a wasted slot."""
     repo = Path(__file__).resolve().parent.parent
-    r11 = repo / "CORRECTNESS_r11.json"
-    if not r11.exists():  # bare checkout without round artifacts
+    r12 = repo / "CORRECTNESS_r12.json"
+    if not r12.exists():  # bare checkout without round artifacts
         return
-    fresh11 = set(json.loads(r11.read_text()))
-    wasted = [k for k in _window() if k in fresh11]
+    fresh12 = set(json.loads(r12.read_text()))
+    wasted = [k for k in _window() if k in fresh12]
     assert wasted == [], wasted
 
 
-def test_rotation_covers_every_never_checked_and_r3_era_key():
-    """The NOTES.md round-12 plan: every key never hashed by any
+def test_rotation_covers_every_never_checked_and_r4_era_key():
+    """The NOTES.md round-13 plan: every key never hashed by any
     genuine driver window, and every key whose latest genuine check
-    is r3 (union of r1-r6, r9, r10, r11 artifacts; r7/r8 were
-    byte-copies of r6) must be in this window — none skipped."""
+    is r4 (union of r1-r6, r9-r12 artifacts; r7/r8 were byte-copies
+    of r6) must be in this window — none skipped."""
     repo = Path(__file__).resolve().parent.parent
-    rounds = (1, 2, 3, 4, 5, 6, 9, 10, 11)
+    rounds = (1, 2, 3, 4, 5, 6, 9, 10, 11, 12)
     arts = [repo / f"CORRECTNESS_r{n:02d}.json" for n in rounds]
     if not all(p.exists() for p in arts):
         return
@@ -113,10 +99,10 @@ def test_rotation_covers_every_never_checked_and_r3_era_key():
             latest[k] = n
     window = set(_window())
     queries = registry.all_queries()
-    never = {k for k in queries if k not in latest and k not in _ROUND12_NEW}
+    never = {k for k in queries if k not in latest and k not in _ROUND13_NEW}
     assert never <= window, sorted(never - window)
-    stale3 = {k for k in queries if latest.get(k, 99) == 3}
-    assert stale3 <= window, sorted(stale3 - window)
+    stale4 = {k for k in queries if latest.get(k, 99) == 4}
+    assert stale4 <= window, sorted(stale4 - window)
 
 
 def test_rows_only_keys_are_deliberate():
