@@ -140,6 +140,11 @@ HEADLINE = [
     "layout_hilbert_curve",            # unrolled xy2d layout census
     "curation_soft_dedup_weights",     # 1/cluster-size soft-dedup weights
     "event_markov_stationary",         # journey-chain fixpoint (16 rounds)
+    "ts_holtwinters",                  # triple smoothing, seasonal fold
+    "graph_kcore",                     # sequential peel on shared index
+    "event_pattern_alternation",       # CEP alternation regex census
+    "graph_hits",                      # exact-integer hubs/authorities
+    "agg_winsorized_stats",            # robust means off cent histogram
 ]
 
 

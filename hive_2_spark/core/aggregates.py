@@ -351,6 +351,90 @@ def agg_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED and TRIMMED means per order priority — the robust-
+    stats treatment an outlier-heavy metric pipeline applies before
+    averaging (clip to the exact [p05, p95] band vs drop outside it),
+    beside the location family (`agg_percentile` exact percentiles,
+    `agg_weighted_median`): a handful of mega-orders should not drag
+    the per-priority spend baseline.
+
+    Same bounded-key cent-histogram discipline as
+    `agg_weighted_quartiles`: ONE corpus-sized exchange builds the
+    (priority, cent) histogram; the p05/p95 edges are nearest-rank
+    picks off the domain-bounded cumulative pass with ALL-INTEGER
+    thresholds (ceil(q*n) spelled (q*n + 99) DIV 100 — no float
+    boundary can flip a rank); the edges broadcast back onto the
+    histogram (5-row dim side) and both means are exact-integer
+    cent sums in decimal(38,0) divided ONCE at the end (CAST DOUBLE /
+    CAST DOUBLE, ROUND 4 — bit-identical across engines).
+
+    Output per priority: n_orders, p05, p95, winsorized_mean,
+    trimmed_mean.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    hist = (
+        o.select(
+            F.col("o_orderpriority").alias("prio"), cents.alias("cent")
+        )
+        .groupBy("prio", "cent")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wp = Window.partitionBy("prio")
+    wcum = wp.orderBy("cent").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wp)
+    )
+    edges = ranked.groupBy("prio").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(5 * n + 99) DIV 100"),
+                F.col("cent"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(95 * n + 99) DIV 100"),
+                F.col("cent"),
+            )
+        ).alias("hi"),
+    )
+    j = hist.join(F.broadcast(edges), "prio")
+    clamped = F.least(F.greatest(F.col("cent"), F.col("lo")), F.col("hi"))
+    kept = (F.col("cent") >= F.col("lo")) & (F.col("cent") <= F.col("hi"))
+    return (
+        j.groupBy(F.col("prio").alias("o_orderpriority"))
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            (F.max("lo").cast("double") / F.lit(100.0)).alias("p05"),
+            (F.max("hi").cast("double") / F.lit(100.0)).alias("p95"),
+            F.round(
+                F.sum((F.col("cnt") * clamped).cast("decimal(38,0)"))
+                .cast("double")
+                / (F.lit(100) * F.max("n")).cast("double"),
+                4,
+            ).alias("winsorized_mean"),
+            F.round(
+                F.sum(
+                    F.when(kept, F.col("cnt") * F.col("cent"))
+                    .otherwise(F.lit(0))
+                    .cast("decimal(38,0)")
+                )
+                .cast("double")
+                / (
+                    F.lit(100)
+                    * F.sum(F.when(kept, F.col("cnt")).otherwise(F.lit(0)))
+                ).cast("double"),
+                4,
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
 def agg_quantile_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distributed quantiles from MERGEABLE shard states — the
     portable counterpart of the HLL `agg_sketch_merge` key (this one
@@ -978,6 +1062,7 @@ QUERIES = {
     "agg_incremental_merge": agg_incremental_merge,
     "agg_weighted_median": agg_weighted_median,
     "agg_weighted_quartiles": agg_weighted_quartiles,
+    "agg_winsorized_stats": agg_winsorized_stats,
     "agg_quantile_shard_merge": agg_quantile_shard_merge,
 }
 
@@ -1253,6 +1338,41 @@ SELECT shard, CAST(MAX(total_n) AS BIGINT) AS n,
        CAST(MIN(CASE WHEN cum_n * 4 >= total_n * 3 THEN cent END) AS DOUBLE)
          / 100.0 AS p75
 FROM r GROUP BY shard
+""",
+    # same histogram/edges/integer-threshold shape as the Spark plan;
+    # HUGEINT sums mirror decimal(38,0), one CAST-DOUBLE division
+    "agg_winsorized_stats": """
+WITH h AS (
+  SELECT o_orderpriority AS prio,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cent,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT prio, cent, cnt,
+         SUM(cnt) OVER (PARTITION BY prio ORDER BY cent
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY prio) AS n
+  FROM h
+), e AS (
+  SELECT prio, MAX(n) AS n,
+         MIN(CASE WHEN cum >= (5 * n + 99) // 100 THEN cent END) AS lo,
+         MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN cent END) AS hi
+  FROM r GROUP BY prio
+)
+SELECT prio AS o_orderpriority,
+       CAST(MAX(e.n) AS BIGINT) AS n_orders,
+       CAST(MAX(e.lo) AS DOUBLE) / 100.0 AS p05,
+       CAST(MAX(e.hi) AS DOUBLE) / 100.0 AS p95,
+       ROUND(CAST(SUM(CAST(h.cnt AS HUGEINT)
+                      * LEAST(GREATEST(h.cent, e.lo), e.hi)) AS DOUBLE)
+             / CAST(100 * MAX(e.n) AS DOUBLE), 4) AS winsorized_mean,
+       ROUND(CAST(SUM(CASE WHEN h.cent BETWEEN e.lo AND e.hi
+                      THEN CAST(h.cnt AS HUGEINT) * h.cent
+                      ELSE 0 END) AS DOUBLE)
+             / CAST(100 * SUM(CASE WHEN h.cent BETWEEN e.lo AND e.hi
+                              THEN h.cnt ELSE 0 END) AS DOUBLE), 4)
+         AS trimmed_mean
+FROM h JOIN e USING (prio) GROUP BY prio
 """,
     "agg_weighted_quartiles": """
 WITH hist AS (

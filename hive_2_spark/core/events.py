@@ -901,10 +901,34 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pattern_census(load_table(spark, sf_dir, "events"))
 
 
-def _pattern_census(e: DataFrame) -> DataFrame:
+_ALT_PATTERN = "v(c|s){1,3}p"
+
+
+def event_pattern_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTERNATION + bounded-quantifier patterns — MATCH_RECOGNIZE's
+    `PATTERN (V (C|S){1,3} P)` class beside the single-branch regex of
+    `event_pattern_match`: a view, then one to three events EACH of
+    which is a click OR a signup (no other type may intervene), then a
+    purchase. Same monthly slicing, symbol encoding, and
+    non-overlapping leftmost scan; the alternation prefers the longer
+    middle (greedy {1,3} with backtracking) identically in Java regex
+    and DuckDB's RE2 — both implement leftmost-first preference order,
+    pinned with planted sequences in tests/test_round13_newops.py.
+
+    Output: user_id, n_periods, n_matched, n_hits (same census shape
+    as the other pattern faces).
+    """
+    return _pattern_census(
+        load_table(spark, sf_dir, "events"), pattern=_ALT_PATTERN
+    )
+
+
+def _pattern_census(e: DataFrame, pattern: str | None = None) -> DataFrame:
     """Pattern census over any (user_id, ts, event_id, event_type)
     frame — factored out so the planted-sequence pytest can drive the
     exact production composition (ordering, slicing, regex)."""
+    if pattern is None:
+        pattern = _SEQ_PATTERN
     seqs = (
         e.select(
             "user_id",
@@ -927,7 +951,7 @@ def _pattern_census(e: DataFrame) -> DataFrame:
     )
     hits = seqs.select(
         "user_id",
-        F.regexp_count("seq", F.lit(_SEQ_PATTERN)).cast("bigint")
+        F.regexp_count("seq", F.lit(pattern)).cast("bigint")
         .alias("hits"),
     )
     return hits.groupBy("user_id").agg(
@@ -1095,6 +1119,7 @@ QUERIES = {
     "event_markov_stationary": event_markov_stationary,
     "event_bot_regularity": event_bot_regularity,
     "event_pattern_match": event_pattern_match,
+    "event_pattern_alternation": event_pattern_alternation,
     "event_pattern_match_within": event_pattern_match_within,
     "event_cumulative_reach": event_cumulative_reach,
     "event_streaks": event_streaks,
@@ -1189,6 +1214,8 @@ SELECT user_id, n_events, span_us, mean_gap_us, cv2_e6,
 FROM r
 """
 
+# the alternation face replays the IDENTICAL census SQL with only the
+# regex swapped — RE2's leftmost-first scan matches Java's here
 _PATTERN_MATCH_ORACLE = f"""
 WITH seqs AS (
   SELECT user_id, strftime(ts, '%Y-%m') AS period,
@@ -1207,6 +1234,10 @@ SELECT user_id,
        CAST(SUM(hits) AS BIGINT) AS n_hits
 FROM m GROUP BY user_id
 """
+
+_PATTERN_ALT_ORACLE = _PATTERN_MATCH_ORACLE.replace(
+    _SEQ_PATTERN, _ALT_PATTERN
+)
 
 _PATTERN_WITHIN_ORACLE = f"""
 WITH o AS (
@@ -1291,6 +1322,7 @@ ORACLES = {
     "event_markov_stationary": _markov_stationary_sql(),
     "event_bot_regularity": _BOT_REGULARITY_ORACLE,
     "event_pattern_match": _PATTERN_MATCH_ORACLE,
+    "event_pattern_alternation": _PATTERN_ALT_ORACLE,
     "event_pattern_match_within": _PATTERN_WITHIN_ORACLE,
     "event_cumulative_reach": _REACH_ORACLE,
     "event_streaks": _STREAKS_ORACLE,

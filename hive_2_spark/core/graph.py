@@ -656,6 +656,190 @@ def cc_star_converged(spark: SparkSession, sf_dir: str) -> bool:
     )
 
 
+_HITS_ROUNDS = 3  # mutual-reinforcement rounds; magnitudes grow ~
+# degree^(2*rounds), so 3 rounds keep the EXACT integer masses inside
+# decimal(38,0)/HUGEINT up to ~2e6 max degree — the headroom
+# discipline of ts_acf/agg_gini (divide once, at the very end)
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99) over the directed
+    customer->supplier trading graph — the mutual-reinforcement member
+    completing the propagation family (PageRank = global random-surfer
+    mass, LPA = plurality labels, this = bipartite endorsement): a
+    customer is a good HUB if it buys from good authorities, a
+    supplier a good AUTHORITY if good hubs buy from it.
+
+    Exactness: hub_0 = 1, so every subsequent mass is an EXACT
+    INTEGER (auth_1 = in-degree, then alternating integer-weighted
+    degree sums) carried in decimal(38,0) (HUGEINT in the oracle) —
+    no per-round float normalization to drift; ONE division by the
+    total at the very end, CAST DOUBLE / CAST DOUBLE then ROUND(6),
+    bit-identical across engines. The classic L2-normalized iterate
+    is this integer sequence rescaled, so the top-k ranking and
+    relative scores are the textbook ones.
+
+    Scale: the edge list is the distinct trading-pair set (orders of
+    magnitude below lineitem), materialized ONCE in each join
+    orientation (hash-partitioned by s and by c via localCheckpoint)
+    so the alternating rounds never re-exchange the pairs — each
+    round's only shuffle is the node-sized mass aggregation, itself
+    keyed on the column the next join needs. The final total is a
+    1-row broadcast (scalar-subquery shape).
+
+    Output: (role, node, score) — top-20 hubs and top-20 authorities,
+    ties on the rounded score broken by node label.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("c"),
+            (-F.col("l_suppkey")).cast("bigint").alias("s"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    e_by_s = e.repartition("s").localCheckpoint()
+    e_by_c = e.repartition("c").localCheckpoint()
+    auth = e_by_s.groupBy("s").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("av")
+    )
+    hub = e_by_s.join(auth, "s").groupBy("c").agg(
+        F.sum("av").cast("decimal(38,0)").alias("hv")
+    )
+    for _ in range(_HITS_ROUNDS - 1):
+        auth = e_by_c.join(hub, "c").groupBy("s").agg(
+            F.sum("hv").cast("decimal(38,0)").alias("av")
+        )
+        hub = e_by_s.join(auth, "s").groupBy("c").agg(
+            F.sum("av").cast("decimal(38,0)").alias("hv")
+        )
+    ht = hub.agg(F.sum("hv").cast("decimal(38,0)").alias("t"))
+    at = auth.agg(F.sum("av").cast("decimal(38,0)").alias("t"))
+    hubs = (
+        hub.crossJoin(F.broadcast(ht))
+        .select(
+            F.lit("hub").alias("role"),
+            # role is known per frame — label directly (supplier key 0
+            # would defeat the sign encoding: -0 = 0)
+            F.concat(F.lit("c"), F.col("c").cast("string")).alias("node"),
+            F.round(
+                F.col("hv").cast("double") / F.col("t").cast("double"), 6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("node").asc())
+        .limit(20)
+    )
+    auths = (
+        auth.crossJoin(F.broadcast(at))
+        .select(
+            F.lit("authority").alias("role"),
+            F.concat(F.lit("s"), (-F.col("s")).cast("string"))
+            .alias("node"),
+            F.round(
+                F.col("av").cast("double") / F.col("t").cast("double"), 6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("node").asc())
+        .limit(20)
+    )
+    return hubs.unionByName(auths)
+
+
+_KCORE_KMAX = 5    # decomposition depth — fixture max core is 5; at
+# 100 TB pick the k the downstream density filter actually consumes
+_KCORE_ROUNDS = 4  # peel rounds per k; measured convergence <= 2 on
+# every fixture (sf0.001/0.01/0.1) — 2x margin, guarded by an inline
+# fixpoint check that RAISES on unconverged inputs (CC discipline)
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE DECOMPOSITION of the near-dup graph — per-document core
+    number (the largest k such that the doc survives iterated
+    degree-<k peeling), the standard graph shape for boilerplate-
+    density screening: high-core documents sit in densely
+    inter-duplicated families (template farms), low-core ones only
+    touch the graph peripherally. Complements the family's census
+    faces (CC/LPA count members; core numbers grade EMBEDDEDNESS).
+
+    Batagelj-Zaversnik peeling expressed as dataframe algebra: for
+    k = 2..`_KCORE_KMAX`, repeat `_KCORE_ROUNDS` times {keep = nodes
+    with degree >= k; edges = edges with BOTH endpoints kept}; the
+    k-core's nodes are the survivors, and core(v) = max k over the
+    cores containing v (every pair-graph node is in the 1-core). Each
+    k's peel starts from the (k-1)-core's edges — the sequential
+    contraction the serial algorithm does with a bucket queue.
+
+    Determinism/oracle: every peel round is a pure function of the
+    edge set, and a converged core is a FIXED POINT of the peel, so
+    the fixed unroll replays hash-exactly in DuckDB. The unroll is
+    guarded: one extra peel per k must remove nothing, checked in ONE
+    driver action over the checkpointed (tiny, monotonically
+    shrinking) per-k edge frames — unconverged input raises instead
+    of censusing a half-peeled graph (the CC convergence discipline;
+    a long path needs ~diameter/2 rounds and must fail loudly).
+
+    Scale: edges are the blocked+capped near-dup PAIR set (orders of
+    magnitude below the corpus), read from the shared persisted index;
+    each round is one partial-agg degree count + two semi-shaped joins
+    keyed on the column the groupBy just partitioned. Per-k
+    localCheckpoint truncates lineage like the PageRank/LPA loops.
+
+    Output: (doc_id, core), one row per pair-graph node.
+    """
+    from hive_2_spark.llm.dedup import neardup_edges_sym
+
+    edges = neardup_edges_sym(spark, sf_dir).localCheckpoint()
+    cores = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.lit(1).alias("core")
+    )
+    cur = edges
+    viols = []
+    for k in range(2, _KCORE_KMAX + 1):
+        for _ in range(_KCORE_ROUNDS):
+            keep = (
+                cur.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= k)
+                .select("src")
+            )
+            cur = cur.join(keep, "src").join(
+                keep.select(F.col("src").alias("dst")), "dst"
+            ).select("src", "dst")
+        cur = cur.localCheckpoint()
+        viols.append(
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") < k)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(k).alias("k"), "n")
+        )
+        cores = cores.unionByName(
+            cur.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.lit(k).alias("core"))
+        )
+    guard = viols[0]
+    for v in viols[1:]:
+        guard = guard.unionByName(v)
+    bad = [r for r in guard.collect() if r["n"] > 0]
+    if bad:
+        raise RuntimeError(
+            f"k-core peel unconverged after {_KCORE_ROUNDS} rounds at "
+            f"k={[r['k'] for r in bad]} — raise _KCORE_ROUNDS for this "
+            "graph (fixed unroll sized from fixture mixing rate)"
+        )
+    return cores.groupBy("doc_id").agg(
+        F.max("core").cast("bigint").alias("core")
+    )
+
+
 _WALK_STEPS = 4
 
 
@@ -868,6 +1052,8 @@ QUERIES = {
     "graph_communities_lpa": graph_communities_lpa,
     "graph_communities_incremental": graph_communities_incremental,
     "graph_cc_largestar": graph_cc_largestar,
+    "graph_kcore": graph_kcore,
+    "graph_hits": graph_hits,
     "graph_random_walks": graph_random_walks,
     "graph_node2vec_walks": graph_node2vec_walks,
 }
@@ -1137,6 +1323,88 @@ FROM all_l GROUP BY lbl
 """
 
 
+def _hits_sql() -> str:
+    """Replays the exact-integer alternation in HUGEINT: a1 =
+    in-degree, then alternating SUM joins; one CAST-DOUBLE division
+    at the end. Same tie-break (rounded score desc, node asc)."""
+    rounds = []
+    for k in range(2, _HITS_ROUNDS + 1):
+        p = k - 1
+        rounds.append(
+            f""",
+a{k} AS (SELECT e.s, SUM(h{p}.hv) AS av FROM e JOIN h{p} USING (c)
+         GROUP BY e.s),
+h{k} AS (SELECT e.c, SUM(a{k}.av) AS hv FROM e JOIN a{k} USING (s)
+         GROUP BY e.c)"""
+        )
+    r = _HITS_ROUNDS
+    return f"""
+WITH e AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+         CAST(-l_suppkey AS BIGINT) AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+a1 AS (SELECT s, CAST(COUNT(*) AS HUGEINT) AS av FROM e GROUP BY s),
+h1 AS (SELECT e.c, SUM(a1.av) AS hv FROM e JOIN a1 USING (s)
+       GROUP BY e.c){"".join(rounds)},
+ht AS (SELECT SUM(hv) AS t FROM h{r}),
+at AS (SELECT SUM(av) AS t FROM a{r}),
+hubs AS (
+  SELECT 'hub' AS role, 'c' || CAST(c AS VARCHAR) AS node,
+         ROUND(CAST(hv AS DOUBLE) / CAST(ht.t AS DOUBLE), 6) AS score
+  FROM h{r}, ht ORDER BY score DESC, node ASC LIMIT 20
+),
+auths AS (
+  SELECT 'authority' AS role, 's' || CAST(-s AS VARCHAR) AS node,
+         ROUND(CAST(av AS DOUBLE) / CAST(at.t AS DOUBLE), 6) AS score
+  FROM a{r}, at ORDER BY score DESC, node ASC LIMIT 20
+)
+SELECT * FROM hubs UNION ALL SELECT * FROM auths
+"""
+
+
+def _kcore_sql() -> str:
+    """Unrolls the same sequential peel as the Spark side: for each
+    k = 2.._KCORE_KMAX, _KCORE_ROUNDS rounds of (degree >= k nodes,
+    both-endpoint edge restriction), then core(v) = MAX k over the
+    surviving node sets. MATERIALIZED per-round edge CTEs — each is
+    read by the next round's degree count AND the next k's peel."""
+    from hive_2_spark.llm.dedup import ORACLES as _DEDUP_ORACLES
+
+    pairs = _DEDUP_ORACLES["dedup_ngram_jaccard"]
+    ctes = []
+    prev = "e0"
+    core_sel = ["SELECT DISTINCT src AS doc_id, 1 AS core FROM e0"]
+    for k in range(2, _KCORE_KMAX + 1):
+        for r in range(1, _KCORE_ROUNDS + 1):
+            cur = f"e{k}_{r}"
+            ctes.append(
+                f"""n{k}_{r} AS (
+  SELECT src AS node FROM {prev} GROUP BY src HAVING COUNT(*) >= {k}
+), {cur} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN n{k}_{r} a ON e.src = a.node
+  JOIN n{k}_{r} b ON e.dst = b.node
+)"""
+            )
+            prev = cur
+        core_sel.append(
+            f"SELECT DISTINCT src AS doc_id, {k} AS core FROM {prev}"
+        )
+    return f"""
+WITH p AS (SELECT DISTINCT a_id, b_id FROM ({pairs})),
+e0 AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM p
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM p
+),
+{",".join(ctes)},
+cores AS ({" UNION ALL ".join(core_sel)})
+SELECT doc_id, CAST(MAX(core) AS BIGINT) AS core
+FROM cores GROUP BY doc_id
+"""
+
+
 def _cc_largestar_sql() -> str:
     """Unrolls every large-star/small-star pair, then the parent census
     — the same exact-integer round functions as the Spark side."""
@@ -1306,6 +1574,8 @@ ORACLES = {
     "graph_communities_lpa": _communities_lpa_sql(),
     "graph_communities_incremental": _communities_incremental_sql(),
     "graph_cc_largestar": _cc_largestar_sql(),
+    "graph_kcore": _kcore_sql(),
+    "graph_hits": _hits_sql(),
     "graph_random_walks": _random_walks_sql(),
     "graph_node2vec_walks": _node2vec_sql(),
 }

@@ -573,6 +573,115 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HW_A = 0.5  # level smoothing
+_HW_G = 0.3  # trend smoothing
+_HW_D = 0.2  # seasonal smoothing
+_HW_M = 24   # hour-of-day season length
+
+
+def ts_holtwinters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE (triple) exponential smoothing per
+    event_type — the seasonal member that completes the forecasting
+    family (EWMA = level, `ts_holt` = level+trend, this = level+
+    trend+season): hourly revenue has an hour-of-day cycle, and the
+    one-step forecast l + b + s_next is what a capacity planner or
+    anomaly baseline actually consumes.
+
+    The series is the ZERO-FILLED hourly grid (ts_resample's spine
+    discipline — a seasonal index is only meaningful when slot t-m is
+    exactly m hours back, so gaps become explicit 0-revenue hours).
+    `ts_holt`'s struct(l, b) fold lifted to struct(l, b, s[1..m]):
+    the seasonal queue carries the last m seasonal components, each
+    step consumes the front (s_{t-m}) and appends s_t. Textbook
+    two-season init: l0 = mean(y_1..y_m), b0 = (sum(y_{m+1..2m}) -
+    sum(y_1..y_m))/m^2, s_i = y_i - l0; fold runs t = m+1..n.
+    Types with fewer than 2m points are dropped (init undefined).
+
+    Cross-engine exactness (the ts_holt discipline): hourly sums are
+    cents-rounded INTEGERS cast to double, init sums are exact
+    integer arithmetic before the single division, the fold
+    expressions are written token-for-token identically in the DuckDB
+    recursive-CTE replay (same literals, same association — l_new's
+    expression is textually repeated inside b_new and s_new), and
+    units divide back by 100 only once at the end.
+
+    Scale: the fact table collapses to the calendar-bounded hourly
+    grid (8,760 points/type/year) before anything is collected;
+    per-type state is that bounded series plus an m-slot queue.
+    """
+    e = load_table(spark, sf_dir, "events")
+    m = _HW_M
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("xi")
+    )
+    bounds = e.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max("ts").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    ).crossJoin(e.select("event_type").distinct())
+    grid = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("xi"), F.lit(0)).cast("long").cast("double")
+        .alias("x"),
+    )
+    g = grid.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "x"))).alias("seq")
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["x"])
+    n = F.size(vals)
+    head = F.slice(vals, 1, m)
+    nxt = F.slice(vals, m + 1, m)
+    # sums of exact-integer doubles — order-independent, both engines
+    s1 = F.aggregate(head, F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate(nxt, F.lit(0.0), lambda a, x: a + x)
+    l0 = s1 / F.lit(float(m))
+    b0 = (s2 - s1) / F.lit(float(m * m))
+    zero = F.struct(
+        l0.alias("lv"),
+        b0.alias("tr"),
+        F.transform(head, lambda v: v - l0).alias("s"),
+    )
+    tail = F.slice(vals, m + 1, F.greatest(n - m, F.lit(0)))
+
+    def _step(acc, x):
+        sm = F.element_at(acc["s"], 1)
+        l_new = F.lit(_HW_A) * (x - sm) + F.lit(1 - _HW_A) * (
+            acc["lv"] + acc["tr"]
+        )
+        return F.struct(
+            l_new.alias("lv"),
+            (
+                F.lit(_HW_G) * (l_new - acc["lv"])
+                + F.lit(1 - _HW_G) * acc["tr"]
+            ).alias("tr"),
+            F.concat(
+                F.slice(acc["s"], 2, m - 1),
+                F.array(
+                    F.lit(_HW_D) * (x - l_new) + F.lit(1 - _HW_D) * sm
+                ),
+            ).alias("s"),
+        )
+
+    fin = F.aggregate(tail, zero, _step)
+    s_next = F.element_at(fin["s"], 1)
+    return g.filter(n >= 2 * m).select(
+        "event_type",
+        n.cast("bigint").alias("n_pts"),
+        F.round(fin["lv"] / 100, 4).alias("level"),
+        F.round(fin["tr"] / 100, 4).alias("trend"),
+        F.round(s_next / 100, 4).alias("season_next"),
+        F.round((fin["lv"] + fin["tr"] + s_next) / 100, 4)
+        .alias("forecast_next"),
+    )
+
+
 def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detection per event_type hourly series: the
     split index k* maximizing |n·S_k − k·S_n| (the integer-rescaled
@@ -1081,6 +1190,7 @@ QUERIES = {
     "ts_crosscorr": ts_crosscorr,
     "ts_changepoint": ts_changepoint,
     "ts_holt": ts_holt,
+    "ts_holtwinters": ts_holtwinters,
     "ts_resample": ts_resample,
     "ts_interpolate": ts_interpolate,
     "agg_histogram": agg_histogram,
@@ -1179,6 +1289,71 @@ ORACLES = {
     # association as the Spark _step lambda. NOT list_reduce: DuckDB
     # mutates a struct accumulator IN PLACE field-by-field, so a 2-state
     # fold's second field sees the already-updated first field.
+    # same zero-filled hourly grid, exact-integer init sums, and
+    # token-identical fold literals as the Spark aggregate() lambda;
+    # l_new's expression is textually repeated inside tr and s so both
+    # engines run the same IEEE op sequence
+    "ts_holtwinters": f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(CAST(ROUND(SUM(value) * 100) AS BIGINT) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi FROM events
+), spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds WHERE lo IS NOT NULL
+), types AS (SELECT DISTINCT event_type FROM events),
+grid AS (
+  SELECT t.event_type, s.h, COALESCE(hh.x, 0.0) AS x
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN hourly hh ON hh.event_type = t.event_type AND hh.h = s.h
+), ord AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i
+  FROM grid
+), npts AS (
+  SELECT event_type, MAX(i) AS n FROM ord GROUP BY 1
+  HAVING MAX(i) >= {2 * _HW_M}
+), base AS (
+  SELECT o.event_type,
+         SUM(CASE WHEN o.i <= {_HW_M} THEN o.x END) AS sum1,
+         SUM(CASE WHEN o.i BETWEEN {_HW_M + 1} AND {2 * _HW_M}
+             THEN o.x END) AS sum2
+  FROM ord o JOIN npts USING (event_type) GROUP BY 1
+), seas AS (
+  SELECT o.event_type,
+         list(o.x - b.sum1 / {float(_HW_M)} ORDER BY o.i) AS s
+  FROM ord o JOIN base b USING (event_type)
+  WHERE o.i <= {_HW_M} GROUP BY o.event_type
+), init AS (
+  SELECT b.event_type, {_HW_M} AS i,
+         b.sum1 / {float(_HW_M)} AS lv,
+         (b.sum2 - b.sum1) / {float(_HW_M * _HW_M)} AS tr,
+         seas.s AS s
+  FROM base b JOIN seas ON seas.event_type = b.event_type
+), step AS (
+  SELECT event_type, i, lv, tr, s FROM init
+  UNION ALL
+  SELECT st.event_type, st.i + 1,
+    {_HW_A} * (o.x - st.s[1]) + {1 - _HW_A} * (st.lv + st.tr),
+    {_HW_G} * (({_HW_A} * (o.x - st.s[1])
+                + {1 - _HW_A} * (st.lv + st.tr)) - st.lv)
+      + {1 - _HW_G} * st.tr,
+    st.s[2:] || [{_HW_D} * (o.x - ({_HW_A} * (o.x - st.s[1])
+                                   + {1 - _HW_A} * (st.lv + st.tr)))
+                 + {1 - _HW_D} * st.s[1]]
+  FROM step st JOIN ord o
+    ON o.event_type = st.event_type AND o.i = st.i + 1
+)
+SELECT st.event_type, CAST(npts.n AS BIGINT) AS n_pts,
+       ROUND(st.lv / 100, 4) AS level,
+       ROUND(st.tr / 100, 4) AS trend,
+       ROUND(st.s[1] / 100, 4) AS season_next,
+       ROUND((st.lv + st.tr + st.s[1]) / 100, 4) AS forecast_next
+FROM step st JOIN npts ON st.event_type = npts.event_type
+WHERE st.i = npts.n
+""",
     "ts_holt": (
         "WITH RECURSIVE hourly AS ("
         "SELECT event_type, date_trunc('hour', ts) AS h, "

@@ -85,6 +85,8 @@ _MODULES: list[str] = [
 _FRONT: list[str] = [
     # --- (a) round-13 additions land HERE as they ship, each
     #     displacing one key from the (c) tail ---
+    "ts_holtwinters", "graph_kcore", "event_pattern_alternation",
+    "graph_hits", "agg_winsorized_stats",
     # --- (b) the 32 r4-era keys, registry order ---
     "cluster_mix_report",
     "udf_scalar", "udf_pandas_scalar", "udf_grouped_agg",
@@ -103,8 +105,7 @@ _FRONT: list[str] = [
     "token_oov_rate", "sim_ivf_topk", "fn_lambda", "fn_variant",
     "fn_binary", "fn_url", "fn_explode_outer", "fn_from_json",
     "dedup_clusters_semantic", "dedup_url_canonical",
-    "emb_pca_power", "emb_whiten", "pivot_wide", "unpivot_long",
-    "pivot_dynamic", "join_salted", "agg_salted", "zorder_layout",
+    "emb_pca_power", "emb_whiten", "pivot_wide",
 ]
 assert len(_FRONT) == 50, f"driver window must be exactly 50, got {len(_FRONT)}"
 assert len(_FRONT) == len(set(_FRONT)), (

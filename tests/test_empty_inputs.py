@@ -193,6 +193,12 @@ KEYS = [
     "layout_hilbert_curve",
     "curation_soft_dedup_weights",
     "event_markov_stationary",
+    # round-13 additions
+    "ts_holtwinters",
+    "graph_kcore",
+    "event_pattern_alternation",
+    "graph_hits",
+    "agg_winsorized_stats",
     # read_python_datasource_timetravel / _changes excluded: one row
     # per log version / version pair (all-zero on an empty corpus) is
     # their correct output — the same REPORT-shape exclusion as

@@ -21,6 +21,7 @@ CARTESIAN_OK = {
     "cdc_changes",          # 50-row literal x 1-row max-key (bounded)
     "ts_resample",          # spine x event_type (metadata-sized)
     "ts_interpolate",       # builds on the ts_resample spine (same bound)
+    "ts_holtwinters",       # the same hourly spine x event_type cross
     "sql_recursive_cte",    # pure-inequality join: 10-row recursion result
                             # broadcast + nested-loop IS the right plan
     "tfidf_top_terms",      # 1-row broadcast n_sources scalar — the same
@@ -33,6 +34,9 @@ CARTESIAN_OK = {
     "retrieval_rrf_fusion", # embeds the bm25 scorer, so the same 1-row
                             # corpus-stats broadcast appears in its plan
     "quality_lm_score",     # 1-row broadcast corpus-total scalar
+    "graph_hits",           # two 1-row broadcast mass totals for the
+                            # final normalization — scalar-subquery
+                            # shape; the iteration is equi-joins only
     "emb_pca_power",        # 1-row broadcast direction vector per step
     "emb_whiten",           # same 1-row direction broadcast
     "event_rfm",            # 1-row broadcast global max-ts anchor —

@@ -20,6 +20,11 @@ from hive_2_spark import registry
 #     name list exactly); (c) the r5-stale tier front in registry
 #     order as the displaceable tail.
 _ROUND13_NEW: list[str] = [
+    "ts_holtwinters",
+    "graph_kcore",
+    "event_pattern_alternation",
+    "graph_hits",
+    "agg_winsorized_stats",
 ]
 
 _R4_TIER = [

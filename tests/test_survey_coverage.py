@@ -117,6 +117,9 @@ BRIEF_EXTRAS = [
     "graph_node2vec_walks", "agg_sample_quantile_portable",
     "quality_vocab_zipf", "layout_hilbert_curve",
     "curation_soft_dedup_weights", "event_markov_stationary",
+    # round-13 additions (SURVEY §2B rows 123+)
+    "ts_holtwinters", "graph_kcore", "event_pattern_alternation",
+    "graph_hits", "agg_winsorized_stats",
 ]
 
 

@@ -201,6 +201,11 @@ _X100_KEYS = [
     "layout_hilbert_curve",
     "curation_soft_dedup_weights",
     "event_markov_stationary",
+    "ts_holtwinters",
+    "graph_kcore",
+    "event_pattern_alternation",
+    "graph_hits",
+    "agg_winsorized_stats",
 ]
 
 
