@@ -145,6 +145,8 @@ HEADLINE = [
     "event_pattern_alternation",       # CEP alternation regex census
     "graph_hits",                      # exact-integer hubs/authorities
     "agg_winsorized_stats",            # robust means off cent histogram
+    "curation_split_by_family",        # leakage-free CC-keyed split
+    "graph_pagerank_personalized",     # seed-restart PPR top-20
 ]
 
 

@@ -656,6 +656,69 @@ def cc_star_converged(spark: SparkSession, sf_dir: str) -> bool:
     )
 
 
+def graph_pagerank_personalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERSONALIZED PageRank — the topic-sensitive variant
+    (Haveliwala, WWW'02) with a single-node restart set: the random
+    surfer teleports back to the SEED (the minimum customer node,
+    deterministic on any engine) instead of the uniform vector, so
+    mass concentrates in the seed's trading neighborhood — the
+    recommendation/similar-entities face of the propagation family
+    (`graph_pagerank` ranks globally; this ranks RELATIVE TO one
+    node).
+
+    Same fixed 3-round unroll, weights, and ROUND(6) absorption as
+    `graph_pagerank` — rank0 = 1 at the seed and 0 elsewhere;
+    rank_{k+1}(v) = (1-d)*[v = seed] + d * sum_in(rank_k(u) * w_u).
+    The seed is read with one bounded 1-row collect (global MIN); the
+    oracle recomputes it as a scalar subquery.
+
+    Scale: identical plan shape to `graph_pagerank` (node-sized rank
+    vector broadcast under the gate, src-pre-partitioned edges past
+    it); personalization changes only the restart expression.
+
+    Output: top-20 (node, rank), ties on the rounded rank broken by
+    node label.
+    """
+    edges_w, broadcast_ranks = _weighted_edges(spark, sf_dir)
+    # bounded collect: one scalar, the minimum customer node id
+    row = edges_w.filter(F.col("src") >= 0).agg(
+        F.min("src").alias("s")
+    ).collect()[0]
+    if row["s"] is None:  # empty corpus
+        return spark.createDataFrame([], "node string, rank double")
+    seed = int(row["s"])
+    restart = F.lit(1.0 - _DAMPING)
+    ranks = edges_w.select("src").distinct().select(
+        "src",
+        F.when(F.col("src") == F.lit(seed), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+    )
+    for _ in range(_ITERS):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = (
+            edges_w.join(rank_side, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("src"),
+            (
+                F.when(F.col("dst") == F.lit(seed), restart)
+                .otherwise(F.lit(0.0))
+                + F.lit(_DAMPING) * F.col("mass")
+            ).alias("rank"),
+        )
+    out = ranks.select(
+        _node_label("src").alias("node"), F.round("rank", 6).alias("rank")
+    )
+    return out.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(
+        _TOPK
+    )
+
+
 _HITS_ROUNDS = 3  # mutual-reinforcement rounds; magnitudes grow ~
 # degree^(2*rounds), so 3 rounds keep the EXACT integer masses inside
 # decimal(38,0)/HUGEINT up to ~2e6 max degree — the headroom
@@ -1046,6 +1109,7 @@ def graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "graph_pagerank": graph_pagerank,
+    "graph_pagerank_personalized": graph_pagerank_personalized,
     "graph_pagerank_converged": graph_pagerank_converged,
     "graph_triangles": graph_triangles,
     "graph_bfs_distance": graph_bfs_distance,
@@ -1323,6 +1387,56 @@ FROM all_l GROUP BY lbl
 """
 
 
+_PPR_ITER_CTE = """
+pr{k} AS (
+  SELECT e.dst AS node,
+         CASE WHEN e.dst = (SELECT s FROM seed) THEN {one_minus_d}
+              ELSE 0.0 END
+         + {d} * SUM(pr{p}.rank * e.w) AS rank
+  FROM edges_w e
+  JOIN pr{p} ON e.src = pr{p}.node
+  GROUP BY e.dst
+)"""
+
+
+def _pagerank_personalized_sql() -> str:
+    iters = ",".join(
+        _PPR_ITER_CTE.format(
+            k=k, p=k - 1, d=_DAMPING, one_minus_d=1.0 - _DAMPING
+        )
+        for k in range(1, _ITERS + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cnode,
+                  CAST(-l_suppkey AS BIGINT) AS snode
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), edges_w AS (
+  SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / deg.deg AS w
+  FROM edges e JOIN deg ON e.src = deg.src
+), seed AS (
+  SELECT MIN(src) AS s FROM deg WHERE src >= 0
+), pr0 AS (
+  SELECT src AS node,
+         CASE WHEN src = (SELECT s FROM seed)
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank
+  FROM deg
+), {iters}
+SELECT node, rank FROM (
+  SELECT CASE WHEN node >= 0 THEN 'c' || CAST(node AS VARCHAR)
+         ELSE 's' || CAST(-node AS VARCHAR) END AS node,
+         ROUND(rank, 6) AS rank
+  FROM pr{_ITERS}
+) ORDER BY rank DESC, node ASC LIMIT {_TOPK}
+"""
+
+
 def _hits_sql() -> str:
     """Replays the exact-integer alternation in HUGEINT: a1 =
     in-degree, then alternating SUM joins; one CAST-DOUBLE division
@@ -1568,6 +1682,7 @@ FROM allv GROUP BY cur
 
 ORACLES = {
     "graph_pagerank": _pagerank_sql(),
+    "graph_pagerank_personalized": _pagerank_personalized_sql(),
     "graph_pagerank_converged": _pagerank_converged_sql(),
     "graph_triangles": _triangles_sql(),
     "graph_bfs_distance": _BFS_SQL,

@@ -525,6 +525,48 @@ def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_split_by_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/val split — the FIX that
+    `curation_split_leakage`'s train-val headline motivates: hash the
+    near-dup FAMILY representative (fixpoint-CC min doc_id over the
+    near-dup pair graph; singletons represent themselves), not the
+    document, so every near-dup family lands WHOLE on one side and
+    cross-split near-dup leakage is zero BY CONSTRUCTION — the
+    GroupShuffleSplit discipline eval-set builders use (re-audited to
+    exactly zero pairs in pytest, while the doc-hash split's audit
+    shows a non-empty train-val row on the same corpus).
+
+    Scale: one convergence-stopped CC over the SHARED persisted pair
+    index (node-sized state) + a left join back onto the corpus ids;
+    the split decision stays a pure hash function of the family id —
+    reproducible on any engine, join-free at lookup time, and stable
+    under corpus growth except where families merge (which is exactly
+    when a re-split is semantically required).
+
+    Output: (doc_id, family, bucket, split) over the corpus the pair
+    graph is defined on.
+    """
+    from hive_2_spark.llm.advanced import dedup_clusters
+    from hive_2_spark.llm.dedup import corpus_with_dups
+
+    cl = dedup_clusters(spark, sf_dir)
+    fam = (
+        corpus_with_dups(spark, sf_dir)
+        .select("doc_id")
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("family"),
+        )
+    )
+    return fam.select(
+        "doc_id",
+        "family",
+        _split_bucket(F.col("family")).alias("bucket"),
+        _split_name(F.col("family")).alias("split"),
+    )
+
+
 def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs classified by split: (pair_class, n_pairs,
     n_docs). The train-val row is the leakage headline — every such
@@ -628,6 +670,7 @@ def curation_soft_dedup_weights(
 QUERIES = {
     "curation_soft_dedup_weights": curation_soft_dedup_weights,
     "curation_split_assign": curation_split_assign,
+    "curation_split_by_family": curation_split_by_family,
     "sample_reservoir": sample_reservoir,
     "curation_split_leakage": curation_split_leakage,
     "curation_repeat_upsample": curation_repeat_upsample,
@@ -685,6 +728,36 @@ def _split_leakage_sql() -> str:
     )
 
 
+def _family_split_sql() -> str:
+    """Nests the same fixpoint-CC recursive CTE as the soft-dedup
+    oracle (imported pair SQL, not re-derived), fills singleton
+    families from the corpus-with-planted-twins definition, then
+    applies the identical md5 bucket to the FAMILY id."""
+    from hive_2_spark.llm.advanced import _DK_PAIRS
+
+    b = _SPLIT_SQL_BUCKET.format(c="family")
+    return (
+        f"{_DK_PAIRS}, "
+        "edges AS (SELECT a_id, b_id FROM p UNION SELECT b_id, a_id FROM p), "
+        "nodes AS (SELECT DISTINCT a_id AS node FROM edges), "
+        "reach AS (SELECT node, node AS r FROM nodes "
+        "          UNION SELECT e.a_id, r.r FROM edges e JOIN reach r "
+        "          ON e.b_id = r.node), "
+        "cl AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach "
+        "       GROUP BY node), "
+        "corpus AS (SELECT doc_id FROM documents "
+        "  UNION ALL SELECT doc_id + 20000000 FROM documents "
+        "  WHERE doc_id % 10 = 0 "
+        "  UNION ALL SELECT doc_id + 10000000 FROM documents "
+        "  WHERE doc_id % 10 = 0), "
+        "fam AS (SELECT c.doc_id, COALESCE(cl.cluster, c.doc_id) AS family "
+        "        FROM corpus c LEFT JOIN cl ON c.doc_id = cl.doc_id) "
+        f"SELECT doc_id, family, {b} AS bucket, "
+        f"CASE WHEN {b} < {_SPLIT_TRAIN_BUCKETS} THEN 'train' ELSE 'val' "
+        "END AS split FROM fam"
+    )
+
+
 def _soft_dedup_sql() -> str:
     """Nests the fixpoint-CC recursive CTE (imported from the advanced
     module — same pair SQL, not re-derived) and fills singletons from
@@ -732,6 +805,7 @@ ORACLES = {
         "FROM documents"
     ),
     "curation_split_leakage": _split_leakage_sql(),
+    "curation_split_by_family": _family_split_sql(),
     # Naive per-source single-window cumsum the bucketed two-phase
     # plan must equal (the win_global_rank oracle relationship).
     "curation_repeat_upsample": """

@@ -199,6 +199,8 @@ KEYS = [
     "event_pattern_alternation",
     "graph_hits",
     "agg_winsorized_stats",
+    "curation_split_by_family",
+    "graph_pagerank_personalized",
     # read_python_datasource_timetravel / _changes excluded: one row
     # per log version / version pair (all-zero on an empty corpus) is
     # their correct output — the same REPORT-shape exclusion as

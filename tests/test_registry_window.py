@@ -25,6 +25,8 @@ _ROUND13_NEW: list[str] = [
     "event_pattern_alternation",
     "graph_hits",
     "agg_winsorized_stats",
+    "curation_split_by_family",
+    "graph_pagerank_personalized",
 ]
 
 _R4_TIER = [

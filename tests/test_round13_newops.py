@@ -222,6 +222,104 @@ def test_winsorized_stats_planted_truth(spark, tmp_path):
     assert r["trimmed_mean"] == round(sum(range(10, 200, 10)) / 19, 4)
 
 
+def test_family_split_has_zero_leakage_and_doc_split_does_not(spark):
+    """The FIX claim, audited: re-classify every near-dup pair under
+    the family-keyed assignment — zero cross-split pairs BY
+    CONSTRUCTION — while the doc-hash assignment shows a non-empty
+    train-val row on the same corpus (the leakage the family split
+    exists to remove). Families must also be homogeneous: one split
+    per family."""
+    from hive_2_spark.llm.curation import curation_split_by_family
+    from hive_2_spark.llm.dedup import neardup_pair_index
+
+    assign = curation_split_by_family(spark, SF_DIR)
+    split_of = {r["doc_id"]: r["split"] for r in assign.collect()}
+    fam_of = {}
+    for r in assign.collect():
+        fam_of.setdefault(r["family"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in fam_of.values())
+    pairs = [(r["a_id"], r["b_id"]) for r in
+             neardup_pair_index(spark, SF_DIR).collect()]
+    assert pairs, "fixture must have near-dup pairs"
+    cross = [(a, b) for a, b in pairs if split_of[a] != split_of[b]]
+    assert cross == []
+    # the doc-hash split leaks on the same pairs — the motivation
+    import hashlib
+
+    from hive_2_spark.llm.curation import _SPLIT_MOD, _SPLIT_TRAIN_BUCKETS
+
+    def doc_split(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        return "train" if b % _SPLIT_MOD < _SPLIT_TRAIN_BUCKETS else "val"
+
+    leaked = [(a, b) for a, b in pairs if doc_split(a) != doc_split(b)]
+    assert leaked, "doc-hash split shows no leakage — fixture too easy"
+    # both splits non-trivial (neither side empty)
+    assert {"train", "val"} == set(split_of.values())
+
+
+def test_ppr_localizes_mass_and_pure_python_replay(spark):
+    """Personalized PageRank replayed in pure Python from the raw
+    parquet (same seed rule, same 3 rounds, same IEEE shape to the
+    rounding grain); mass must concentrate near the seed — the seed
+    outranks every node the GLOBAL pagerank would slot by degree."""
+    import duckdb
+
+    from hive_2_spark.core.graph import (
+        _DAMPING,
+        _ITERS,
+        graph_pagerank_personalized,
+    )
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"""
+        SELECT DISTINCT CAST(o_custkey AS BIGINT),
+               CAST(-l_suppkey AS BIGINT)
+        FROM '{SF_DIR}/lineitem.parquet'
+        JOIN '{SF_DIR}/orders.parquet' ON l_orderkey = o_orderkey
+        """
+    ).fetchall()
+    out_of: dict = {}
+    for c, s in pairs:
+        out_of.setdefault(c, []).append(s)
+        out_of.setdefault(s, []).append(c)
+    seed = min(n for n in out_of if n >= 0)
+    w = {n: 1.0 / len(v) for n, v in out_of.items()}
+    rank = {n: (1.0 if n == seed else 0.0) for n in out_of}
+    for _ in range(_ITERS):
+        nxt = {n: 0.0 for n in out_of}
+        for u, vs in sorted(out_of.items()):
+            if rank[u]:
+                for v in vs:
+                    nxt[v] += rank[u] * w[u]
+        rank = {
+            n: (1.0 - _DAMPING if n == seed else 0.0) + _DAMPING * m
+            for n, m in nxt.items()
+        }
+    def label(n):
+        return f"c{n}" if n >= 0 else f"s{-n}"
+
+    expect = sorted(
+        ((round(v, 6), label(n)) for n, v in rank.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = [(r["rank"], r["node"]) for r in
+           graph_pagerank_personalized(spark, SF_DIR).collect()]
+    assert len(got) == 20
+    # seed is the top hub of its own neighborhood
+    assert got[0][1] == label(seed)
+    for (er, en), (gr, gn) in zip(expect, got):
+        assert en == gn and abs(er - gr) <= 2e-6, (en, er, gn, gr)
+    # localization: the fixture graph is small enough that 3 hops
+    # reach everyone, but the mass must still be strongly non-uniform
+    # around the seed (the seed holds the restart mass; a distant node
+    # holds only diluted flow)
+    import statistics
+
+    assert rank[seed] > 10 * statistics.median(rank.values())
+
+
 def test_versioned_sink_cas_race_cross_process(tmp_path):
     """Two OS PROCESSES (separate interpreters — the shape an
     object-store multi-writer actually hits, unlike the in-process

@@ -120,6 +120,7 @@ BRIEF_EXTRAS = [
     # round-13 additions (SURVEY §2B rows 123+)
     "ts_holtwinters", "graph_kcore", "event_pattern_alternation",
     "graph_hits", "agg_winsorized_stats",
+    "curation_split_by_family", "graph_pagerank_personalized",
 ]
 
 

@@ -206,6 +206,8 @@ _X100_KEYS = [
     "event_pattern_alternation",
     "graph_hits",
     "agg_winsorized_stats",
+    "curation_split_by_family",
+    "graph_pagerank_personalized",
 ]
 
 
