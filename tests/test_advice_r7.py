@@ -84,22 +84,27 @@ def test_prefix_filter_cap_raises_not_drops(spark, monkeypatch):
         dedup.dedup_prefix_filter(spark, SF_DIR).collect()
 
 
-def test_prefix_filter_cache_bounded_to_one_corpus(spark):
-    """The shingle cache holds at most ONE corpus: switching sf_dir
-    evicts the previous persisted frame (the round-6 ADVICE leak)."""
+def test_prefix_filter_cache_bounded_to_two_corpora(spark):
+    """The shingle cache is a 2-slot per-app LRU (the round-13 upgrade
+    of the round-6 one-corpus rule): the two scales one session
+    alternates between BOTH stay live — switching sf_dir no longer
+    thrashes — while the bound still caps persisted state."""
     from tests.conftest import SF_DIR_MID
 
     from hive_2_spark.llm import dedup
 
     app = spark.sparkContext.applicationId
+    dedup._PF_CACHE.clear()
     dedup.dedup_prefix_filter(spark, SF_DIR).count()
     assert list(dedup._PF_CACHE) == [(app, SF_DIR)]
     dedup.dedup_prefix_filter(spark, SF_DIR_MID).count()
-    assert list(dedup._PF_CACHE) == [(app, SF_DIR_MID)]
+    assert set(dedup._PF_CACHE) == {(app, SF_DIR), (app, SF_DIR_MID)}
     # repeat call on the same corpus must REUSE, not evict-and-rebuild
     cached = dedup._PF_CACHE[(app, SF_DIR_MID)]
     dedup.dedup_prefix_filter(spark, SF_DIR_MID).count()
     assert dedup._PF_CACHE[(app, SF_DIR_MID)] is cached
+    # ...and the alternation partner survived (the round-12 nit)
+    assert (app, SF_DIR) in dedup._PF_CACHE
 
 
 def test_prefix_filter_fixture_headroom(spark):
