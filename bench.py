@@ -147,6 +147,7 @@ HEADLINE = [
     "agg_winsorized_stats",            # robust means off cent histogram
     "curation_split_by_family",        # leakage-free CC-keyed split
     "graph_pagerank_personalized",     # seed-restart PPR top-20
+    "ts_anomaly_iqr",                  # Tukey fences, integer quartiles
 ]
 
 

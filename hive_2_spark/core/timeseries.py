@@ -177,6 +177,63 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY-FENCE (IQR) outlier census over the hourly series — the
+    third member of the anomaly triad (z-score: parametric on points;
+    MAD: robust scale on points; IQR: robust RANK fences on the
+    rolled-up series): per event_type, hours whose revenue falls
+    outside [q1 - 1.5*IQR, q3 + 1.5*IQR] of the observed hourly
+    distribution — the box-plot rule a metrics dashboard draws.
+
+    ALL-INTEGER exactness: hourly sums are exact cents; q1/q3 are
+    nearest-rank picks (ceil(q*n/100) spelled (q*n + 99) DIV 100 — the
+    `agg_winsorized_stats` discipline), and the fences are
+    CROSS-MULTIPLIED (x < q1 - 1.5*IQR  <=>  2x < 5*q1 - 3*q3) so no
+    fractional fence value ever materializes — no float boundary can
+    flip a flag on either engine. Dollars divide once in the output.
+
+    Scale: the fact table collapses to the calendar-bounded hourly
+    series first; the rank window and census ride per-type partitions
+    of <= 8,760 rows/year, and the 5-row quartile frame broadcasts
+    back.
+
+    Output per event_type: n_pts, q1, q3, n_low, n_high.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value") * 100).cast("bigint").alias("x"))
+    wp = Window.partitionBy("event_type")
+    ranked = hourly.withColumn(
+        "rk", F.row_number().over(wp.orderBy("x"))
+    ).withColumn("n", F.count(F.lit(1)).over(wp))
+    qs = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("rk") == F.expr("(25 * n + 99) DIV 100"), F.col("x")
+            )
+        ).alias("q1c"),
+        F.min(
+            F.when(
+                F.col("rk") == F.expr("(75 * n + 99) DIV 100"), F.col("x")
+            )
+        ).alias("q3c"),
+    )
+    j = hourly.join(F.broadcast(qs), "event_type")
+    low = (2 * F.col("x") < 5 * F.col("q1c") - 3 * F.col("q3c"))
+    high = (2 * F.col("x") > 5 * F.col("q3c") - 3 * F.col("q1c"))
+    return j.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_pts"),
+        (F.max("q1c").cast("double") / F.lit(100.0)).alias("q1"),
+        (F.max("q3c").cast("double") / F.lit(100.0)).alias("q3"),
+        F.sum(low.cast("bigint")).alias("n_low"),
+        F.sum(high.cast("bigint")).alias("n_high"),
+    )
+
+
 def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score outliers: events whose value sits >= 3 population
     standard deviations from their event_type's mean.
@@ -1197,6 +1254,7 @@ QUERIES = {
     "ts_ewma": ts_ewma,
     "ts_anomaly_zscore": ts_anomaly_zscore,
     "ts_anomaly_mad": ts_anomaly_mad,
+    "ts_anomaly_iqr": ts_anomaly_iqr,
     "ts_seasonal_decompose": ts_seasonal_decompose,
     "ts_trend": ts_trend,
     "ts_rollup_cascade": ts_rollup_cascade,
@@ -1289,6 +1347,35 @@ ORACLES = {
     # association as the Spark _step lambda. NOT list_reduce: DuckDB
     # mutates a struct accumulator IN PLACE field-by-field, so a 2-state
     # fold's second field sees the already-updated first field.
+    # same observed-hourly cents, nearest-rank integer thresholds, and
+    # cross-multiplied fences as the Spark plan
+    "ts_anomaly_iqr": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(ROUND(SUM(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+), q AS (
+  SELECT event_type, MAX(n) AS n,
+         MIN(CASE WHEN rk = (25 * n + 99) // 100 THEN x END) AS q1c,
+         MIN(CASE WHEN rk = (75 * n + 99) // 100 THEN x END) AS q3c
+  FROM r GROUP BY event_type
+)
+SELECT h.event_type,
+       CAST(MAX(q.n) AS BIGINT) AS n_pts,
+       CAST(MAX(q.q1c) AS DOUBLE) / 100.0 AS q1,
+       CAST(MAX(q.q3c) AS DOUBLE) / 100.0 AS q3,
+       CAST(SUM(CASE WHEN 2 * h.x < 5 * q.q1c - 3 * q.q3c
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN 2 * h.x > 5 * q.q3c - 3 * q.q1c
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM hourly h JOIN q ON h.event_type = q.event_type
+GROUP BY h.event_type
+""",
     # same zero-filled hourly grid, exact-integer init sums, and
     # token-identical fold literals as the Spark aggregate() lambda;
     # l_new's expression is textually repeated inside tr and s so both

@@ -88,6 +88,7 @@ _FRONT: list[str] = [
     "ts_holtwinters", "graph_kcore", "event_pattern_alternation",
     "graph_hits", "agg_winsorized_stats",
     "curation_split_by_family", "graph_pagerank_personalized",
+    "ts_anomaly_iqr",
     # --- (b) the 32 r4-era keys, registry order ---
     "cluster_mix_report",
     "udf_scalar", "udf_pandas_scalar", "udf_grouped_agg",
@@ -106,7 +107,6 @@ _FRONT: list[str] = [
     "token_oov_rate", "sim_ivf_topk", "fn_lambda", "fn_variant",
     "fn_binary", "fn_url", "fn_explode_outer", "fn_from_json",
     "dedup_clusters_semantic", "dedup_url_canonical",
-    "emb_pca_power",
 ]
 assert len(_FRONT) == 50, f"driver window must be exactly 50, got {len(_FRONT)}"
 assert len(_FRONT) == len(set(_FRONT)), (

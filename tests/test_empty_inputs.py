@@ -201,6 +201,7 @@ KEYS = [
     "agg_winsorized_stats",
     "curation_split_by_family",
     "graph_pagerank_personalized",
+    "ts_anomaly_iqr",
     # read_python_datasource_timetravel / _changes excluded: one row
     # per log version / version pair (all-zero on an empty corpus) is
     # their correct output — the same REPORT-shape exclusion as

@@ -27,6 +27,7 @@ _ROUND13_NEW: list[str] = [
     "agg_winsorized_stats",
     "curation_split_by_family",
     "graph_pagerank_personalized",
+    "ts_anomaly_iqr",
 ]
 
 _R4_TIER = [

@@ -320,6 +320,43 @@ def test_ppr_localizes_mass_and_pure_python_replay(spark):
     assert rank[seed] > 10 * statistics.median(rank.values())
 
 
+def test_iqr_anomaly_planted_fences(spark, tmp_path):
+    """Planted hourly series with known quartiles and one extreme
+    hour each side: the integer nearest-rank quartiles and the
+    cross-multiplied Tukey fences must flag exactly those hours."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    from hive_2_spark.core.timeseries import ts_anomaly_iqr
+
+    schema = pq.read_schema(os.path.join(SF_DIR, "events.parquet"))
+    # 20 hourly values 10..200, plus a 10,000 spike and a -9,000 dip
+    vals = [float(10 * i) for i in range(1, 21)] + [10_000.0, -9_000.0]
+    base = datetime(2024, 2, 1)
+    cols = {
+        "event_id": list(range(len(vals))),
+        "ts": [base + timedelta(hours=i) for i in range(len(vals))],
+        "user_id": [1] * len(vals),
+        "event_type": ["click"] * len(vals),
+        "value": vals,
+        "props": ["{}"] * len(vals),
+    }
+    tbl = pa.table({f.name: pa.array(cols[f.name], f.type) for f in schema})
+    d = str(tmp_path / "sf_iqr")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    r = {x["event_type"]: x for x in ts_anomaly_iqr(spark, d).collect()}
+    c = r["click"]
+    # n = 22: q1 rank = ceil(550/100) = 6, q3 rank = ceil(1650/100) = 17
+    # sorted series: -9000, 10..200, 10000 -> rank 6 = 50, rank 17 = 160
+    assert c["n_pts"] == 22 and c["q1"] == 50.0 and c["q3"] == 160.0
+    # fences: [50 - 165, 160 + 165] = [-115, 325] -> one each side
+    assert c["n_low"] == 1 and c["n_high"] == 1
+
+
 def test_versioned_sink_cas_race_cross_process(tmp_path):
     """Two OS PROCESSES (separate interpreters — the shape an
     object-store multi-writer actually hits, unlike the in-process

@@ -121,6 +121,7 @@ BRIEF_EXTRAS = [
     "ts_holtwinters", "graph_kcore", "event_pattern_alternation",
     "graph_hits", "agg_winsorized_stats",
     "curation_split_by_family", "graph_pagerank_personalized",
+    "ts_anomaly_iqr",
 ]
 
 

@@ -208,6 +208,7 @@ _X100_KEYS = [
     "agg_winsorized_stats",
     "curation_split_by_family",
     "graph_pagerank_personalized",
+    "ts_anomaly_iqr",
 ]
 
 
