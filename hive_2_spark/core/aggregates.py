@@ -412,17 +412,22 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("bigint").alias("n_orders"),
             (F.max("lo").cast("double") / F.lit(100.0)).alias("p05"),
             (F.max("hi").cast("double") / F.lit(100.0)).alias("p95"),
+            # cnt is cast to decimal(38,0) BEFORE the multiply so the
+            # product gets the same headroom as the oracle's
+            # HUGEINT-first cnt*cent (a BIGINT-side product could wrap
+            # at extreme per-cell counts where the oracle stays exact).
             F.round(
-                F.sum((F.col("cnt") * clamped).cast("decimal(38,0)"))
+                F.sum(F.col("cnt").cast("decimal(38,0)") * clamped)
                 .cast("double")
                 / (F.lit(100) * F.max("n")).cast("double"),
                 4,
             ).alias("winsorized_mean"),
             F.round(
                 F.sum(
-                    F.when(kept, F.col("cnt") * F.col("cent"))
-                    .otherwise(F.lit(0))
-                    .cast("decimal(38,0)")
+                    F.when(
+                        kept,
+                        F.col("cnt").cast("decimal(38,0)") * F.col("cent"),
+                    ).otherwise(F.lit(0).cast("decimal(38,0)"))
                 )
                 .cast("double")
                 / (
