@@ -148,6 +148,9 @@ HEADLINE = [
     "curation_split_by_family",        # leakage-free CC-keyed split
     "graph_pagerank_personalized",     # seed-restart PPR top-20
     "ts_anomaly_iqr",                  # Tukey fences, integer quartiles
+    "dedup_index_maintain",            # append-only index fold, 2 batches
+    "read_python_datasource_compacted",  # OPTIMIZE/VACUUM checkpoint log
+    "text_bpe_merges",                 # 10 greedy merges over the vocab
 ]
 
 

@@ -487,6 +487,20 @@ def stream_sink_manifest_files(target: str) -> list[str]:
     return files
 
 
+def _read_version_log(target: str) -> dict[int, dict]:
+    """version -> manifest body for every committed `_MANIFEST-V<v>`."""
+    import json as _json
+    import os
+
+    log: dict[int, dict] = {}
+    for name in os.listdir(target):
+        if not name.startswith("_MANIFEST-V") or name.endswith(".tmp"):
+            continue
+        with open(os.path.join(target, name)) as f:
+            log[int(name[len("_MANIFEST-V"):])] = _json.load(f)
+    return log
+
+
 def versioned_manifest_files(
     target: str, as_of: int | None = None, since: int | None = None
 ) -> list[str]:
@@ -498,24 +512,115 @@ def versioned_manifest_files(
     metadata-only because each log entry names exactly its own
     commit's files. Snapshot isolation falls out of the log structure
     — files staged by uncommitted or later writes are simply not named
-    by any manifest in range."""
-    import json as _json
+    by any manifest in range.
+
+    After :func:`compact_and_expire` the log contains a CHECKPOINT
+    manifest (``"checkpoint": true``) whose file list REPLACES every
+    version below it (the Delta `_last_checkpoint` discipline). A
+    snapshot at or above the latest checkpoint reads checkpoint files
+    + later manifests; a request BELOW it raises — the version is
+    expired, and raising is load-bearing for crash safety: old
+    manifests may linger between the checkpoint commit and their
+    deletion, and serving (or unioning) them would double-count the
+    compacted rows."""
     import os
 
+    log = _read_version_log(target)
+    ckpts = [v for v, body in log.items() if body.get("checkpoint")]
+    base = max(ckpts, default=None)
+    if base is not None:
+        if as_of is not None and as_of < base:
+            raise ValueError(
+                f"version {as_of} expired: log compacted through "
+                f"version {base}"
+            )
+        if since is not None and since < base:
+            raise ValueError(
+                f"changes since version {since} unavailable: log "
+                f"compacted through version {base} (the compaction "
+                "rewrote those files — a diff across it would report "
+                "rewrites as changes)"
+            )
     files: list[str] = []
-    for name in sorted(os.listdir(target)):
-        if not name.startswith("_MANIFEST-V") or name.endswith(".tmp"):
-            continue
-        v = int(name[len("_MANIFEST-V"):])
+    for v in sorted(log):
         if as_of is not None and v > as_of:
             continue
         if since is not None and v <= since:
             continue
-        with open(os.path.join(target, name)) as f:
-            files.extend(
-                os.path.join(target, b) for b in _json.load(f)["files"]
-            )
+        if base is not None and v < base:
+            continue  # replaced by the checkpoint (expiry may lag)
+        files.extend(os.path.join(target, b) for b in log[v]["files"])
     return files
+
+
+def compact_and_expire(target: str, upto: int) -> dict:
+    """OPTIMIZE + VACUUM for the versioned sink log (verdict-r13
+    frontier #2): merge every data file visible at version ``upto``
+    into ONE sorted file committed as a CHECKPOINT manifest at
+    ``upto``, expire the manifests below it, and GC data files no
+    surviving manifest references.
+
+    Crash-safe ordering — each step leaves a readable log:
+    (1) the compacted data file is fully written then atomically
+    renamed into place; (2) `_MANIFEST-V<upto>` is atomically REPLACED
+    by the checkpoint body (readers below the checkpoint raise from
+    this instant, so lingering older manifests can never double-count);
+    (3) manifests < upto are deleted; (4) committed ``*.jsonl`` files
+    referenced by no surviving manifest are removed (staged ``*.tmp``
+    files are left for their writers). A crash after (2) just leaves
+    garbage that a re-run of (3)/(4) collects.
+
+    At 100 TB the compacted file would be rewritten partitioned (one
+    file per shuffle partition of the merged scan); the LOG discipline
+    — checkpoint replaces prefix, expiry raises, GC is
+    reference-counted — is the part this models exactly.
+
+    Returns {"version", "files_in", "files_gc", "manifests_expired",
+    "rows"} for the caller's audit trail."""
+    import json as _json
+    import os
+
+    in_files = versioned_manifest_files(target, as_of=upto)
+    lines: list[str] = []
+    for p in sorted(in_files):
+        with open(p) as f:
+            lines.extend(ln for ln in f.read().splitlines() if ln)
+    lines.sort()  # deterministic layout independent of commit order
+    cname = f"compact-v{upto}-{_uuid.uuid4().hex}.jsonl"
+    cpath = _os.path.join(target, cname)
+    with open(cpath + ".tmp", "w") as f:
+        f.write("".join(ln + "\n" for ln in lines))
+    _os.rename(cpath + ".tmp", cpath)
+
+    body = {
+        "files": [cname], "rows": len(lines), "version": upto,
+        "checkpoint": True,
+    }
+    mpath = _os.path.join(target, f"_MANIFEST-V{upto}")
+    with open(mpath + ".tmp", "w") as f:
+        _json.dump(body, f)
+    _os.rename(mpath + ".tmp", mpath)  # atomic replace: checkpoint live
+
+    expired = 0
+    for name in os.listdir(target):
+        if not name.startswith("_MANIFEST-V") or name.endswith(".tmp"):
+            continue
+        if int(name[len("_MANIFEST-V"):]) < upto:
+            _os.remove(_os.path.join(target, name))
+            expired += 1
+
+    referenced = {
+        _os.path.basename(p) for p in versioned_manifest_files(target)
+    }
+    gc = 0
+    for name in os.listdir(target):
+        if name.endswith(".jsonl") and name not in referenced:
+            _os.remove(_os.path.join(target, name))
+            gc += 1
+    return {
+        "version": upto, "files_in": len(in_files), "files_gc": gc,
+        "manifests_expired": expired, "rows": len(lines),
+    }
 
 
 def _fresh_run_dir(spark: SparkSession, base_name: str) -> str:
@@ -626,6 +731,82 @@ def read_python_datasource_timetravel(
     schema = "doc_id bigint, lang string, n_chars bigint"
     snaps = []
     for v in range(_TT_VERSIONS):
+        files = versioned_manifest_files(target, as_of=v)
+        back = (
+            spark.read.schema(schema).json(files)
+            if files
+            else spark.createDataFrame([], schema)
+        )
+        snaps.append(
+            back.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint")
+                .alias("sum_ids"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint")
+                .alias("sum_chars"),
+            ).select(F.lit(v).cast("bigint").alias("version"), "*")
+        )
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+_CP_VERSIONS = 5  # committed log versions in the compaction key
+_CP_UPTO = 2      # compaction/retention point (versions 0-2 merge)
+
+
+def read_python_datasource_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE/VACUUM over the versioned sink log — the face that
+    completes the lakehouse discipline (write/CAS: row 103; time
+    travel: row 113; changes/tail: row 115): five deterministic
+    document slices (doc_id % 5 == v) commit as log versions 0..4,
+    then :func:`compact_and_expire` merges every file visible at
+    version 2 into ONE checkpoint-committed file, expires manifests
+    0-1, and GCs the orphaned data files. The key reads the SURVIVING
+    snapshots (2, 3, 4) back through the checkpoint-aware log replay
+    and aggregates.
+
+    Hash equality with the oracle's cumulative slices proves the
+    time-travel contract SURVIVES compaction: the checkpoint file
+    holds exactly the rows versions 0-2 committed (no loss, no dupes
+    from lingering pre-compaction manifests), and later versions
+    stack on it unchanged. The expiry (reads below the checkpoint
+    RAISE), GC (no unreferenced data file remains), and
+    crash-ordering (a lingering old manifest cannot double-count)
+    faces are pinned in tests/test_round14_newops.py.
+
+    Scale: compaction here rewrites file CONTENT single-threaded
+    because the fixture sink is driver-local JSONL; at 100 TB the
+    rewrite is one partitioned Spark job over the named files — the
+    LOG discipline (checkpoint replaces prefix, reference-counted GC,
+    metadata-sized snapshot resolution) is what this models exactly.
+
+    Output: (version, n_docs, sum_ids, sum_chars), one row per
+    surviving snapshot, cumulative by construction.
+    """
+    from hive_2_spark.catalog import load_table
+
+    _register_sink(spark)
+    target = _fresh_run_dir(spark, "hive2_pysink_cp")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    for v in range(_CP_VERSIONS):
+        (
+            d.filter(F.col("doc_id") % _CP_VERSIONS == v)
+            .write.format(_SINK_FORMAT)
+            .option("path", target)
+            .option("version", str(v))
+            .mode("append")
+            .save()
+        )
+    compact_and_expire(target, _CP_UPTO)
+    schema = "doc_id bigint, lang string, n_chars bigint"
+    snaps = []
+    for v in range(_CP_UPTO, _CP_VERSIONS):
         files = versioned_manifest_files(target, as_of=v)
         back = (
             spark.read.schema(schema).json(files)
@@ -816,6 +997,7 @@ QUERIES = {
     "roundtrip_python_datasource": roundtrip_python_datasource,
     "read_python_datasource_timetravel": read_python_datasource_timetravel,
     "read_python_datasource_changes": read_python_datasource_changes,
+    "read_python_datasource_compacted": read_python_datasource_compacted,
 }
 
 ORACLES = {
@@ -885,5 +1067,18 @@ FROM (SELECT a.v AS lo, b.v AS hi
 LEFT JOIN documents
   ON doc_id % {_TT_VERSIONS} > p.lo AND doc_id % {_TT_VERSIONS} <= p.hi
 GROUP BY p.lo, p.hi
+""",
+    # surviving snapshots only (v >= the compaction point): cumulative
+    # slices exactly as the time-travel oracle — compaction must not
+    # change WHAT a surviving snapshot sees, only how many files serve
+    # it
+    "read_python_datasource_compacted": f"""
+SELECT t.v AS version,
+       CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
+FROM (SELECT unnest(range({_CP_UPTO}, {_CP_VERSIONS})) AS v) t
+LEFT JOIN documents ON doc_id % {_CP_VERSIONS} <= t.v
+GROUP BY t.v
 """,
 }

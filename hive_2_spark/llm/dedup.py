@@ -841,6 +841,140 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Batch-2 id offsets for the index-MAINTENANCE face. Batch-1 NOVEL ids
+# live in [40M, 60M) — the gibberish class plus any near-class doc too
+# short to clear the Jaccard bar — so the derived classes get 100M-wide
+# disjoint bands (exact/near add to the novel id; fresh/old add to the
+# original corpus doc_id).
+_B2_EXACT = 100_000_000   # batch-1 novel docs re-arriving verbatim
+_B2_NEAR = 200_000_000    # batch-1 novel docs with a one-word edit
+_B2_FRESH = 300_000_000   # genuinely new gibberish (disjoint salts)
+_B2_OLD = 400_000_000     # exact copies of ORIGINAL corpus docs
+
+
+def _batch2(novel1: DataFrame, docs: DataFrame) -> DataFrame:
+    """Deterministic SECOND incoming batch for the maintenance face,
+    derived from batch 1's classification: every batch-1 NOVEL doc
+    re-arrives verbatim (must now classify ``exact`` — only possible if
+    maintenance folded it into the index) and again with one appended
+    word (the near path through the maintained index); every corpus doc
+    with ``doc_id % 7 == 3`` is replaced by md5 gibberish on salts
+    disjoint from batch 1's (guaranteed novel); ``% 7 == 4`` docs
+    re-arrive verbatim (the ORIGINAL index entries must still answer).
+    """
+    b2_exact = novel1.select(
+        (F.col("doc_id") + _B2_EXACT).alias("new_id"), "text"
+    )
+    b2_near = novel1.select(
+        (F.col("doc_id") + _B2_NEAR).alias("new_id"),
+        F.concat(F.col("text"), F.lit(" freshtail")).alias("text"),
+    )
+    b2_fresh = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + _B2_FRESH).alias("new_id"),
+        F.concat(
+            F.lit("fresh "),
+            F.md5(F.concat(F.col("text"), F.lit("a"))), F.lit(" "),
+            F.md5(F.concat(F.col("text"), F.lit("b"))), F.lit(" "),
+            F.md5(F.concat(F.col("text"), F.lit("c"))), F.lit(" "),
+            F.md5(F.concat(F.col("text"), F.lit("d"))), F.lit(" "),
+            F.md5(F.concat(F.col("text"), F.lit("e"))),
+        ).alias("text"),
+    )
+    b2_old = docs.filter(F.col("doc_id") % 7 == 4).select(
+        (F.col("doc_id") + _B2_OLD).alias("new_id"), "text"
+    )
+    return (
+        b2_exact.unionByName(b2_near)
+        .unionByName(b2_fresh)
+        .unionByName(b2_old)
+    )
+
+
+def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted dedup-index MAINTENANCE — the step that makes the
+    incremental shape actually continuous (verdict-r13 item 2): after
+    classifying a batch against the bucketed index
+    (:func:`dedup_incremental_indexed`), the batch's NOVEL docs are
+    folded INTO the persisted fp/band/words tables with append-only
+    bucketed writes, so the next batch classifies against
+    corpus + history without EVER rebuilding the corpus index.
+
+    Flow (all one deterministic run): (1) build the corpus index as
+    bucketed managed tables (the starting state — at 100 TB this
+    happened once, long ago); (2) classify batch 1 (the
+    :func:`dedup_incremental` fixture batch); (3) append batch 1's
+    novel docs' fingerprints/bands/words into the three index tables —
+    ``mode("append")`` with the SAME bucket spec, so each append writes
+    only delta-sized files into the existing hash layout and the corpus
+    index is never read, rewritten, or re-shuffled; (4) classify
+    batch 2 — which contains verbatim and near copies of batch 1's
+    novels — against the MAINTAINED index. Output: batch 2's
+    (new_id, verdict, match_id).
+
+    Correctness contract: the maintained index is row-identical to a
+    rebuild over corpus + novels, because each appended frame is
+    disjoint from the corpus side by construction — a novel doc's fp is
+    absent from ``idx_exact`` (else it would have classified exact),
+    and bands/words rows are keyed by the novel doc's own id. The
+    DuckDB oracle replays batch 2 against the REBUILT corpus+novels
+    state, so the hash match IS the maintained==rebuilt proof
+    (tests/test_round14_newops.py additionally diffs maintained vs
+    rebuilt vs unmaintained classifications in-process).
+
+    Scale: step 3's exchanges are delta-sized (the novel docs only);
+    the corpus index stays where it is. The oracle-side rebuild is the
+    thing this operator exists to avoid.
+    """
+    from hive_2_spark.core.metastore import (
+        DB,
+        _clear_orphaned_location,
+        ensure_database,
+    )
+
+    ensure_database(spark)
+    ex_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    specs = [("idxm_exact", ["fp"]), ("idxm_bands", ["band_idx", "band_key"]),
+             ("idxm_words", ["ex_id"])]
+    # (1) starting state: corpus index as bucketed tables
+    for (name, keys), df in zip(specs, corpus_index_frames(ex_docs)):
+        _clear_orphaned_location(spark, name, DB)
+        (
+            df.write.bucketBy(_IDX_BUCKETS, *keys)
+            .sortBy(*keys)
+            .mode("overwrite")
+            .saveAsTable(f"{DB}.{name}")
+        )
+    idx = lambda: [  # noqa: E731 — re-read AFTER the appends land
+        spark.table(f"{DB}.idxm_exact"),
+        spark.table(f"{DB}.idxm_bands"),
+        spark.table(f"{DB}.idxm_words"),
+    ]
+    # (2) classify batch 1 against the index
+    nb1 = _new_batch(spark, sf_dir).select("new_id", "text")
+    verdicts1 = _classify_with_index(*idx(), nb1)
+    # localCheckpoint PINS the batch-1 novel set before the appends:
+    # novel1's lineage reads the idx tables, so a lazy re-evaluation in
+    # step 4 would see the maintained state, reclassify the novels as
+    # exact, and silently hand batch 2 an empty novel set.
+    novel1 = (
+        verdicts1.filter(F.col("verdict") == "novel")
+        .select("new_id")
+        .join(nb1, "new_id")
+        .select(F.col("new_id").alias("doc_id"), "text")
+    ).localCheckpoint()
+    # (3) fold the novels into the index — append-only, delta-sized
+    for (name, keys), df in zip(specs, corpus_index_frames(novel1)):
+        (
+            df.write.bucketBy(_IDX_BUCKETS, *keys)
+            .sortBy(*keys)
+            .mode("append")
+            .saveAsTable(f"{DB}.{name}")
+        )
+    # (4) classify batch 2 against the MAINTAINED index
+    nb2 = _batch2(novel1, ex_docs)
+    return _classify_with_index(*idx(), nb2)
+
+
 _HZ = 50          # dedup horizon in ingest-seq units
 _HZ_SPACING = 10  # seq distance between consecutive base docs
 
@@ -1220,6 +1354,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,  # oracle-checked (portable md5 hashes)
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_indexed": dedup_incremental_indexed,
+    "dedup_index_maintain": dedup_index_maintain,
     "dedup_time_horizon": dedup_time_horizon,
     "dedup_containment": dedup_containment,
     "dedup_substring_windows": dedup_substring_windows,
@@ -1298,6 +1433,85 @@ _DK_INCREMENTAL = (
     "WHEN near_id IS NOT NULL THEN 'near' ELSE 'novel' END AS verdict, "
     "CAST(COALESCE(exact_id, near_id) AS BIGINT) AS match_id "
     "FROM we LEFT JOIN nearm ON we.new_id = nearm.new_id"
+)
+
+
+def _dk_classify_ctes(p: str, ex: str, nb: str) -> str:
+    """CTE chain classifying ``nb`` (new_id, norm) against ``ex``
+    (doc_id, norm) — the SQL twin of ``_classify_with_index``, name-
+    prefixed with ``p`` so the maintenance oracle can instantiate it
+    twice (batch 1 vs corpus, batch 2 vs corpus+novels) in one query.
+    Produces ``{p}verdicts`` (new_id, verdict, match_id)."""
+    return (
+        f"{p}em AS (SELECT md5(norm) AS fp, MIN(doc_id) AS exact_id "
+        f"FROM {ex} GROUP BY 1), "
+        f"{p}we AS (SELECT {nb}.new_id, {p}em.exact_id FROM {nb} "
+        f"LEFT JOIN {p}em ON md5({nb}.norm) = {p}em.fp), "
+        f"{p}exs AS ({_dk_sig8(ex, 'doc_id')}), "
+        f"{p}nbs AS ({_dk_sig8(nb, 'new_id')}), "
+        f"{p}exb AS ({_dk_bands(p + 'exs', 'doc_id')}), "
+        f"{p}nbb AS ({_dk_bands(p + 'nbs', 'new_id')}), "
+        f"{p}cand AS (SELECT DISTINCT n.new_id, e.doc_id AS ex_id "
+        f"FROM {p}nbb n JOIN {p}exb e USING (band_idx, band_key)), "
+        f"{p}exw AS (SELECT doc_id AS ex_id, "
+        f"list_distinct(string_split(norm, ' ')) AS ew FROM {ex}), "
+        f"{p}nbw AS (SELECT new_id, "
+        f"list_distinct(string_split(norm, ' ')) AS nw FROM {nb}), "
+        f"{p}nearm AS (SELECT c.new_id, MIN(c.ex_id) AS near_id "
+        f"FROM {p}cand c JOIN {p}nbw USING (new_id) "
+        f"JOIN {p}exw USING (ex_id) "
+        "WHERE CAST(len(list_intersect(nw, ew)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(nw, ew))) >= 0.8 "
+        f"GROUP BY c.new_id), "
+        f"{p}verdicts AS (SELECT w.new_id, "
+        "CASE WHEN exact_id IS NOT NULL THEN 'exact' "
+        "WHEN near_id IS NOT NULL THEN 'near' ELSE 'novel' END AS "
+        "verdict, CAST(COALESCE(exact_id, near_id) AS BIGINT) AS "
+        f"match_id FROM {p}we w LEFT JOIN {p}nearm "
+        f"ON w.new_id = {p}nearm.new_id)"
+    )
+
+
+# Maintenance oracle: replay batch 2 against the REBUILT corpus+novels
+# state — hash equality with the Spark run (which classifies against
+# the APPENDED index) is the maintained==rebuilt proof.
+_DK_MAINTAIN = (
+    "WITH nb1_0 AS ("
+    "SELECT doc_id + 30000000 AS new_id, text FROM documents "
+    "WHERE doc_id % 7 = 0 "
+    "UNION ALL SELECT doc_id + 40000000, "
+    "text || ' appended extra tokens here' FROM documents "
+    "WHERE doc_id % 7 = 1 "
+    "UNION ALL SELECT doc_id + 50000000, "
+    "'novel ' || md5(text) || ' ' || md5(text || 'x') || ' ' || "
+    "md5(text || 'y') || ' ' || md5(text || 'z') || ' ' || "
+    "md5(text || 'w') FROM documents WHERE doc_id % 7 = 2), "
+    f"ex1 AS (SELECT doc_id, {_DK_NORM.format(c='text')} AS norm "
+    "FROM documents), "
+    f"nb1 AS (SELECT new_id, {_DK_NORM.format(c='text')} AS norm "
+    "FROM nb1_0), "
+    + _dk_classify_ctes("m1", "ex1", "nb1")
+    + ", novel1 AS (SELECT n.new_id, n.text FROM nb1_0 n "
+    "JOIN m1verdicts v ON n.new_id = v.new_id "
+    "WHERE v.verdict = 'novel'), "
+    "nb2_0 AS ("
+    "SELECT new_id + 100000000 AS new_id, text FROM novel1 "
+    "UNION ALL SELECT new_id + 200000000, text || ' freshtail' "
+    "FROM novel1 "
+    "UNION ALL SELECT doc_id + 300000000, "
+    "'fresh ' || md5(text || 'a') || ' ' || md5(text || 'b') || ' ' || "
+    "md5(text || 'c') || ' ' || md5(text || 'd') || ' ' || "
+    "md5(text || 'e') FROM documents WHERE doc_id % 7 = 3 "
+    "UNION ALL SELECT doc_id + 400000000, text FROM documents "
+    "WHERE doc_id % 7 = 4), "
+    "ex2_0 AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT new_id, text FROM novel1), "
+    f"ex2 AS (SELECT doc_id, {_DK_NORM.format(c='text')} AS norm "
+    "FROM ex2_0), "
+    f"nb2 AS (SELECT new_id, {_DK_NORM.format(c='text')} AS norm "
+    "FROM nb2_0), "
+    + _dk_classify_ctes("m2", "ex2", "nb2")
+    + " SELECT new_id, verdict, match_id FROM m2verdicts"
 )
 
 
@@ -1444,6 +1658,7 @@ ORACLES = {
     # identical semantics — the bucketed index changes WHERE the corpus
     # state lives, never the verdicts, so the oracle is shared verbatim
     "dedup_incremental_indexed": _DK_INCREMENTAL,
+    "dedup_index_maintain": _DK_MAINTAIN,
     "dedup_token_sort": (
         "SELECT md5(array_to_string(list_sort(string_split("
         f"{_DK_NORM.format(c='text')}, ' ')), ' ')) AS fp, "

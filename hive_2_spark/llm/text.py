@@ -355,6 +355,117 @@ def token_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = 10  # learned merge-table depth (fixed unroll, both engines)
+
+# the shared corpus normalizer (lower, strip non-alnum, collapse runs)
+_BPE_NORM = lambda c: F.trim(  # noqa: E731 — mirrors llm.dedup._NORM
+    F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "
+    )
+)
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-pair learning (Sennrich ACL'16) — the tokenizer-
+    TRAINING primitive the text family was missing beside its apply
+    faces (chunking, packing, OOV, vocab audits): ``_BPE_MERGES``
+    greedy rounds of {census adjacent symbol pairs over the word-
+    frequency vocabulary, merge the argmax pair}, yielding the ordered
+    merge table a byte-pair tokenizer is.
+
+    Symbol state is a DOUBLE-SPACED string (``'  h  e  y  '``): one
+    ``replace(' a  b ', ' ab ')`` per round then performs the textbook
+    leftmost non-overlapping merge sweep — the two-space separator
+    leaves a spare delimiter on each side, so back-to-back pair
+    occurrences all merge in one pass while overlapping ones
+    ('a a a' under (a,a)) correctly merge left-first. Spark `replace`,
+    DuckDB `replace`, and Python ``str.replace`` share these exact
+    semantics (pinned by the pure-Python replay gate). Argmax
+    tie-break: pair-count desc, then the ``'a b'`` pair string asc —
+    symbols are ``[a-z0-9]+`` so the space separator (0x20, below all
+    alphanumerics) makes string order equal (left, right) tuple order
+    on both engines.
+
+    Scale: the corpus is touched ONCE (the word-frequency census —
+    the same exchange every text op pays); all ``k`` merge rounds run
+    over the localCheckpoint'd VOCABULARY (distinct words), orders of
+    magnitude smaller, with map-side partial aggs on the pair census.
+    Each round's winner is a 1-row bounded collect — the merge table
+    is driver-sized by definition (it IS the learned artifact), the
+    markov/kmeans scalar-seed discipline. The oracle replays the
+    identical unroll in nested CTEs with scalar-subquery winners.
+
+    Output: (merge_round, left_sym, right_sym, merged, pair_count).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(_BPE_NORM(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            F.concat(
+                F.lit("  "),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("word")),
+                        lambda i: F.substring(F.col("word"), i, F.lit(1)),
+                    ),
+                    "  ",
+                ),
+                F.lit("  "),
+            ).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    cur = vocab
+    for r in range(1, _BPE_MERGES + 1):
+        syms = F.split(F.trim(F.col("s")), "  ")
+        pairs = (
+            cur.select("freq", syms.alias("sy"))
+            .filter(F.size("sy") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("sy") - 1),
+                        lambda i: F.concat(
+                            F.element_at("sy", i),
+                            F.lit(" "),
+                            F.element_at("sy", i + 1),
+                        ),
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        win = pairs.orderBy(
+            F.col("cnt").desc(), F.col("pair").asc()
+        ).limit(1).collect()
+        if not win:
+            break  # vocabulary exhausted (every word one symbol)
+        pair, cnt = win[0]["pair"], win[0]["cnt"]
+        a, b = pair.split(" ")
+        merges.append((r, a, b, a + b, cnt))
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f" {a}  {b} "),
+                F.lit(f" {a}{b} "),
+            ).alias("s"),
+            "freq",
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_round bigint, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
 _LANGID_TOP_K = 15  # profile size per language (Cavnar-Trenkle K)
 
 
@@ -436,6 +547,7 @@ def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_stats": text_stats,
+    "text_bpe_merges": text_bpe_merges,
     "text_langid_profile": text_langid_profile,
     "token_count": token_count,
     "quality_score": quality_score,
@@ -474,7 +586,59 @@ def _dk_argmax_lang() -> str:
 
 _DK_BEST, _DK_BEST_SCORE = _dk_argmax_lang()
 
+_DK_BPE_NORM = (
+    "TRIM(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', "
+    "'', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+def _dk_bpe_oracle() -> str:
+    """Fixed-unroll replay of the ``_BPE_MERGES`` greedy rounds: each
+    round's winner is a scalar subquery over the previous state's pair
+    census; the replace literal is identical to the Spark side's."""
+    # AS MATERIALIZED is load-bearing: v{r-1} is referenced twice per
+    # round (pair census + replace), so inlined CTEs would double the
+    # scan tree each round — 2^k opens of the parquet by round k
+    parts = [
+        "WITH v0 AS MATERIALIZED (SELECT '  ' || array_to_string(list_transform("
+        "range(1, len(word) + 1), i -> substr(word, i, 1)), '  ') || "
+        "'  ' AS s, CAST(COUNT(*) AS BIGINT) AS freq FROM "
+        f"(SELECT unnest(string_split({_DK_BPE_NORM}, ' ')) AS word "
+        "FROM documents) WHERE word <> '' GROUP BY 1)"
+    ]
+    for r in range(1, _BPE_MERGES + 1):
+        prev = f"v{r - 1}"
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT pair, SUM(freq) AS cnt FROM "
+            "(SELECT freq, unnest(list_transform(range(1, len(sy)), "
+            "i -> sy[i] || ' ' || sy[i + 1])) AS pair FROM "
+            f"(SELECT freq, string_split(trim(s), '  ') AS sy "
+            f"FROM {prev}) WHERE len(sy) >= 2) GROUP BY pair)"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT pair, cnt FROM p{r} "
+            "ORDER BY cnt DESC, pair ASC LIMIT 1)"
+        )
+        parts.append(
+            f"v{r} AS MATERIALIZED (SELECT replace(s, "
+            f"' ' || replace((SELECT pair FROM w{r}), ' ', '  ') || ' ', "
+            f"' ' || replace((SELECT pair FROM w{r}), ' ', '') || ' ') "
+            f"AS s, freq FROM {prev})"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, "
+        "string_split(pair, ' ')[1] AS left_sym, "
+        "string_split(pair, ' ')[2] AS right_sym, "
+        "replace(pair, ' ', '') AS merged, "
+        "CAST(cnt AS BIGINT) AS pair_count "
+        f"FROM w{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    )
+    return ", ".join(parts) + " " + rows
+
+
 ORACLES = {
+    "text_bpe_merges": _dk_bpe_oracle(),
     # bigrams: DuckDB lists are 1-based (t[i] || ' ' || t[i+1] over
     # i in range(1, len) — end-exclusive) = Spark's 0-based
     # t[i-1]||' '||t[i] over sequence(1, size-1); all-integer scoring

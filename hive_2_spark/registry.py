@@ -71,42 +71,43 @@ _MODULES: list[str] = [
     "hive_2_spark.core.joins",
 ]
 
-# Round-13 rotation (executes the plan recorded in NOTES.md at the end
-# of round 12, computed mechanically from the union of genuine driver
-# windows r1-r6, r9-r12 — the r7/r8 artifacts were byte-copies of r6).
+# Round-14 rotation (executes the plan recorded in NOTES.md at the end
+# of round 13, computed mechanically from the union of genuine driver
+# windows r1-r6, r9-r13 — the r7/r8 artifacts were byte-copies of r6).
 # Keys 1-50 are the driver window:
-# (a) any new round-13 operators — never driver-checked, always first;
-# (b) ALL 32 keys whose latest genuine driver hash-check is r4 (the
-#     mechanical recompute from CORRECTNESS_r{01..12}.json matches the
-#     NOTES.md name list exactly);
-# (c) the front of the r5-stale tier in registry order — the
-#     DISPLACEABLE tail: new round-13 operators push these out.
+# (a) any new round-14 operators — never driver-checked, always first;
+# (b) ALL 30 keys whose latest genuine driver hash-check is r5 (the
+#     mechanical recompute from CORRECTNESS_r{01..13}.json — one more
+#     than the NOTES.md name list, which missed emb_pca_power; the
+#     artifacts win);
+# (c) the front of the r6-stale tier in registry order — the
+#     DISPLACEABLE tail: new round-14 operators push these out.
 # Exactly 50 — asserted below so rotation accounting can't drift.
 _FRONT: list[str] = [
-    # --- (a) round-13 additions land HERE as they ship, each
+    # --- (a) round-14 additions land HERE as they ship, each
     #     displacing one key from the (c) tail ---
-    "ts_holtwinters", "graph_kcore", "event_pattern_alternation",
-    "graph_hits", "agg_winsorized_stats",
-    "curation_split_by_family", "graph_pagerank_personalized",
-    "ts_anomaly_iqr",
-    # --- (b) the 32 r4-era keys, registry order ---
-    "cluster_mix_report",
-    "udf_scalar", "udf_pandas_scalar", "udf_grouped_agg",
-    "udf_grouped_map", "udf_sql_registered", "udf_table",
-    "roundtrip_csv", "roundtrip_json", "roundtrip_orc",
-    "partitioned_write_read", "read_binaryfile",
-    "read_python_datasource",
-    "ts_resample", "ts_interpolate", "ts_ewma", "ts_anomaly_zscore",
-    "ts_trend", "ts_rollup_cascade", "ts_forecast_linear",
-    "cdc_changes", "scd2_dimension", "graph_pagerank", "agg_argmax",
-    "win_median_rolling", "stream_cluster_monitor",
-    "dedup_incremental", "dedup_containment",
-    "dedup_substring_windows",
-    "event_transitions", "event_attribution", "event_cohort_ltv",
-    # --- (c) r5-stale tier front, registry order (displaceable) ---
-    "token_oov_rate", "sim_ivf_topk", "fn_lambda", "fn_variant",
-    "fn_binary", "fn_url", "fn_explode_outer", "fn_from_json",
-    "dedup_clusters_semantic", "dedup_url_canonical",
+    "dedup_index_maintain", "read_python_datasource_compacted",
+    "text_bpe_merges",
+    # --- (b) the 30 r5-era keys, registry order ---
+    "emb_pca_power", "emb_whiten", "pivot_wide", "unpivot_long",
+    "pivot_dynamic", "join_salted", "agg_salted", "zorder_layout",
+    "compact_small_files", "agg_histogram", "mv_join_incremental",
+    "profile_orders", "profile_documents",
+    "set_union_by_name", "set_union_all", "set_intersect",
+    "set_except", "set_intersect_all",
+    "agg_bitmap_distinct", "agg_incremental_merge",
+    "agg_weighted_median", "agg_weighted_quartiles",
+    "win_ntile", "win_distinct_rolling", "win_global_cumsum",
+    "win_global_rank",
+    "stream_doc_gate", "dedup_token_sort", "sim_cosine_lsh",
+    "event_rfm",
+    # --- (c) r6-stale tier front, registry order (displaceable) ---
+    "fingerprint_rolling", "token_pack_salted", "retrieval_ndcg",
+    "retrieval_rrf_fusion", "phrase_search_positional", "sim_pq_topk",
+    "media_scene_cut", "skew_report", "ts_drift_report",
+    "ts_downsample_lttb", "ts_crosscorr", "ts_changepoint",
+    "ts_holt", "ts_anomaly_mad", "ts_seasonal_decompose", "ts_acf",
+    "basket_pair_lift",
 ]
 assert len(_FRONT) == 50, f"driver window must be exactly 50, got {len(_FRONT)}"
 assert len(_FRONT) == len(set(_FRONT)), (

@@ -202,10 +202,13 @@ KEYS = [
     "curation_split_by_family",
     "graph_pagerank_personalized",
     "ts_anomaly_iqr",
-    # read_python_datasource_timetravel / _changes excluded: one row
-    # per log version / version pair (all-zero on an empty corpus) is
-    # their correct output — the same REPORT-shape exclusion as
-    # curation_funnel
+    # round-14 additions
+    "dedup_index_maintain",
+    "text_bpe_merges",
+    # read_python_datasource_timetravel / _changes / _compacted
+    # excluded: one row per log version / version pair (all-zero on an
+    # empty corpus) is their correct output — the same REPORT-shape
+    # exclusion as curation_funnel
 ]
 
 

@@ -1,8 +1,8 @@
 """The driver's per-round correctness window is the FIRST 50 registry
-keys. Freeze the intended round-13 window so adding keys to a front
+keys. Freeze the intended round-14 window so adding keys to a front
 module (or reordering _MODULES/_FRONT) cannot silently displace the
 keys it must re-verify. New keys belong at the TOP of the window while
-the round is open (displacing one key from the r5 filler tail); after
+the round is open (displacing one key from the r6 filler tail); after
 the round's CORRECTNESS lands, rotate deliberately."""
 
 from __future__ import annotations
@@ -12,52 +12,49 @@ from pathlib import Path
 
 from hive_2_spark import registry
 
-# Round-13 window (the NOTES.md plan recorded at the end of round 12):
-# (a) new round-13 operators — never driver-checked, inserted at the
+# Round-14 window (the NOTES.md plan recorded at the end of round 13):
+# (a) new round-14 operators — never driver-checked, inserted at the
 #     top as they land; (b) ALL keys whose latest genuine driver
-#     hash-check is r4 (mechanically recomputed from the union of
-#     genuine windows r1-r6, r9-r12 — 32 keys, matching the NOTES
-#     name list exactly); (c) the r5-stale tier front in registry
-#     order as the displaceable tail.
-_ROUND13_NEW: list[str] = [
-    "ts_holtwinters",
-    "graph_kcore",
-    "event_pattern_alternation",
-    "graph_hits",
-    "agg_winsorized_stats",
-    "curation_split_by_family",
-    "graph_pagerank_personalized",
-    "ts_anomaly_iqr",
+#     hash-check is r5 (mechanically recomputed from the union of
+#     genuine windows r1-r6, r9-r13 — 30 keys: one more than the
+#     NOTES name list, which missed emb_pca_power; artifacts win);
+# (c) the r6-stale tier front in registry order as the displaceable
+#     tail.
+_ROUND14_NEW: list[str] = [
+    "dedup_index_maintain",
+    "read_python_datasource_compacted",
+    "text_bpe_merges",
 ]
 
-_R4_TIER = [
-    "cluster_mix_report",
-    "udf_scalar", "udf_pandas_scalar", "udf_grouped_agg",
-    "udf_grouped_map", "udf_sql_registered", "udf_table",
-    "roundtrip_csv", "roundtrip_json", "roundtrip_orc",
-    "partitioned_write_read", "read_binaryfile",
-    "read_python_datasource",
-    "ts_resample", "ts_interpolate", "ts_ewma", "ts_anomaly_zscore",
-    "ts_trend", "ts_rollup_cascade", "ts_forecast_linear",
-    "cdc_changes", "scd2_dimension", "graph_pagerank", "agg_argmax",
-    "win_median_rolling", "stream_cluster_monitor",
-    "dedup_incremental", "dedup_containment",
-    "dedup_substring_windows",
-    "event_transitions", "event_attribution", "event_cohort_ltv",
-]
-
-_R5_FILL = [
-    "token_oov_rate", "sim_ivf_topk", "fn_lambda", "fn_variant",
-    "fn_binary", "fn_url", "fn_explode_outer", "fn_from_json",
-    "dedup_clusters_semantic", "dedup_url_canonical",
+_R5_TIER = [
     "emb_pca_power", "emb_whiten", "pivot_wide", "unpivot_long",
     "pivot_dynamic", "join_salted", "agg_salted", "zorder_layout",
+    "compact_small_files", "agg_histogram", "mv_join_incremental",
+    "profile_orders", "profile_documents",
+    "set_union_by_name", "set_union_all", "set_intersect",
+    "set_except", "set_intersect_all",
+    "agg_bitmap_distinct", "agg_incremental_merge",
+    "agg_weighted_median", "agg_weighted_quartiles",
+    "win_ntile", "win_distinct_rolling", "win_global_cumsum",
+    "win_global_rank",
+    "stream_doc_gate", "dedup_token_sort", "sim_cosine_lsh",
+    "event_rfm",
+]
+
+_R6_FILL = [
+    "fingerprint_rolling", "token_pack_salted", "retrieval_ndcg",
+    "retrieval_rrf_fusion", "phrase_search_positional", "sim_pq_topk",
+    "media_scene_cut", "skew_report", "ts_drift_report",
+    "ts_downsample_lttb", "ts_crosscorr", "ts_changepoint",
+    "ts_holt", "ts_anomaly_mad", "ts_seasonal_decompose", "ts_acf",
+    "basket_pair_lift", "agg_hll_portable", "agg_gini",
+    "agg_quantile_shard_merge",
 ]
 
 
 def _window() -> list[str]:
-    keep = 50 - len(_ROUND13_NEW) - len(_R4_TIER)
-    return _ROUND13_NEW + _R4_TIER + _R5_FILL[:keep]
+    keep = 50 - len(_ROUND14_NEW) - len(_R5_TIER)
+    return _ROUND14_NEW + _R5_TIER + _R6_FILL[:keep]
 
 
 def test_window_is_exactly_50():
@@ -65,39 +62,39 @@ def test_window_is_exactly_50():
 
 
 def test_new_operators_never_displace_stale_tiers():
-    """New round-13 keys may only displace the r5 filler tail — the
-    r4 tier must stay in whole."""
-    assert len(_ROUND13_NEW) <= len(_R5_FILL), (
+    """New round-14 keys may only displace the r6 filler tail — the
+    r5 tier must stay in whole."""
+    assert len(_ROUND14_NEW) <= len(_R6_FILL), (
         "too many new keys for the displaceable tail — rotate "
         "deliberately instead"
     )
 
 
-def test_first_50_keys_are_the_round13_window():
+def test_first_50_keys_are_the_round14_window():
     window = list(registry.all_queries())[:50]
     assert window == _window()
 
 
 def test_rotation_slots_not_wasted_on_fresh_keys():
     """Every rotation slot must be spent on a key the driver did NOT
-    hash in its round-12 window (the freshest genuine artifact) — a
+    hash in its round-13 window (the freshest genuine artifact) — a
     slot on a just-checked key is a wasted slot."""
     repo = Path(__file__).resolve().parent.parent
-    r12 = repo / "CORRECTNESS_r12.json"
-    if not r12.exists():  # bare checkout without round artifacts
+    r13 = repo / "CORRECTNESS_r13.json"
+    if not r13.exists():  # bare checkout without round artifacts
         return
-    fresh12 = set(json.loads(r12.read_text()))
-    wasted = [k for k in _window() if k in fresh12]
+    fresh13 = set(json.loads(r13.read_text()))
+    wasted = [k for k in _window() if k in fresh13]
     assert wasted == [], wasted
 
 
-def test_rotation_covers_every_never_checked_and_r4_era_key():
-    """The NOTES.md round-13 plan: every key never hashed by any
+def test_rotation_covers_every_never_checked_and_r5_era_key():
+    """The NOTES.md round-14 plan: every key never hashed by any
     genuine driver window, and every key whose latest genuine check
-    is r4 (union of r1-r6, r9-r12 artifacts; r7/r8 were byte-copies
+    is r5 (union of r1-r6, r9-r13 artifacts; r7/r8 were byte-copies
     of r6) must be in this window — none skipped."""
     repo = Path(__file__).resolve().parent.parent
-    rounds = (1, 2, 3, 4, 5, 6, 9, 10, 11, 12)
+    rounds = (1, 2, 3, 4, 5, 6, 9, 10, 11, 12, 13)
     arts = [repo / f"CORRECTNESS_r{n:02d}.json" for n in rounds]
     if not all(p.exists() for p in arts):
         return
@@ -107,10 +104,10 @@ def test_rotation_covers_every_never_checked_and_r4_era_key():
             latest[k] = n
     window = set(_window())
     queries = registry.all_queries()
-    never = {k for k in queries if k not in latest and k not in _ROUND13_NEW}
+    never = {k for k in queries if k not in latest and k not in _ROUND14_NEW}
     assert never <= window, sorted(never - window)
-    stale4 = {k for k in queries if latest.get(k, 99) == 4}
-    assert stale4 <= window, sorted(stale4 - window)
+    stale5 = {k for k in queries if latest.get(k, 99) == 5}
+    assert stale5 <= window, sorted(stale5 - window)
 
 
 def test_rows_only_keys_are_deliberate():

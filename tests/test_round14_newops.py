@@ -1,0 +1,285 @@
+"""Planted-truth gates for the round-14 operators, starting with the
+persisted dedup-index maintenance face: maintained-vs-rebuilt-vs-
+unmaintained classification diffs and the planted batch-2 verdicts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _sorted_rows(df):
+    return sorted(
+        (r["new_id"], r["verdict"], r["match_id"]) for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def maintain_result(spark):
+    from hive_2_spark.llm.dedup import dedup_index_maintain
+
+    return _sorted_rows(dedup_index_maintain(spark, SF_DIR))
+
+
+def test_maintain_equals_rebuild(spark, maintain_result):
+    """The core contract: classifying batch 2 against the APPEND-
+    maintained index must be row-identical to classifying it against a
+    FULL REBUILD over corpus + batch-1 novels."""
+    from hive_2_spark.core.io import load_table
+    from hive_2_spark.llm.dedup import (
+        _batch2,
+        _new_batch,
+        classify_against_corpus,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    nb1 = _new_batch(spark, SF_DIR).select("new_id", "text")
+    v1 = classify_against_corpus(docs, nb1)
+    novel1 = (
+        v1.filter(F.col("verdict") == "novel")
+        .select("new_id")
+        .join(nb1, "new_id")
+        .select(F.col("new_id").alias("doc_id"), "text")
+    ).localCheckpoint()
+    rebuilt_corpus = docs.unionByName(novel1)
+    rebuilt = classify_against_corpus(
+        rebuilt_corpus, _batch2(novel1, docs)
+    )
+    assert maintain_result == _sorted_rows(rebuilt)
+
+
+def test_maintain_has_teeth_vs_unmaintained(spark, maintain_result):
+    """Classifying batch 2 against the UNmaintained (corpus-only)
+    state must DIFFER — the verbatim copies of batch-1 novels come
+    back 'novel' instead of 'exact', proving the appends are what the
+    key actually exercises."""
+    from hive_2_spark.core.io import load_table
+    from hive_2_spark.llm.dedup import (
+        _B2_EXACT,
+        _batch2,
+        _new_batch,
+        classify_against_corpus,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    nb1 = _new_batch(spark, SF_DIR).select("new_id", "text")
+    v1 = classify_against_corpus(docs, nb1)
+    novel1 = (
+        v1.filter(F.col("verdict") == "novel")
+        .select("new_id")
+        .join(nb1, "new_id")
+        .select(F.col("new_id").alias("doc_id"), "text")
+    ).localCheckpoint()
+    stale = _sorted_rows(
+        classify_against_corpus(docs, _batch2(novel1, docs))
+    )
+    assert stale != maintain_result
+    lo, hi = _B2_EXACT, _B2_EXACT + 100_000_000
+    stale_verdicts = {i: v for i, v, _ in stale if lo <= i < hi}
+    assert stale_verdicts and set(stale_verdicts.values()) == {"novel"}
+
+
+def test_maintain_planted_verdicts(maintain_result):
+    """Batch-2 classes carry planted truth: verbatim batch-1 novels
+    are 'exact' matching their batch-1 id (maintenance worked and the
+    novel set was pinned before the appends — an empty pin would leave
+    this class empty); disjoint-salt gibberish is 'novel' with no
+    match; verbatim original-corpus docs are 'exact' against an
+    ORIGINAL index entry (appends did not disturb the corpus side)."""
+    from hive_2_spark.llm.dedup import (
+        _B2_EXACT,
+        _B2_FRESH,
+        _B2_NEAR,
+        _B2_OLD,
+    )
+
+    by_class: dict[int, list] = {
+        _B2_EXACT: [], _B2_NEAR: [], _B2_FRESH: [], _B2_OLD: [],
+    }
+    for new_id, verdict, match_id in maintain_result:
+        for base in by_class:
+            if base <= new_id < base + 100_000_000:
+                by_class[base].append((new_id, verdict, match_id))
+    assert all(by_class.values()), {
+        k: len(v) for k, v in by_class.items()
+    }
+    for new_id, verdict, match_id in by_class[_B2_EXACT]:
+        assert verdict == "exact"
+        # min matching doc — the batch-1 novel itself unless two novel
+        # docs shared text (then the smaller novel id)
+        assert 40_000_000 <= match_id <= new_id - _B2_EXACT
+    for new_id, verdict, match_id in by_class[_B2_FRESH]:
+        assert verdict == "novel" and match_id is None
+    for new_id, verdict, match_id in by_class[_B2_OLD]:
+        assert verdict == "exact" and match_id < 10_000_000
+
+
+# ---------------------------------------------------------------------------
+# Versioned-sink log compaction + retention (OPTIMIZE/VACUUM face)
+
+
+@pytest.fixture()
+def versioned_log(spark, tmp_path):
+    """A fresh 4-version sink log over a tiny deterministic frame."""
+    from hive_2_spark.core.pysource import _SINK_FORMAT, _register_sink
+
+    _register_sink(spark)
+    target = str(tmp_path / "log")
+    d = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7).alias("payload"),
+    )
+    for v in range(4):
+        (
+            d.filter(F.col("doc_id") % 4 == v)
+            .write.format(_SINK_FORMAT)
+            .option("path", target)
+            .option("version", str(v))
+            .mode("append")
+            .save()
+        )
+    return target
+
+
+def _snapshot_rows(spark, target, as_of):
+    from hive_2_spark.core.pysource import versioned_manifest_files
+
+    files = versioned_manifest_files(target, as_of=as_of)
+    schema = "doc_id bigint, payload bigint"
+    if not files:
+        return []
+    return sorted(
+        (r["doc_id"], r["payload"])
+        for r in spark.read.schema(schema).json(files).collect()
+    )
+
+
+def test_compaction_preserves_surviving_snapshots(spark, versioned_log):
+    """Snapshots at versions >= the compaction point must be
+    row-identical before and after compact_and_expire."""
+    from hive_2_spark.core.pysource import compact_and_expire
+
+    before = {v: _snapshot_rows(spark, versioned_log, v) for v in (2, 3)}
+    stats = compact_and_expire(versioned_log, 2)
+    assert stats["version"] == 2
+    assert stats["rows"] == 30  # versions 0-2 committed 30 of 40 rows
+    assert stats["manifests_expired"] == 2
+    after = {v: _snapshot_rows(spark, versioned_log, v) for v in (2, 3)}
+    assert before == after
+    assert _snapshot_rows(spark, versioned_log, None) == _snapshot_rows(
+        spark, versioned_log, 3
+    )
+
+
+def test_compaction_expired_versions_raise(versioned_log):
+    """Reads (and change feeds) below the checkpoint fail loudly."""
+    from hive_2_spark.core.pysource import (
+        compact_and_expire,
+        versioned_manifest_files,
+    )
+
+    compact_and_expire(versioned_log, 2)
+    for v in (0, 1):
+        with pytest.raises(ValueError, match="expired"):
+            versioned_manifest_files(versioned_log, as_of=v)
+    with pytest.raises(ValueError, match="compacted"):
+        versioned_manifest_files(versioned_log, as_of=3, since=1)
+    # diffs entirely above the checkpoint still answer
+    assert versioned_manifest_files(versioned_log, as_of=3, since=2)
+
+
+def test_compaction_gc_and_single_file_checkpoint(spark, versioned_log):
+    """After compaction: the checkpoint snapshot is served by exactly
+    ONE file, and no unreferenced committed data file remains."""
+    import os
+
+    from hive_2_spark.core.pysource import (
+        compact_and_expire,
+        versioned_manifest_files,
+    )
+
+    stats = compact_and_expire(versioned_log, 2)
+    assert stats["files_gc"] == stats["files_in"]
+    ckpt_files = versioned_manifest_files(versioned_log, as_of=2)
+    assert len(ckpt_files) == 1
+    on_disk = {
+        n for n in os.listdir(versioned_log) if n.endswith(".jsonl")
+    }
+    referenced = {
+        os.path.basename(p)
+        for p in versioned_manifest_files(versioned_log)
+    }
+    assert on_disk == referenced
+
+
+def test_compaction_lingering_manifest_cannot_double_count(
+    spark, versioned_log
+):
+    """Crash ordering: if expiry/GC never ran (a manifest below the
+    checkpoint lingers), the reader must IGNORE it — the checkpoint
+    replaces the prefix, so rows are not double-counted."""
+    import json
+    import os
+
+    from hive_2_spark.core.pysource import compact_and_expire
+
+    want = _snapshot_rows(spark, versioned_log, 3)
+    compact_and_expire(versioned_log, 2)
+    # resurrect a pre-compaction manifest naming a live data file
+    ghost_data = "ghost.jsonl"
+    with open(os.path.join(versioned_log, ghost_data), "w") as f:
+        f.write(json.dumps({"doc_id": 0, "payload": 0}) + "\n")
+    with open(os.path.join(versioned_log, "_MANIFEST-V0"), "w") as f:
+        json.dump({"files": [ghost_data], "rows": 1, "version": 0}, f)
+    assert _snapshot_rows(spark, versioned_log, 3) == want
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair learning
+
+
+def test_bpe_pure_python_replay(spark):
+    """Replay the greedy merge loop in pure Python from the raw
+    parquet — the third engine beside Spark and DuckDB: same word-
+    frequency vocabulary, same leftmost non-overlapping `str.replace`
+    sweep, same (count desc, pair-string asc) argmax."""
+    import duckdb
+
+    from hive_2_spark.llm.text import _BPE_MERGES, text_bpe_merges
+
+    con = duckdb.connect()
+    words = con.execute(
+        "SELECT word, CAST(COUNT(*) AS BIGINT) FROM ("
+        "SELECT unnest(string_split(TRIM(regexp_replace("
+        "regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
+        "'\\s+', ' ', 'g')), ' ')) AS word "
+        f"FROM '{SF_DIR}/documents.parquet') "
+        "WHERE word <> '' GROUP BY 1"
+    ).fetchall()
+    vocab = {"  " + "  ".join(w) + "  ": f for w, f in words}
+    expect = []
+    for r in range(1, _BPE_MERGES + 1):
+        counts: dict[str, int] = {}
+        for s, f in vocab.items():
+            sy = s.strip().split("  ")
+            for i in range(len(sy) - 1):
+                p = sy[i] + " " + sy[i + 1]
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        pair, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = pair.split(" ")
+        expect.append((r, a, b, a + b, cnt))
+        pat, rep = f" {a}  {b} ", f" {a}{b} "
+        nxt: dict[str, int] = {}
+        for s, f in vocab.items():
+            s2 = s.replace(pat, rep)
+            nxt[s2] = nxt.get(s2, 0) + f
+        vocab = nxt
+    got = sorted(tuple(r) for r in text_bpe_merges(spark, SF_DIR).collect())
+    assert got == sorted(expect)
+    assert len(got) == _BPE_MERGES
+    for _, a, b, merged, cnt in got:
+        assert merged == a + b and cnt > 0

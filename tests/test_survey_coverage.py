@@ -122,6 +122,9 @@ BRIEF_EXTRAS = [
     "graph_hits", "agg_winsorized_stats",
     "curation_split_by_family", "graph_pagerank_personalized",
     "ts_anomaly_iqr",
+    # round-14 additions (SURVEY §2B rows 131+)
+    "dedup_index_maintain", "read_python_datasource_compacted",
+    "text_bpe_merges",
 ]
 
 

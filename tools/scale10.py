@@ -209,6 +209,9 @@ _X100_KEYS = [
     "curation_split_by_family",
     "graph_pagerank_personalized",
     "ts_anomaly_iqr",
+    "dedup_index_maintain",
+    "read_python_datasource_compacted",
+    "text_bpe_merges",
 ]
 
 
