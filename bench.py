@@ -151,6 +151,9 @@ HEADLINE = [
     "dedup_index_maintain",            # append-only index fold, 2 batches
     "read_python_datasource_compacted",  # OPTIMIZE/VACUUM checkpoint log
     "text_bpe_merges",                 # 10 greedy merges over the vocab
+    "text_bpe_apply",                  # tokenize via the learned table
+    "graph_scc",                       # doubling closure, type-bounded
+    "event_time_to_convert",           # funnel latency, histogram ranks
 ]
 
 

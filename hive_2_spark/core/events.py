@@ -1122,7 +1122,153 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_type string, pi double")
 
 
+_TTC_EDGES = (  # funnel edges: (label, source type, destination type)
+    ("view->click", "t_view", "t_click"),
+    ("click->purchase", "t_click", "t_purchase"),
+    ("view->purchase", "t_view", "t_purchase"),
+)
+
+
+def event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles per funnel edge — the LATENCY face
+    of the funnel family (counts: `event_funnel`/`_windowed`; this:
+    how LONG conversion takes): per user, the gap between the FIRST
+    source event and the FIRST destination event (first-touch
+    attribution's timing twin), summarized as exact nearest-rank
+    p50/p90 + max seconds per edge.
+
+    Exactness without a global sort (the cent-histogram discipline on
+    the TIME domain): gaps quantize to integer seconds
+    (``DIV 1_000_000`` over epoch-micros — integer division, no float
+    boundary), the (edge, gap_s) HISTOGRAM aggregates with map-side
+    partials, and nearest-rank selection is the smallest gap whose
+    running count reaches ``ceil(q*n/100)`` (= ``(q*n+99) DIV 100``,
+    all-integer thresholds). The cumulative window partitions by edge
+    but runs over histogram CELLS — bounded by the distinct gap
+    seconds (the time domain), not the user count, the same argument
+    that sizes the weighted-median histogram.
+
+    Scale: one user-keyed exchange builds the per-user first-event
+    pivot (conditional MIN over one scan); the histogram exchange
+    carries (3 edges x distinct seconds) cells; the 3-row threshold
+    frame broadcasts back. Nothing user-sized crosses a second
+    shuffle.
+
+    Output: (edge, n_users, p50_s, p90_s, max_s).
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = (
+        e.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("event_type") == t,
+                        F.unix_micros(F.col("ts")),
+                    )
+                ).alias(f"t_{t}")
+                for t in ("view", "click", "purchase")
+            ]
+        )
+    )
+    legs = [
+        firsts.filter(
+            F.col(dst).isNotNull()
+            & F.col(src).isNotNull()
+            & (F.col(dst) >= F.col(src))
+        ).select(
+            F.lit(label).alias("edge"),
+            F.expr(f"CAST(({dst} - {src}) DIV 1000000 AS BIGINT)").alias(
+                "gap_s"
+            ),
+        )
+        for label, src, dst in _TTC_EDGES
+    ]
+    gaps = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    hist = gaps.groupBy("edge", "gap_s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cumw = (
+        Window.partitionBy("edge")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(cumw))
+    th = (
+        hist.groupBy("edge")
+        .agg(F.sum("c").alias("n"))
+        .select(
+            "edge",
+            "n",
+            F.expr("(50 * n + 99) DIV 100").alias("k50"),
+            F.expr("(90 * n + 99) DIV 100").alias("k90"),
+        )
+    )
+    return (
+        cum.join(F.broadcast(th), "edge")
+        .groupBy("edge")
+        .agg(
+            F.max("n").cast("bigint").alias("n_users"),
+            F.min(F.when(F.col("cum") >= F.col("k50"), F.col("gap_s")))
+            .cast("bigint")
+            .alias("p50_s"),
+            F.min(F.when(F.col("cum") >= F.col("k90"), F.col("gap_s")))
+            .cast("bigint")
+            .alias("p90_s"),
+            F.max("gap_s").cast("bigint").alias("max_s"),
+        )
+    )
+
+
+_TTC_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS t_purchase
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+), gaps AS (
+  SELECT 'view->click' AS edge,
+         (t_click - t_view) // 1000000 AS gap_s
+  FROM firsts WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+    AND t_click >= t_view
+  UNION ALL
+  SELECT 'click->purchase', (t_purchase - t_click) // 1000000
+  FROM firsts WHERE t_click IS NOT NULL AND t_purchase IS NOT NULL
+    AND t_purchase >= t_click
+  UNION ALL
+  SELECT 'view->purchase', (t_purchase - t_view) // 1000000
+  FROM firsts WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL
+    AND t_purchase >= t_view
+), hist AS (
+  SELECT edge, gap_s, COUNT(*) AS c FROM gaps GROUP BY edge, gap_s
+), cum AS (
+  SELECT edge, gap_s, c,
+         SUM(c) OVER (PARTITION BY edge ORDER BY gap_s
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+), th AS (
+  SELECT edge, SUM(c) AS n,
+         (50 * SUM(c) + 99) // 100 AS k50,
+         (90 * SUM(c) + 99) // 100 AS k90
+  FROM hist GROUP BY edge
+)
+SELECT cum.edge,
+       CAST(MAX(n) AS BIGINT) AS n_users,
+       CAST(MIN(CASE WHEN cum >= k50 THEN gap_s END) AS BIGINT) AS p50_s,
+       CAST(MIN(CASE WHEN cum >= k90 THEN gap_s END) AS BIGINT) AS p90_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_s
+FROM cum JOIN th ON cum.edge = th.edge
+GROUP BY cum.edge
+"""
+
+
 QUERIES = {
+    "event_time_to_convert": event_time_to_convert,
     "event_markov_stationary": event_markov_stationary,
     "event_bot_regularity": event_bot_regularity,
     "event_pattern_match": event_pattern_match,
@@ -1326,6 +1472,7 @@ FROM pi{_MKV_ROUNDS}
 
 
 ORACLES = {
+    "event_time_to_convert": _TTC_ORACLE,
     "event_markov_stationary": _markov_stationary_sql(),
     "event_bot_regularity": _BOT_REGULARITY_ORACLE,
     "event_pattern_match": _PATTERN_MATCH_ORACLE,

@@ -1127,7 +1127,141 @@ def graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCC_STRIDE = 16  # node id = user_id * stride + type index; raises if
+# the type dimension ever outgrows it (fixture has 5 event types)
+_SCC_DOUBLING = 2  # path-doubling rounds: closure over paths up to
+# 2^2 = 4 edges = the max shortest path in a <=|types|-node graph, so
+# the closure is exact BY STRUCTURE (any reach pair has a simple path
+# <= 4 edges); a fixpoint guard still RAISES if one more doubling adds
+# pairs — e.g. if the type dimension ever grows past the stride check
+
+
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED per-user
+    event-type transition graph — the directed-graph member the family
+    was missing (CC/star-CC handle the undirected near-dup graph;
+    verdict-r13 frontier #4): nodes are (user, event_type) pairs,
+    edges follow consecutive events in each user's stream, and an SCC
+    is a set of types the user cycles among — the recurrent-behavior
+    loop (view<->click<->view) as opposed to one-way funnel progress.
+
+    Algorithm — forward-backward reachability as dataframe algebra:
+    FORWARD reach = ``_SCC_DOUBLING`` path-DOUBLING rounds (reach ∪
+    reach∘reach — log-round closure, not linear propagation), then the
+    BACKWARD half is the transpose intersect: u, v mutually reachable
+    iff (u, v) and (v, u) both in reach; component = min mutual
+    partner (self included). The doubling cap carries a fixpoint
+    guard: one more round must add NO pair, else RAISE — a truncated
+    closure is silently wrong, not approximate (the CC discipline).
+
+    Determinism/oracle: the census is a pure function of the edge set,
+    so the DuckDB oracle ignores the algorithm and replays the SPEC —
+    mutual reachability via one recursive-CTE transitive closure.
+    Hash equality proves the doubling against the definition. A
+    union-find-free pure-Python Tarjan is the third engine
+    (tests/test_round14_newops.py).
+
+    Scale: the corpus is touched once (the same user-keyed lag
+    exchange sessionization pays); edges never cross users, so the
+    reach frame is bounded by users x |types|^2 — closure stays
+    LINEAR in users precisely because the type dimension is bounded
+    (the same bounded-domain argument as the cent-histogram
+    aggregates). Every doubling round keys its self-join on the
+    column the previous round just hashed; per-round localCheckpoint
+    truncates lineage (a lazy self-join chain doubles the plan tree
+    per round). For an unbounded-component directed graph this becomes
+    the FW-BW peel; for this operator the bound is structural.
+
+    Output: (component, n_nodes), component = min member node id.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    types = [
+        r["event_type"]
+        for r in e.select("event_type")
+        .distinct()
+        .orderBy("event_type")
+        .collect()
+    ]  # bounded dim collect: the type dimension
+    if len(types) > _SCC_STRIDE:
+        raise RuntimeError(
+            f"{len(types)} event types exceed _SCC_STRIDE={_SCC_STRIDE} "
+            "— raise the stride (both engines) for this corpus"
+        )
+    if not types:  # empty corpus: no nodes, no components
+        return spark.createDataFrame(
+            [], "component bigint, n_nodes bigint"
+        )
+    tmap = F.create_map(
+        *[
+            lit
+            for i, t in enumerate(types)
+            for lit in (F.lit(t), F.lit(i))
+        ]
+    )
+    ev = e.select(
+        (F.col("user_id") * _SCC_STRIDE + tmap[F.col("event_type")])
+        .cast("bigint")
+        .alias("node"),
+        "ts",
+        "event_id",
+        "user_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("node").over(w))
+    edges = (
+        seq.filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("node")))
+        .select(F.col("node").alias("src"), F.col("nxt").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = ev.select("node").distinct()
+
+    def _double(r: DataFrame) -> DataFrame:
+        two_hop = (
+            r.alias("a")
+            .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        return r.unionByName(two_hop).distinct()
+
+    reach = edges
+    for _ in range(_SCC_DOUBLING):
+        reach = _double(reach).localCheckpoint()
+    n_grown = (
+        _double(reach).join(reach, ["src", "dst"], "left_anti").count()
+    )
+    if n_grown:
+        raise RuntimeError(
+            f"SCC closure unconverged after {_SCC_DOUBLING} doubling "
+            "rounds — raise _SCC_DOUBLING for this graph"
+        )
+    mutual = (
+        reach.alias("a")
+        .join(
+            reach.alias("b"),
+            (F.col("a.src") == F.col("b.dst"))
+            & (F.col("a.dst") == F.col("b.src")),
+        )
+        .select(F.col("a.src").alias("node"), F.col("a.dst").alias("partner"))
+    )
+    comp = (
+        nodes.join(mutual, "node", "left")
+        .groupBy("node")
+        .agg(
+            F.least(
+                F.first("node"), F.coalesce(F.min("partner"), F.first("node"))
+            ).alias("component")
+        )
+    )
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
 QUERIES = {
+    "graph_scc": graph_scc,
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_personalized": graph_pagerank_personalized,
     "graph_pagerank_converged": graph_pagerank_converged,
@@ -1700,7 +1834,48 @@ FROM allv GROUP BY cur
 """
 
 
+# SCC oracle: the SPEC, not the algorithm — mutual reachability via a
+# recursive-CTE transitive closure (per-user subgraphs are <= |types|
+# nodes, so the closure stays tiny), component = min mutually-reachable
+# node (self included). Hash equality proves the Spark peel against
+# the definition.
+_SCC_SQL = f"""
+WITH RECURSIVE tidx AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS BIGINT) AS t
+  FROM (SELECT DISTINCT event_type FROM events)
+), ev AS (
+  SELECT user_id * {_SCC_STRIDE} + t AS node, ts, event_id, user_id
+  FROM events JOIN tidx USING (event_type)
+), seq AS (
+  SELECT node,
+         LEAD(node) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM ev
+), edges AS (
+  SELECT DISTINCT node AS src, nxt AS dst FROM seq
+  WHERE nxt IS NOT NULL AND nxt <> node
+), nodes AS (
+  SELECT DISTINCT node FROM ev
+), reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), mutual AS (
+  SELECT a.src AS u, a.dst AS v
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+), comp AS (
+  SELECT n.node,
+         LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS component
+  FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+  GROUP BY n.node
+)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM comp GROUP BY component
+"""
+
 ORACLES = {
+    "graph_scc": _SCC_SQL,
     "graph_pagerank": _pagerank_sql(),
     "graph_pagerank_personalized": _pagerank_personalized_sql(),
     "graph_pagerank_converged": _pagerank_converged_sql(),

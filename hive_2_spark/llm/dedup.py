@@ -703,15 +703,23 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_index_frames(
-    ex_docs: DataFrame,
+    ex_docs: DataFrame, materialize: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The three corpus-side index frames the classifier probes:
     ``exact_min`` (fp, exact_id), ``bands_ex`` (doc_id, band_idx,
     band_key), ``ex_words`` (ex_id, ex_words). Derived on the fly by
     :func:`classify_against_corpus`; persisted as BUCKETED managed
     tables by :func:`dedup_incremental_indexed` so repeated per-batch
-    classify joins never re-shuffle the corpus."""
+    classify joins never re-shuffle the corpus.
+
+    ``materialize=True`` localCheckpoints the normalized (doc_id,
+    norm) frame the three outputs share — the index-build paths
+    consume each frame in a SEPARATE write job, so without it every
+    job re-runs the normalize regexes over the text scan (3x the
+    dominant cost of the build)."""
     ex = ex_docs.select("doc_id", _NORM(F.col("text")).alias("norm"))
+    if materialize:
+        ex = ex.localCheckpoint()
     exact_min = (
         ex.groupBy(F.md5("norm").alias("fp"))
         .agg(F.min("doc_id").alias("exact_id"))
@@ -820,7 +828,9 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_database(spark)
     ex_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    exact_min, bands_ex, ex_words = corpus_index_frames(ex_docs)
+    exact_min, bands_ex, ex_words = corpus_index_frames(
+        ex_docs, materialize=True
+    )
     for name, df, keys in [
         ("idx_exact", exact_min, ["fp"]),
         ("idx_bands", bands_ex, ["band_idx", "band_key"]),
@@ -936,7 +946,9 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     specs = [("idxm_exact", ["fp"]), ("idxm_bands", ["band_idx", "band_key"]),
              ("idxm_words", ["ex_id"])]
     # (1) starting state: corpus index as bucketed tables
-    for (name, keys), df in zip(specs, corpus_index_frames(ex_docs)):
+    for (name, keys), df in zip(
+        specs, corpus_index_frames(ex_docs, materialize=True)
+    ):
         _clear_orphaned_location(spark, name, DB)
         (
             df.write.bucketBy(_IDX_BUCKETS, *keys)
@@ -963,7 +975,9 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("new_id").alias("doc_id"), "text")
     ).localCheckpoint()
     # (3) fold the novels into the index — append-only, delta-sized
-    for (name, keys), df in zip(specs, corpus_index_frames(novel1)):
+    for (name, keys), df in zip(
+        specs, corpus_index_frames(novel1, materialize=True)
+    ):
         (
             df.write.bucketBy(_IDX_BUCKETS, *keys)
             .sortBy(*keys)

@@ -397,6 +397,22 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (merge_round, left_sym, right_sym, merged, pair_count).
     """
+    _, merges = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_round bigint, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
+    """The shared BPE training loop: returns (final vocabulary frame
+    (word, s, freq) with all merges applied to the double-spaced
+    symbol string ``s``, ordered merge list) — :func:`text_bpe_merges`
+    emits the list, :func:`text_bpe_apply` tokenizes with the frame,
+    so the two faces cannot drift."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         F.explode(F.split(_BPE_NORM(F.col("text")), " ")).alias("word")
@@ -405,6 +421,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .select(
+            "word",
             F.concat(
                 F.lit("  "),
                 F.array_join(
@@ -452,6 +469,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b = pair.split(" ")
         merges.append((r, a, b, a + b, cnt))
         cur = cur.select(
+            "word",
             F.replace(
                 F.col("s"),
                 F.lit(f" {a}  {b} "),
@@ -459,10 +477,55 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "freq",
         )
-    return spark.createDataFrame(
-        merges,
-        "merge_round bigint, left_sym string, right_sym string, "
-        "merged string, pair_count bigint",
+    return cur, merges
+
+
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the merge table
+    :func:`text_bpe_merges` just learned — the APPLY half of the
+    tokenizer-training pair, and the number a vocab-budget decision
+    actually consumes: tokens per document and the chars-per-token
+    compression the merges bought.
+
+    The merges are applied once per DISTINCT word (the same
+    ``_bpe_learn`` replace chain — train and apply share one code
+    path, so the faces cannot drift), then documents join the
+    tokenized vocabulary on the word key and roll up. That order —
+    vocab-sized merge application, corpus-sized join-aggregate — is
+    the production tokenizer shape: the per-word symbol count is the
+    dictionary, the corpus only ever exchanges (word, doc_id) pairs.
+
+    All-integer output (the DIV-not-divide discipline): per document,
+    word occurrences, BPE tokens, normalized chars, and
+    chars-per-token in per-mille (``n_chars * 1000 DIV n_tokens``).
+    Documents whose normalized text is empty have no words and no
+    row — same as the inner-join oracle.
+
+    Output: (doc_id, n_words, n_tokens, n_chars, cpt_pm).
+    """
+    vocab, _ = _bpe_learn(spark, sf_dir)
+    wtok = vocab.select(
+        "word",
+        F.size(F.split(F.trim(F.col("s")), "  ")).cast("bigint").alias("ntw"),
+        F.length("word").cast("bigint").alias("lw"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(_BPE_NORM(F.col("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("ntw").cast("bigint").alias("n_tokens"),
+            F.sum("lw").cast("bigint").alias("n_chars"),
+        )
+        .withColumn(
+            "cpt_pm",
+            F.expr("CAST(n_chars * 1000 DIV n_tokens AS BIGINT)"),
+        )
     )
 
 
@@ -548,6 +611,7 @@ def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_stats": text_stats,
     "text_bpe_merges": text_bpe_merges,
+    "text_bpe_apply": text_bpe_apply,
     "text_langid_profile": text_langid_profile,
     "token_count": token_count,
     "quality_score": quality_score,
@@ -592,19 +656,21 @@ _DK_BPE_NORM = (
 )
 
 
-def _dk_bpe_oracle() -> str:
-    """Fixed-unroll replay of the ``_BPE_MERGES`` greedy rounds: each
-    round's winner is a scalar subquery over the previous state's pair
-    census; the replace literal is identical to the Spark side's."""
+def _dk_bpe_parts() -> str:
+    """Shared WITH-clause replaying the ``_BPE_MERGES`` greedy rounds:
+    each round's winner is a scalar subquery over the previous state's
+    pair census; the replace literal is identical to the Spark side's.
+    Both BPE oracles (merge table, apply) build on this chain."""
     # AS MATERIALIZED is load-bearing: v{r-1} is referenced twice per
     # round (pair census + replace), so inlined CTEs would double the
     # scan tree each round — 2^k opens of the parquet by round k
     parts = [
-        "WITH v0 AS MATERIALIZED (SELECT '  ' || array_to_string(list_transform("
+        "WITH v0 AS MATERIALIZED (SELECT word, "
+        "'  ' || array_to_string(list_transform("
         "range(1, len(word) + 1), i -> substr(word, i, 1)), '  ') || "
         "'  ' AS s, CAST(COUNT(*) AS BIGINT) AS freq FROM "
         f"(SELECT unnest(string_split({_DK_BPE_NORM}, ' ')) AS word "
-        "FROM documents) WHERE word <> '' GROUP BY 1)"
+        "FROM documents) WHERE word <> '' GROUP BY word)"
     ]
     for r in range(1, _BPE_MERGES + 1):
         prev = f"v{r - 1}"
@@ -620,11 +686,15 @@ def _dk_bpe_oracle() -> str:
             "ORDER BY cnt DESC, pair ASC LIMIT 1)"
         )
         parts.append(
-            f"v{r} AS MATERIALIZED (SELECT replace(s, "
+            f"v{r} AS MATERIALIZED (SELECT word, replace(s, "
             f"' ' || replace((SELECT pair FROM w{r}), ' ', '  ') || ' ', "
             f"' ' || replace((SELECT pair FROM w{r}), ' ', '') || ' ') "
             f"AS s, freq FROM {prev})"
         )
+    return ", ".join(parts)
+
+
+def _dk_bpe_oracle() -> str:
     rows = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_round, "
         "string_split(pair, ' ')[1] AS left_sym, "
@@ -634,11 +704,30 @@ def _dk_bpe_oracle() -> str:
         f"FROM w{r}"
         for r in range(1, _BPE_MERGES + 1)
     )
-    return ", ".join(parts) + " " + rows
+    return _dk_bpe_parts() + " " + rows
+
+
+def _dk_bpe_apply_oracle() -> str:
+    return (
+        _dk_bpe_parts()
+        + ", wtok AS (SELECT word, "
+        "CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS ntw, "
+        f"CAST(len(word) AS BIGINT) AS lw FROM v{_BPE_MERGES}), "
+        "dtoks AS (SELECT doc_id, "
+        f"unnest(string_split({_DK_BPE_NORM}, ' ')) AS word "
+        "FROM documents) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(SUM(ntw) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(lw) AS BIGINT) AS n_chars, "
+        "CAST(SUM(lw) * 1000 // SUM(ntw) AS BIGINT) AS cpt_pm "
+        "FROM dtoks JOIN wtok USING (word) WHERE word <> '' "
+        "GROUP BY doc_id"
+    )
 
 
 ORACLES = {
     "text_bpe_merges": _dk_bpe_oracle(),
+    "text_bpe_apply": _dk_bpe_apply_oracle(),
     # bigrams: DuckDB lists are 1-based (t[i] || ' ' || t[i+1] over
     # i in range(1, len) — end-exclusive) = Spark's 0-based
     # t[i-1]||' '||t[i] over sequence(1, size-1); all-integer scoring

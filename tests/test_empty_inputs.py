@@ -205,6 +205,9 @@ KEYS = [
     # round-14 additions
     "dedup_index_maintain",
     "text_bpe_merges",
+    "text_bpe_apply",
+    "graph_scc",
+    "event_time_to_convert",
     # read_python_datasource_timetravel / _changes / _compacted
     # excluded: one row per log version / version pair (all-zero on an
     # empty corpus) is their correct output — the same REPORT-shape

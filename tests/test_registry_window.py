@@ -24,6 +24,9 @@ _ROUND14_NEW: list[str] = [
     "dedup_index_maintain",
     "read_python_datasource_compacted",
     "text_bpe_merges",
+    "text_bpe_apply",
+    "graph_scc",
+    "event_time_to_convert",
 ]
 
 _R5_TIER = [

@@ -283,3 +283,204 @@ def test_bpe_pure_python_replay(spark):
     assert len(got) == _BPE_MERGES
     for _, a, b, merged, cnt in got:
         assert merged == a + b and cnt > 0
+
+
+def test_bpe_apply_pure_python_replay(spark):
+    """Apply face against the same pure-Python replay: tokenize every
+    word with the replayed merge chain, roll up per doc, compare the
+    full (n_words, n_tokens, n_chars, cpt_pm) frame."""
+    import duckdb
+
+    from hive_2_spark.llm.text import _BPE_MERGES, text_bpe_apply
+
+    con = duckdb.connect()
+    norm = (
+        "TRIM(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    doc_words = con.execute(
+        f"SELECT doc_id, string_split({norm}, ' ') "
+        f"FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    freqs: dict[str, int] = {}
+    for _, ws in doc_words:
+        for w in ws:
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    vocab = {"  " + "  ".join(w) + "  ": f for w, f in freqs.items()}
+    word_of = {"  " + "  ".join(w) + "  ": w for w in freqs}
+    for _ in range(_BPE_MERGES):
+        counts: dict[str, int] = {}
+        for s, f in vocab.items():
+            sy = s.strip().split("  ")
+            for i in range(len(sy) - 1):
+                p = sy[i] + " " + sy[i + 1]
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        pair, _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = pair.split(" ")
+        pat, rep = f" {a}  {b} ", f" {a}{b} "
+        vocab = {s.replace(pat, rep): f for s, f in vocab.items()}
+        word_of = {s.replace(pat, rep): w for s, w in word_of.items()}
+    ntok = {w: len(s.strip().split("  ")) for s, w in word_of.items()}
+    expect = {}
+    for doc_id, ws in doc_words:
+        words = [w for w in ws if w]
+        if not words:
+            continue
+        n_tokens = sum(ntok[w] for w in words)
+        n_chars = sum(len(w) for w in words)
+        expect[doc_id] = (
+            len(words), n_tokens, n_chars, n_chars * 1000 // n_tokens
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_tokens"], r["n_chars"], r["cpt_pm"]
+        )
+        for r in text_bpe_apply(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # the merges must actually compress: fewer tokens than chars
+    assert sum(v[1] for v in got.values()) < sum(v[2] for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# Directed SCC over the per-user event-type transition graph
+
+
+def _tarjan_census(edges, nodes):
+    """Iterative Tarjan SCC (no union-find, no recursion): census of
+    {component root = min member: size}."""
+    adj: dict[int, list[int]] = {n: [] for n in nodes}
+    for s, d in edges:
+        adj[s].append(d)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    sccs: list[list[int]] = []
+    counter = [0]
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                u = adj[v][i]
+                if u not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((u, 0))
+                    recurse = True
+                    break
+                if u in on_stack:
+                    low[v] = min(low[v], index[u])
+            if recurse:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                scc = []
+                while True:
+                    u = stack.pop()
+                    on_stack.discard(u)
+                    scc.append(u)
+                    if u == v:
+                        break
+                sccs.append(scc)
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    return sorted((min(s), len(s)) for s in sccs)
+
+
+def test_scc_tarjan_ground_truth(spark):
+    """Third engine: iterative Tarjan over the identical edge
+    derivation must yield the same (component=min member, size)
+    census as the Spark doubling closure."""
+    import duckdb
+
+    from hive_2_spark.core.graph import _SCC_STRIDE, graph_scc
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "WITH tidx AS (SELECT event_type, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY event_type) - 1 AS BIGINT) AS t FROM "
+        "(SELECT DISTINCT event_type FROM "
+        f"'{SF_DIR}/events.parquet')), "
+        f"ev AS (SELECT user_id * {_SCC_STRIDE} + t AS node, ts, "
+        f"event_id, user_id FROM '{SF_DIR}/events.parquet' "
+        "JOIN tidx USING (event_type)) "
+        "SELECT node, LEAD(node) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS nxt FROM ev"
+    ).fetchall()
+    nodes = sorted({n for n, _ in rows})
+    edges = sorted({(n, x) for n, x in rows if x is not None and x != n})
+    expect = _tarjan_census(edges, nodes)
+    got = sorted(
+        (r["component"], r["n_nodes"])
+        for r in graph_scc(spark, SF_DIR).collect()
+    )
+    assert got == expect
+    # structure sanity: components partition the node set
+    assert sum(n for _, n in got) == len(nodes)
+
+
+def test_time_to_convert_pure_python_replay(spark):
+    """Replay the funnel-latency percentiles in pure Python: per-user
+    first events from the raw parquet, integer-second gaps, textbook
+    nearest-rank selection on the SORTED gap list — must equal the
+    histogram-cumulative selection the Spark plan uses."""
+    import duckdb
+
+    from hive_2_spark.core.events import event_time_to_convert
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT user_id, "
+        "MIN(CASE WHEN event_type='view' THEN epoch_us(ts) END), "
+        "MIN(CASE WHEN event_type='click' THEN epoch_us(ts) END), "
+        "MIN(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) "
+        f"FROM '{SF_DIR}/events.parquet' "
+        "WHERE event_type IN ('view','click','purchase') "
+        "GROUP BY user_id"
+    ).fetchall()
+    edges = {
+        "view->click": (1, 2), "click->purchase": (2, 3),
+        "view->purchase": (1, 3),
+    }
+    expect = {}
+    for edge, (si, di) in edges.items():
+        gaps = sorted(
+            (r[di] - r[si]) // 1_000_000
+            for r in rows
+            if r[si] is not None and r[di] is not None and r[di] >= r[si]
+        )
+        if not gaps:
+            continue
+        n = len(gaps)
+        k50, k90 = (50 * n + 99) // 100, (90 * n + 99) // 100
+        expect[edge] = (n, gaps[k50 - 1], gaps[k90 - 1], gaps[-1])
+    got = {
+        r["edge"]: (r["n_users"], r["p50_s"], r["p90_s"], r["max_s"])
+        for r in event_time_to_convert(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_scc_planted_graph_structure():
+    """The Tarjan helper itself against a planted graph with known
+    SCCs: a 3-cycle, a 2-cycle reachable from it, and a tail node —
+    reachability without mutuality must NOT merge components."""
+    #   1 -> 2 -> 3 -> 1   (SCC {1,2,3})
+    #   3 -> 10 -> 11 -> 10 (SCC {10,11})
+    #   11 -> 99            (singleton {99})
+    edges = [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 10), (11, 99)]
+    nodes = [1, 2, 3, 10, 11, 99]
+    assert _tarjan_census(edges, nodes) == [(1, 3), (10, 2), (99, 1)]

@@ -124,7 +124,8 @@ BRIEF_EXTRAS = [
     "ts_anomaly_iqr",
     # round-14 additions (SURVEY §2B rows 131+)
     "dedup_index_maintain", "read_python_datasource_compacted",
-    "text_bpe_merges",
+    "text_bpe_merges", "text_bpe_apply", "graph_scc",
+    "event_time_to_convert",
 ]
 
 

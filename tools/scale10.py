@@ -212,6 +212,9 @@ _X100_KEYS = [
     "dedup_index_maintain",
     "read_python_datasource_compacted",
     "text_bpe_merges",
+    "text_bpe_apply",
+    "graph_scc",
+    "event_time_to_convert",
 ]
 
 
