@@ -154,6 +154,7 @@ HEADLINE = [
     "text_bpe_apply",                  # tokenize via the learned table
     "graph_scc",                       # doubling closure, type-bounded
     "event_time_to_convert",           # funnel latency, histogram ranks
+    "read_schema_evolution",           # mergeSchema two-generation read
 ]
 
 

@@ -241,7 +241,53 @@ def read_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ON READ (the mergeSchema face) — the lakehouse
+    reality the roundtrip keys skip: a dataset written over time gains
+    columns, and the reader must union the per-file schemas instead of
+    failing or silently truncating to the first footer. An OLD batch
+    of documents lands with (doc_id, lang); a NEW batch adds n_chars;
+    ``mergeSchema`` reads both generations as one frame where the old
+    rows carry NULL n_chars.
+
+    The aggregate proves both directions: every row from both
+    generations survives (counts), and n_chars is summed ONLY where
+    the column physically exists (nulls from the old generation are
+    absent from the sum, not zero-filled) — exactly the DuckDB
+    oracle's CASE-gated replay over the same doc_id split.
+
+    Scale note: mergeSchema costs one footer read per FILE at plan
+    time (driver-side, metadata-bound) — on a 100 TB table you scope
+    it to the partitions being read or pin the merged schema in the
+    catalog; the per-row decode cost is unchanged (parquet is
+    columnar, missing columns materialize as null vectors).
+
+    Output: (lang, generation, n_docs, sum_ids, sum_chars).
+    """
+    out = _scratch("docs_evolve", sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", F.lit("v1").alias("generation")
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.lit("v2").alias("generation"), "n_chars"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out, "gen=old"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "gen=new"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=old"), os.path.join(out, "gen=new")
+    )
+    return back.groupBy("lang", "generation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias(
+            "sum_chars"
+        ),
+    )
+
+
 QUERIES = {
+    "read_schema_evolution": read_schema_evolution,
     "roundtrip_csv": roundtrip_csv,
     "roundtrip_json": roundtrip_json,
     "roundtrip_orc": roundtrip_orc,
@@ -250,6 +296,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    # old generation (even doc_id) has no n_chars column on disk —
+    # its sum contributes nothing, gated by the generation CASE
+    "read_schema_evolution": (
+        "SELECT lang, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS generation, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(doc_id) AS BIGINT) AS sum_ids, "
+        "CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0) "
+        "AS BIGINT) AS sum_chars "
+        "FROM documents GROUP BY 1, 2"
+    ),
     # names are ASCII so char length == byte length
     "read_binaryfile": (
         "SELECT n_name, CAST(LENGTH(n_name) AS BIGINT) AS n_bytes FROM nation"

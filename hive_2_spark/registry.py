@@ -88,7 +88,7 @@ _FRONT: list[str] = [
     #     displacing one key from the (c) tail ---
     "dedup_index_maintain", "read_python_datasource_compacted",
     "text_bpe_merges", "text_bpe_apply", "graph_scc",
-    "event_time_to_convert",
+    "event_time_to_convert", "read_schema_evolution",
     # --- (b) the 30 r5-era keys, registry order ---
     "emb_pca_power", "emb_whiten", "pivot_wide", "unpivot_long",
     "pivot_dynamic", "join_salted", "agg_salted", "zorder_layout",
@@ -107,7 +107,7 @@ _FRONT: list[str] = [
     "retrieval_rrf_fusion", "phrase_search_positional", "sim_pq_topk",
     "media_scene_cut", "skew_report", "ts_drift_report",
     "ts_downsample_lttb", "ts_crosscorr", "ts_changepoint",
-    "ts_holt", "ts_anomaly_mad",
+    "ts_holt",
 ]
 assert len(_FRONT) == 50, f"driver window must be exactly 50, got {len(_FRONT)}"
 assert len(_FRONT) == len(set(_FRONT)), (

@@ -208,6 +208,7 @@ KEYS = [
     "text_bpe_apply",
     "graph_scc",
     "event_time_to_convert",
+    "read_schema_evolution",
     # read_python_datasource_timetravel / _changes / _compacted
     # excluded: one row per log version / version pair (all-zero on an
     # empty corpus) is their correct output — the same REPORT-shape

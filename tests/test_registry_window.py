@@ -27,6 +27,7 @@ _ROUND14_NEW: list[str] = [
     "text_bpe_apply",
     "graph_scc",
     "event_time_to_convert",
+    "read_schema_evolution",
 ]
 
 _R5_TIER = [

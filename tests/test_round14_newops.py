@@ -474,6 +474,27 @@ def test_time_to_convert_pure_python_replay(spark):
     assert got == expect
 
 
+def test_schema_evolution_null_semantics(spark, tmp_path):
+    """The merged read must surface the added column as NULL on old-
+    generation rows and populated on new ones — not drop the column,
+    not zero-fill, not fail."""
+    import os
+
+    old = spark.createDataFrame([(1, "en")], "doc_id bigint, lang string")
+    new = spark.createDataFrame(
+        [(2, "de", 7)], "doc_id bigint, lang string, n_chars bigint"
+    )
+    old.write.parquet(os.path.join(str(tmp_path), "a"))
+    new.write.parquet(os.path.join(str(tmp_path), "b"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(str(tmp_path), "a"), os.path.join(str(tmp_path), "b")
+    )
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert set(back.columns) == {"doc_id", "lang", "n_chars"}
+    assert rows[1]["n_chars"] is None
+    assert rows[2]["n_chars"] == 7
+
+
 def test_scc_planted_graph_structure():
     """The Tarjan helper itself against a planted graph with known
     SCCs: a 3-cycle, a 2-cycle reachable from it, and a tail node —

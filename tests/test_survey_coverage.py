@@ -125,7 +125,7 @@ BRIEF_EXTRAS = [
     # round-14 additions (SURVEY §2B rows 131+)
     "dedup_index_maintain", "read_python_datasource_compacted",
     "text_bpe_merges", "text_bpe_apply", "graph_scc",
-    "event_time_to_convert",
+    "event_time_to_convert", "read_schema_evolution",
 ]
 
 

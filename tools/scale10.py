@@ -215,6 +215,7 @@ _X100_KEYS = [
     "text_bpe_apply",
     "graph_scc",
     "event_time_to_convert",
+    "read_schema_evolution",
 ]
 
 
