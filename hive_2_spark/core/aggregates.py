@@ -674,21 +674,26 @@ def agg_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
 
-    # localCheckpoint: cells feeds BOTH the union branch and the ALL
-    # merge — without materializing the (sketch-sized, <= shards x
-    # 1024 rows) table, each branch would rerun the fact scan+explode
-    cells = (
+    # GROUPING SETS ((shard,j,b),(j,b)) computes the per-shard cells
+    # AND the cell-wise-SUM 'ALL' merge in ONE aggregation pass (the
+    # Expand is map-side, partial-agg collapses it to sketch size): the
+    # previous shape localCheckpoint'ed the per-shard cells and unioned
+    # a re-aggregate — one extra job + exchange for the same rows. The
+    # merge-by-SUM semantics are unchanged: COUNT over the (j,b) set
+    # IS the sum of the per-shard counts, facts still scanned once.
+    all_cells = (
         keyed.select("shard", "j", bucket(F.col("k"), F.col("j")).alias("b"))
-        .groupBy("shard", "j", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .groupingSets([["shard", "j", "b"], ["j", "b"]], "shard", "j", "b")
+        .agg(F.count(F.lit(1)).alias("c"), F.grouping("shard").alias("g"))
+        .select(
+            F.when(F.col("g") == 1, F.lit("ALL"))
+            .otherwise(F.col("shard"))
+            .alias("shard"),
+            "j",
+            "b",
+            "c",
+        )
     )
-    merged = (
-        cells.groupBy("j", "b")
-        .agg(F.sum("c").alias("c"))
-        .select(F.lit("ALL").alias("shard"), "j", "b", "c")
-    )
-    all_cells = cells.select("shard", "j", "b", "c").unionByName(merged)
     probes = spark.createDataFrame(
         [(int(k),) for k in _CMS_PROBES], "k bigint"
     )
@@ -717,21 +722,25 @@ def agg_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_count"),
         )
     )
-    exact = (
-        li.join(F.broadcast(probes), "k")
-        .groupBy("shard", "k")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-        .localCheckpoint()  # probe-sized; feeds both exacts branches
+    # isin on the 20 literal probe keys pushes In(l_partkey, [...])
+    # into the parquet scan (guide §6: make pushdown reach the scan) —
+    # the broadcast-join shape read every fact row to keep 20 keys.
+    # GROUPING SETS ((shard,k),(k)) then yields per-shard exacts AND
+    # the additive 'ALL' merge in one pass, replacing the
+    # localCheckpoint + union re-aggregate (same counts: COUNT over
+    # the (k) set is the sum of the per-shard counts).
+    exacts = (
+        li.filter(F.col("k").isin([int(k) for k in _CMS_PROBES]))
+        .groupingSets([["shard", "k"], ["k"]], "shard", "k")
+        .agg(F.count(F.lit(1)).alias("exact_count"), F.grouping("shard").alias("g"))
+        .select(
+            F.when(F.col("g") == 1, F.lit("ALL"))
+            .otherwise(F.col("shard"))
+            .alias("shard"),
+            "k",
+            "exact_count",
+        )
     )
-    # ALL row re-aggregates the probe-sized per-shard counts — exact
-    # counts are additive, so the facts are never rescanned (same
-    # merge discipline as the sketch's own ALL row)
-    exact_all = (
-        exact.groupBy("k")
-        .agg(F.sum("exact_count").alias("exact_count"))
-        .select(F.lit("ALL").alias("shard"), "k", "exact_count")
-    )
-    exacts = exact.select("shard", "k", "exact_count").unionByName(exact_all)
     return (
         est.join(exacts, ["shard", "k"], "left")
         .select(

@@ -158,14 +158,17 @@ def catalog_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )
-    for name, df, key in [
-        ("bkt_lineitem", li, "l_orderkey"),
-        ("bkt_orders", o, "o_orderkey"),
-    ]:
+    # the two bucketed writes are independent jobs — overlap them (the
+    # dedup-index _write_bucketed_tables discipline, guide §2.6)
+    from hive_2_spark.llm.dedup import _write_bucketed_tables
+
+    items = [
+        ("bkt_lineitem", li, ["l_orderkey"]),
+        ("bkt_orders", o, ["o_orderkey"]),
+    ]
+    for name, _, _ in items:
         _clear_orphaned_location(spark, name, DB)
-        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(
-            f"{DB}.{name}"
-        )
+    _write_bucketed_tables(spark, items, "overwrite")
     return (
         spark.table(f"{DB}.bkt_lineitem")
         .join(

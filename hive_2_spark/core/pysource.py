@@ -689,6 +689,40 @@ def roundtrip_python_datasource(
 _TT_VERSIONS = 3  # committed log versions in the time-travel key
 
 
+def _commit_versions(d, target: str, n_versions: int) -> None:
+    """Commit ``n_versions`` deterministic document slices as explicit
+    log versions, submitting the independent write jobs from a small
+    thread pool (guide §2.6: overlap independent jobs). Safe because
+    explicit versions publish disjoint ``_MANIFEST-V{v}`` files and
+    every task stages to its own uuid file; determinism is untouched —
+    WHICH rows land in which version is fixed by the modulo slice, not
+    by completion order (unlike the ``version="auto"`` CAS face, which
+    stays sequential)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = d.sparkSession
+
+    def _commit(v: int) -> None:
+        # Python data source lookup resolves through the JVM's
+        # thread-local ACTIVE session; a fresh pool thread has none, so
+        # the registered sink is invisible (DATA_SOURCE_NOT_FOUND)
+        # until the session is pinned to this thread explicitly.
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+        (
+            d.filter(F.col("doc_id") % n_versions == v)
+            .write.format(_SINK_FORMAT)
+            .option("path", target)
+            .option("version", str(v))
+            .mode("append")
+            .save()
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_commit, range(n_versions)))
+
+
 def read_python_datasource_timetravel(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -719,15 +753,12 @@ def read_python_datasource_timetravel(
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    for v in range(_TT_VERSIONS):
-        (
-            d.filter(F.col("doc_id") % _TT_VERSIONS == v)
-            .write.format(_SINK_FORMAT)
-            .option("path", target)
-            .option("version", str(v))
-            .mode("append")
-            .save()
-        )
+    # The V commits are independent jobs (explicit versions -> disjoint
+    # `_MANIFEST-V{v}` files, per-task uuid staging): submit them from a
+    # small thread pool so each job's straggler tail back-fills with the
+    # next job's tasks (guide §2.6) instead of serializing V full
+    # scan+write jobs. All commits complete before any snapshot read.
+    _commit_versions(d, target, _TT_VERSIONS)
     schema = "doc_id bigint, lang string, n_chars bigint"
     snaps = []
     for v in range(_TT_VERSIONS):
@@ -794,15 +825,8 @@ def read_python_datasource_compacted(
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    for v in range(_CP_VERSIONS):
-        (
-            d.filter(F.col("doc_id") % _CP_VERSIONS == v)
-            .write.format(_SINK_FORMAT)
-            .option("path", target)
-            .option("version", str(v))
-            .mode("append")
-            .save()
-        )
+    # concurrent independent commit jobs — see _commit_versions
+    _commit_versions(d, target, _CP_VERSIONS)
     compact_and_expire(target, _CP_UPTO)
     schema = "doc_id bigint, lang string, n_chars bigint"
     snaps = []

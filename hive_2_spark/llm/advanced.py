@@ -323,11 +323,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank are all deterministic, so DuckDB replays the whole search
     (fold-order dot products — identical bits, identical rank order).
     """
-    from hive_2_spark.llm.similarity import (
-        _collect_queries,
-        _fold_dot,
-        _fold_sq,
-    )
+    from hive_2_spark.llm.similarity import N_QUERIES, _fold_dot, _fold_sq
 
     n_probe = 3
     e = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -339,21 +335,49 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus row against all centroids through interpreted JVM HOF folds
     # over an n x 32 crossJoin plus a rank window (the measured-15x
     # trap); now the corpus pays one mapInArrow-style scan and only
-    # (vec_id, c_id, 3 cosines) reaches the probe join.
-    qq = _collect_queries(e)
-    if qq is None:  # empty corpus -> empty result, right schema
+    # (vec_id, c_id, 3 cosines) reaches the probe join. Queries and
+    # centroid seeds ride ONE collect (disjunctive filter, split
+    # driver-side) — the same rows `_collect_queries` + `ivf_centroids`
+    # fetched with two scan jobs, same validation and errors.
+    seed_pred = (F.col("vec_id") % 50 == 0) & (
+        F.col("vec_id") < _IVF_SEED_CAP
+    )
+    both = (
+        e.filter((F.col("vec_id") < N_QUERIES) | seed_pred)
+        .select("vec_id", "vec")
+        .collect()
+    )
+    qrows = sorted(
+        (r for r in both if r.vec_id < N_QUERIES), key=lambda r: r.vec_id
+    )
+    if not qrows and e.isEmpty():  # empty corpus -> empty result
         return spark.createDataFrame(
             [], "q_id long, vec_id long, cos double, rk long"
         )
-    qmat, qn = qq
-    cents = ivf_centroids(e)
-    if cents is None:  # corpus has rows but none match the seed predicate
+    if [r.vec_id for r in qrows] != list(range(N_QUERIES)):
+        raise ValueError(
+            f"query set must be vec_ids 0..{N_QUERIES - 1}, got "
+            f"{[r.vec_id for r in qrows]}"
+        )
+    qmat = np.array([list(r.vec) for r in qrows], dtype=np.float64)
+    qn = np.sqrt(_fold_sq(qmat))
+    crows = sorted(
+        (
+            r
+            for r in both
+            if r.vec_id % 50 == 0 and r.vec_id < _IVF_SEED_CAP
+        ),
+        key=lambda r: r.vec_id,
+    )
+    if not crows:  # corpus has rows but none match the seed predicate
         raise ValueError(
             "sim_ivf_topk: no IVF seeds (vec_id % 50 == 0 below "
             f"{_IVF_SEED_CAP}) in a non-empty corpus — widen the seed "
             "predicate or train real centroids"
         )
-    c_ids, cmat, cn = cents
+    c_ids = np.array([r.vec_id for r in crows], dtype=np.int64)
+    cmat = np.array([list(r.vec) for r in crows], dtype=np.float64)
+    cn = np.sqrt(_fold_sq(cmat))
 
     # probe selection: 3 queries x 32 centroids, exact driver-side math
     # with the same fold order and the oracle's (cos desc, c_id asc)

@@ -579,6 +579,13 @@ def _minhash_bands(df: DataFrame, *extra_keys: str) -> DataFrame:
     All JVM codegen (split/slice/md5) + one groupBy shuffle; only 32-char
     hashes cross the wire, never documents. Docs shorter than one shingle
     are excluded (they cannot near-dup under the shingle measure).
+
+    (Round-14 measurement note: a per-row ``array_min(transform(grams,
+    md5(i || gram)))`` rewrite — zero Exchange — was tried and MEASURED
+    3.4x SLOWER: higher-order functions evaluate interpreted per
+    element, losing far more than the removed explode + SortAggregate +
+    Exchange saved. Kept the codegen explode shape; consumers that read
+    the bands twice materialize them once instead.)
     """
     words = F.split(F.col("norm"), " ")
     starts = F.sequence(F.lit(1), F.size(words) - (_MH_SHINGLE - 1))
@@ -626,7 +633,11 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus_with_dups(spark, sf_dir).withColumn(
         "norm", _NORM(F.col("text"))
     )
-    bands = _minhash_bands(c)
+    # the self-join consumes the bands TWICE — materialize the (small:
+    # 4 x 32-char hashes + id per doc) band frame once so the scan +
+    # normalize + shingle explode + signature aggregate run once, not
+    # once per join side (guide §5: cache what is reused and expensive)
+    bands = _minhash_bands(c).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -802,6 +813,33 @@ def classify_against_corpus(ex_docs: DataFrame, nb_docs: DataFrame) -> DataFrame
 _IDX_BUCKETS = 8
 
 
+def _write_bucketed_tables(spark, items, mode: str) -> None:
+    """Write the (name, frame, bucket-keys) index tables CONCURRENTLY
+    from a small thread pool (guide §2.6: the three writes are
+    independent jobs over the same already-checkpointed normalized
+    frame, so each job's straggler tail back-fills with the next
+    job's tasks instead of serializing three write jobs). The active
+    session is pinned per thread so session-state lookups resolve."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hive_2_spark.core.metastore import DB
+
+    def _one(item) -> None:
+        name, df, keys = item
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+        (
+            df.write.bucketBy(_IDX_BUCKETS, *keys)
+            .sortBy(*keys)
+            .mode(mode)
+            .saveAsTable(f"{DB}.{name}")
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_one, items))
+
+
 def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`dedup_incremental` against a PERSISTED bucketed index —
     the production shape for CONTINUOUS ingestion: the corpus-side
@@ -831,18 +869,14 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_min, bands_ex, ex_words = corpus_index_frames(
         ex_docs, materialize=True
     )
-    for name, df, keys in [
+    items = [
         ("idx_exact", exact_min, ["fp"]),
         ("idx_bands", bands_ex, ["band_idx", "band_key"]),
         ("idx_words", ex_words, ["ex_id"]),
-    ]:
+    ]
+    for name, _, _ in items:
         _clear_orphaned_location(spark, name, DB)
-        (
-            df.write.bucketBy(_IDX_BUCKETS, *keys)
-            .sortBy(*keys)
-            .mode("overwrite")
-            .saveAsTable(f"{DB}.{name}")
-        )
+    _write_bucketed_tables(spark, items, "overwrite")
     return _classify_with_index(
         spark.table(f"{DB}.idx_exact"),
         spark.table(f"{DB}.idx_bands"),
@@ -945,17 +979,20 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     specs = [("idxm_exact", ["fp"]), ("idxm_bands", ["band_idx", "band_key"]),
              ("idxm_words", ["ex_id"])]
-    # (1) starting state: corpus index as bucketed tables
-    for (name, keys), df in zip(
-        specs, corpus_index_frames(ex_docs, materialize=True)
-    ):
+    # (1) starting state: corpus index as bucketed tables (the three
+    # independent writes overlap — see _write_bucketed_tables)
+    for name, _ in specs:
         _clear_orphaned_location(spark, name, DB)
-        (
-            df.write.bucketBy(_IDX_BUCKETS, *keys)
-            .sortBy(*keys)
-            .mode("overwrite")
-            .saveAsTable(f"{DB}.{name}")
-        )
+    _write_bucketed_tables(
+        spark,
+        [
+            (name, df, keys)
+            for (name, keys), df in zip(
+                specs, corpus_index_frames(ex_docs, materialize=True)
+            )
+        ],
+        "overwrite",
+    )
     idx = lambda: [  # noqa: E731 — re-read AFTER the appends land
         spark.table(f"{DB}.idxm_exact"),
         spark.table(f"{DB}.idxm_bands"),
@@ -974,16 +1011,18 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb1, "new_id")
         .select(F.col("new_id").alias("doc_id"), "text")
     ).localCheckpoint()
-    # (3) fold the novels into the index — append-only, delta-sized
-    for (name, keys), df in zip(
-        specs, corpus_index_frames(novel1, materialize=True)
-    ):
-        (
-            df.write.bucketBy(_IDX_BUCKETS, *keys)
-            .sortBy(*keys)
-            .mode("append")
-            .saveAsTable(f"{DB}.{name}")
-        )
+    # (3) fold the novels into the index — append-only, delta-sized,
+    # the three appends overlapped like the build writes
+    _write_bucketed_tables(
+        spark,
+        [
+            (name, df, keys)
+            for (name, keys), df in zip(
+                specs, corpus_index_frames(novel1, materialize=True)
+            )
+        ],
+        "append",
+    )
     # (4) classify batch 2 against the MAINTAINED index
     nb2 = _batch2(novel1, ex_docs)
     return _classify_with_index(*idx(), nb2)
@@ -1225,40 +1264,48 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space at all — this is the cheapest corpus-level dup signal in
     the family.
     """
+    from pyspark.sql.window import Window
+
     c = corpus_with_dups(spark, sf_dir).select(
         "doc_id", _NORM(F.col("text")).alias("norm")
     )
     n_win = (F.length("norm") / F.lit(32)).cast("int")
+    # Per-doc window dedup happens PER ROW (array_distinct over the
+    # transform array) instead of a corpus-wide DISTINCT — same set,
+    # one Exchange fewer. The corpus-wide window frequency is then a
+    # COUNT window over `win` and the per-doc rollup one groupBy, so
+    # the whole report is ONE scan + two exchanges; the previous shape
+    # consumed the (doc_id, win) frame three times, re-running the
+    # normalize+explode subtree for each consumer plus two joins
+    # (guide §1.2/§2.4).
     wins = (
         c.withColumn("n_win", n_win)
         .filter(F.col("n_win") >= 1)
         .select(
             "doc_id",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n_win") - 1),
-                    lambda i: F.md5(
-                        F.substring(F.col("norm"), i * 32 + 1, 32)
-                    ),
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("n_win") - 1),
+                        lambda i: F.md5(
+                            F.substring(F.col("norm"), i * 32 + 1, 32)
+                        ),
+                    )
                 )
             ).alias("win"),
         )
-        .distinct()
     )
-    nd = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
-    dup_wins = (
-        wins.groupBy("win")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("win")
-    )
-    ndup = (
-        wins.join(dup_wins, "win")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
+    per = wins.withColumn(
+        "nw", F.count(F.lit(1)).over(Window.partitionBy("win"))
     )
     return (
-        nd.join(ndup, "doc_id")
+        per.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("nw") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
         .withColumn(
             "dup_frac", F.round(F.col("n_dup") / F.col("n_windows"), 4)
         )

@@ -31,8 +31,6 @@ classes/hive/model.php); this is driver-mandated Layer-B breadth.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -83,28 +81,30 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_dups(spark, sf_dir)
     seed_id = F.col("doc_id") % _TWIN_MOD
 
-    s1 = corpus
-    s2 = s1.filter(F.col("lang") == "en")
-
+    # Stage SETS are monotone (each stage filters the previous), so the
+    # seven counts are computed in ONE pass: left-join each decision set
+    # once (every right side is unique per key — quality_score is one
+    # row per doc, exact_keep is one min per fp group, dedup_clusters is
+    # one row per doc, contaminated is DISTINCT — so no join fan-out),
+    # then a single aggregate over conjunctions of membership flags.
+    # The previous shape unioned 7 count branches whose plans each
+    # recomputed the full stage prefix — quality_score 5x, the corpus
+    # scan 7x, contamination 2x (guide §1.2: remove redundant passes).
     q_keep = quality_score(spark, sf_dir).filter(F.col("keep")).select(
         F.col("doc_id").alias("qid")
     )
-    s3 = s2.join(q_keep, seed_id == F.col("qid"), "left_semi")
-
     fp = F.md5(_NORM(F.col("text")))
     exact_keep = (
         corpus.select("doc_id", fp.alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        .select("doc_id", F.lit(True).alias("ek"))
     )
-    s4 = s3.join(exact_keep, "doc_id", "left_semi")
-
-    nd_losers = dedup_clusters(spark, sf_dir).filter(
-        F.col("doc_id") != F.col("cluster")
-    ).select("doc_id")
-    s5 = s4.join(nd_losers, "doc_id", "left_anti")
-
+    nd_losers = (
+        dedup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster"))
+        .select("doc_id", F.lit(True).alias("nl"))
+    )
     d = load_table(spark, sf_dir, "documents")
     eval_grams = (
         _grams(d.filter(F.col("doc_id") % 97 == 0)).select("gram").distinct()
@@ -114,29 +114,56 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(eval_grams), "gram", "left_semi")
         .select("doc_id")
         .distinct()
+        .select("doc_id", F.lit(True).alias("cm"))
     )
-    s6 = s5.filter(seed_id % 97 != 0).join(contaminated, "doc_id", "left_anti")
+    flagged = (
+        corpus.join(q_keep, seed_id == F.col("qid"), "left")
+        .join(exact_keep, "doc_id", "left")
+        .join(nd_losers, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+    )
+    s2 = F.col("lang") == "en"
+    s3 = s2 & F.col("qid").isNotNull()
+    s4 = s3 & F.col("ek").isNotNull()
+    s5 = s4 & F.col("nl").isNull()
+    s6 = s5 & (seed_id % 97 != 0) & F.col("cm").isNull()
+    s7 = s6 & ~F.substring(F.md5("text"), 1, 1).isin("0", "1")
 
-    s7 = s6.filter(~F.substring(F.md5("text"), 1, 1).isin("0", "1"))
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
 
-    stages = [
-        ("01_ingest", s1),
-        ("02_lang_en", s2),
-        ("03_quality", s3),
-        ("04_exact_dedup", s4),
-        ("05_near_dedup", s5),
-        ("06_decontaminated", s6),
-        ("07_train", s7),
+    one = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        cnt(s2).alias("n2"),
+        cnt(s3).alias("n3"),
+        cnt(s4).alias("n4"),
+        cnt(s5).alias("n5"),
+        cnt(s6).alias("n6"),
+        cnt(s7).alias("n7"),
+    )
+    names = [
+        "01_ingest",
+        "02_lang_en",
+        "03_quality",
+        "04_exact_dedup",
+        "05_near_dedup",
+        "06_decontaminated",
+        "07_train",
     ]
-    counts = [
-        df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).select(
-            F.lit(i + 1).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            "n_docs",
-        )
-        for i, (name, df) in enumerate(stages)
-    ]
-    return reduce(lambda a, b: a.unionByName(b), counts)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("stage_idx"),
+                        F.lit(name).alias("stage"),
+                        F.col(f"n{i + 1}").alias("n_docs"),
+                    )
+                    for i, name in enumerate(names)
+                ]
+            )
+        ).alias("r")
+    ).select("r.stage_idx", "r.stage", "r.n_docs")
 
 
 def dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -257,10 +257,15 @@ def quality_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
+    # localCheckpoint: uni is VOCAB-sized and feeds THREE consumers
+    # (u1, u2, and the corpus-total derivation below); un-materialized,
+    # each consumer re-ran the corpus explode+aggregate (guide §5:
+    # cache only what is reused AND expensive to recompute — this is).
     uni = (
         d.select(F.explode(ws).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     # <2-word docs must be guarded: sequence(1, 0) is the DESCENDING
     # [1, 0] in Spark and element_at(ws, 2) would throw (the
@@ -282,15 +287,19 @@ def quality_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= _PMI_MIN_PAIR)
     )
-    # BOTH corpus totals from ONE length-only scan (no explode): total
-    # unigrams = sum(len) — identical to sum over uni counts — and
-    # total bigrams = sum(len-1); merging them removed two of the five
-    # corpus scans the first version's plan showed
-    tots = d.agg(
-        F.sum(F.size(ws)).cast("double").alias("n_u"),
-        F.sum(F.greatest(F.size(ws) - 1, F.lit(0)))
-        .cast("double")
-        .alias("n_b"),
+    # BOTH corpus totals WITHOUT re-scanning the text: n_u = SUM over
+    # the (checkpointed, vocab-sized) unigram counts — identical to
+    # sum(len) by construction — and, because split() never returns an
+    # empty array (size(ws) >= 1 for every row), n_b = sum(size-1)
+    # = n_u - n_docs exactly. n_docs is a column-pruned row count. This
+    # removes the third full text scan the previous shape paid.
+    tots = (
+        uni.agg(F.sum("c").alias("su"))
+        .crossJoin(d.agg(F.count(F.lit(1)).alias("ndocs")))
+        .select(
+            F.col("su").cast("double").alias("n_u"),
+            (F.col("su") - F.col("ndocs")).cast("double").alias("n_b"),
+        )
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
