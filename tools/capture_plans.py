@@ -1,6 +1,7 @@
-"""Capture .explain("formatted") for named registry keys into plans/r14/.
+"""Capture .explain("formatted") for named registry keys into plans/<round>/.
 
 Usage: python tools/capture_plans.py before|after key1 key2 ...
+The output round dir defaults to r15; override with $SPARK_GRAFT_PLANS_ROUND.
 Runs under the same tuned session + shuffle-partition setting bench.py
 uses, so the captured plan is the bench plan shape.
 """
@@ -22,7 +23,9 @@ spark = get_spark("hive_2_spark_plans")
 spark.sparkContext.setLogLevel("ERROR")
 spark.conf.set("spark.sql.shuffle.partitions", "8")
 
-out_dir = Path(REPO) / "plans" / "r14"
+out_dir = Path(REPO) / "plans" / os.environ.get(
+    "SPARK_GRAFT_PLANS_ROUND", "r15"
+)
 out_dir.mkdir(parents=True, exist_ok=True)
 qmap = registry.all_queries()
 for key in keys:
@@ -31,5 +34,6 @@ for key in keys:
         df._jdf.queryExecution(), "formatted"
     )
     (out_dir / f"{key}_{suffix}.txt").write_text(plan)
-    print(key, "->", f"plans/r14/{key}_{suffix}.txt", len(plan), "chars")
+    print(key, "->", f"{out_dir.relative_to(REPO)}/{key}_{suffix}.txt",
+          len(plan), "chars")
 spark.stop()
